@@ -1,0 +1,293 @@
+"""The flagship CDC replay pipeline (WAL tail -> exactly-once lake upsert).
+
+Ray-Data-native restatement of the reference's loader loop
+(`src/pipeline/core/client_clickhouse.py:154-206` +
+`src/pipeline/core/spark.py:134-177` in /root/reference), per SURVEY.md §3.4:
+
+    pending segments (ledger diff)
+      -> ray.data.read_parquet(segments, schema=unified)   # null-fills old-schema segments
+      -> map_batches(combiner, batch_format="pyarrow")      # pid/salt assign + per-batch LWW compact
+      -> [salted pre-reduce: groupby(pid, salt).map_groups(lww_compact)]   # hot-key skew
+      -> groupby(pid).map_groups(MergePartition)            # disk-backed per-partition merge
+      -> driver: atomic manifest commit (exactly-once)
+
+Everything streams: the only materialized result per transaction is the
+tiny lineage table (<= num_partitions rows).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+
+from ..gen import PAGES_SCHEMA
+from ..stages.merge import INTERNAL_COLS, MergePartition, lww_compact
+from ..stages.partition import add_partition_cols
+from ..state.manifest import LakeTable
+from ..state.schema_registry import conform, evolve
+
+# WAL envelope columns that are not lake payload
+_WAL_META = ("lsn", "op")
+
+
+@dataclass
+class ReplayStats:
+    transactions: int = 0
+    events_applied: int = 0
+    segments_applied: int = 0
+    rows_live: int = 0
+    schema_version: int = 0
+
+
+def list_segments(wal_dir: str) -> list[str]:
+    return sorted(
+        os.path.join(wal_dir, f)
+        for f in os.listdir(wal_dir)
+        if f.endswith(".parquet")
+    )
+
+
+# ---------------------------------------------------------------------------
+# bootstrap: load the pre-existing base table into partitioned lake form
+# ---------------------------------------------------------------------------
+
+
+class _BootstrapPartition:
+    """map_groups callable: write one pid's base rows as a staged file."""
+
+    def __init__(self, lake_root: str, txid: str, schema: pa.Schema):
+        self.__name__ = "_BootstrapPartition"
+        self.lake_root = lake_root
+        self.txid = txid
+        self.schema = schema
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..stages.merge import _checksum
+
+        pid = int(group.column("pid")[0].as_py())
+        body = conform(group.drop_columns(["pid"]), self.schema)
+        body = body.append_column("_lsn", pa.array(np.zeros(body.num_rows, np.int64)))
+        body = body.append_column("_deleted", pa.array(np.zeros(body.num_rows, bool)))
+        body = body.take(pc.sort_indices(body, sort_keys=[("url", "ascending")]))
+        out = os.path.join(self.lake_root, "staging", self.txid, f"part-{pid:05d}.parquet")
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        pq.write_table(body, out)
+        ck = _checksum(
+            body.column("url").to_pylist(),
+            body.column("warc_ts").cast(pa.int64()).to_numpy(zero_copy_only=False),
+            body.column("_lsn").to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                "pid": pa.array([pid], pa.int32()),
+                "rows": pa.array([body.num_rows], pa.int64()),
+                "checksum": pa.array([ck], pa.uint64()),
+                "lsn_hi": pa.array([0], pa.int64()),
+                "events_applied": pa.array([0], pa.int64()),
+            }
+        )
+
+
+def bootstrap_lake(
+    lake_root: str,
+    base_parquet: str | None,
+    num_partitions: int = 32,
+    schema: pa.Schema | None = None,
+) -> LakeTable:
+    """Create the lake table; if ``base_parquet`` given, load it as tx 1."""
+    lake = LakeTable(lake_root, num_partitions)
+    schema = schema or PAGES_SCHEMA
+    manifest = lake.init(schema, num_partitions)
+    if base_parquet is None:
+        return lake
+    txid = lake.next_txid(manifest)
+    ds = ray.data.read_parquet(base_parquet)
+    ds = ds.map_batches(
+        lambda t: add_partition_cols(t, num_partitions),
+        batch_format="pyarrow",
+    )
+    lineage_ds = ds.groupby("pid").map_groups(
+        _BootstrapPartition(lake_root, txid, schema), batch_format="pyarrow"
+    )
+    lineage = lineage_ds.take_all()  # <= num_partitions tiny rows
+    lake.commit(manifest, txid, lineage, applied_segments=["__base__"], applied_lsn_range=(0, 0))
+    return lake
+
+
+# ---------------------------------------------------------------------------
+# replay
+# ---------------------------------------------------------------------------
+
+
+def _wal_payload_schema(wal_schema: pa.Schema) -> pa.Schema:
+    fields = [f for f in wal_schema if f.name not in _WAL_META]
+    return pa.schema(fields)
+
+
+def _make_combiner(num_partitions: int, salt: int, unified: pa.Schema, combine: bool):
+    def combiner(batch: pa.Table) -> pa.Table:
+        # conform to the unified WAL schema (null-fills columns absent in
+        # old-schema segments when the reader didn't already)
+        batch = conform(batch, unified)
+        batch = add_partition_cols(batch, num_partitions, salt)
+        if combine:
+            # per-batch LWW compaction: the "combiner" — bounds any key's
+            # post-shuffle row count by the number of batches, shrinking
+            # both the shuffle and hot-key groups (SURVEY.md §4 skew row)
+            batch = lww_compact(batch)
+        return batch
+
+    return combiner
+
+
+def _salted_reduce(group: pa.Table) -> pa.Table:
+    return lww_compact(group)
+
+
+def replay(
+    lake_root: str,
+    wal_dir: str,
+    *,
+    segments: list[str] | None = None,
+    max_segments_per_tx: int | None = None,
+    salting: str = "auto",
+    salt: int = 8,
+    combine: bool = True,
+    batch_size: int = 8192,
+) -> ReplayStats:
+    """Replay all pending WAL segments into the lake. Idempotent/resumable:
+    already-applied segments are skipped via the manifest ledger; a crash
+    between staging and commit leaves the previous state intact."""
+    lake = LakeTable(lake_root)
+    stats = ReplayStats()
+    all_segs = segments if segments is not None else list_segments(wal_dir)
+
+    while True:
+        manifest = lake.read_manifest()
+        pending = lake.pending_segments(all_segs, manifest)
+        if not pending:
+            break
+        chunk = pending if max_segments_per_tx is None else pending[:max_segments_per_tx]
+        stats.transactions += 1
+        _replay_one_tx(lake, manifest, chunk, salting, salt, combine, batch_size, stats)
+        if max_segments_per_tx is None:
+            break
+
+    final = lake.read_manifest()
+    stats.rows_live = sum(p["rows"] for p in final["partitions"].values())
+    stats.schema_version = final["schema_version"]
+    return stats
+
+
+def _replay_one_tx(
+    lake: LakeTable,
+    manifest: dict,
+    chunk: list[str],
+    salting: str,
+    salt: int,
+    combine: bool,
+    batch_size: int,
+    stats: ReplayStats,
+) -> None:
+    num_partitions = manifest["num_partitions"]
+    txid = lake.next_txid(manifest)
+
+    # schema evolution: widen lake schema with any new WAL payload columns
+    seg_schemas = [pq.read_schema(s) for s in chunk]
+    unified_wal = seg_schemas[0]
+    for s in seg_schemas[1:]:
+        unified_wal = evolve(unified_wal, s)
+    current_schema = lake.schema(manifest)
+    target_schema = evolve(current_schema, _wal_payload_schema(unified_wal))
+
+    n_events_est = sum(pq.read_metadata(s).num_rows for s in chunk)
+    use_salt = salting == "on" or (
+        # auto: pre-reduce pays off once a hot key could span many batches
+        salting == "auto" and n_events_est > 64 * batch_size
+    )
+    eff_salt = salt if use_salt else 0
+
+    ds = ray.data.read_parquet(chunk, schema=unified_wal)
+    ds = ds.map_batches(
+        _make_combiner(num_partitions, eff_salt, unified_wal, combine),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    if use_salt:
+        ds = ds.groupby(["pid", "salt"]).map_groups(
+            _salted_reduce, batch_format="pyarrow"
+        )
+        ds = ds.drop_columns(["salt"])
+    merge = MergePartition(
+        lake.root, txid, target_schema, manifest["partitions"]
+    )
+    lineage_ds = ds.groupby("pid").map_groups(merge, batch_format="pyarrow")
+    lineage = lineage_ds.take_all()  # tiny: <= num_partitions rows
+
+    # applied LSN range from parquet footer stats (pre-compaction truth;
+    # the combiner drops superseded events so group-level mins undercount)
+    lsn_lo, lsn_hi = None, None
+    for s in chunk:
+        md = pq.read_metadata(s)
+        ci = md.schema.to_arrow_schema().get_field_index("lsn")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is not None and st.has_min_max:
+                lsn_lo = st.min if lsn_lo is None else min(lsn_lo, st.min)
+                lsn_hi = st.max if lsn_hi is None else max(lsn_hi, st.max)
+    lsn_lo = lsn_lo or 0
+    lsn_hi = lsn_hi or 0
+    lake.commit(
+        manifest,
+        txid,
+        lineage,
+        applied_segments=[os.path.basename(s) for s in chunk],
+        applied_lsn_range=(int(lsn_lo), int(lsn_hi)),
+        new_schema=target_schema,
+    )
+    stats.events_applied += int(sum(r["events_applied"] for r in lineage))
+    stats.segments_applied += len(chunk)
+
+
+# ---------------------------------------------------------------------------
+# reads
+# ---------------------------------------------------------------------------
+
+
+def read_table(lake_root: str) -> ray.data.Dataset:
+    """Stream the live rows of the lake table (manifest-resolved files,
+    tombstones filtered, internal columns dropped)."""
+    lake = LakeTable(lake_root)
+    m = lake.read_manifest()
+    files = lake.data_files(m)
+    if not files:
+        return ray.data.from_arrow(lake.schema(m).empty_table())
+    ds = ray.data.read_parquet(files)
+    drop = list(INTERNAL_COLS)
+
+    def live(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(t.column("_deleted")))
+        return t.drop_columns([c for c in drop if c in t.column_names])
+
+    return ds.map_batches(live, batch_format="pyarrow")
+
+
+def read_table_arrow(lake_root: str) -> pa.Table:
+    """Materialized, url-sorted snapshot — for tests/small results only."""
+    lake = LakeTable(lake_root)
+    schema = lake.schema()
+    batches = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in read_table(lake_root).iter_batches(batch_format="pyarrow")
+    ]
+    if not batches:
+        return schema.empty_table()
+    out = pa.concat_tables([conform(b, schema) for b in batches])
+    return out.take(pc.sort_indices(out, sort_keys=[("url", "ascending")]))

@@ -1,0 +1,202 @@
+"""Transaction manifests + checkpoint: the exactly-once commit layer.
+
+Generalizes the reference's ``loaded_files`` ledger
+(`src/pipeline/sql/create_loaded_files.sql:1-7`, diffed at
+`src/pipeline/core/client_clickhouse.py:181,193,203` in /root/reference)
+from file-granularity at-least-once to LSN-range exactly-once:
+
+* merge tasks write partition files into ``staging/{txid}/`` (side-effect
+  safe: Ray may retry a task; the retried task overwrites the same
+  deterministic staging path);
+* the driver then publishes everything in ONE atomic ``os.replace`` of
+  ``MANIFEST.json`` — current partition->file map, applied segments,
+  applied LSN ranges, schema version, lineage.  Readers resolve data files
+  only through the manifest, so orphaned staging/part files from a crashed
+  or retried transaction are invisible;
+* resume = diff pending WAL segments against ``applied_segments`` in the
+  committed manifest; replaying an already-applied segment is a no-op.
+
+Layout of a lake table directory::
+
+    lake/pages/
+      parts/part-{pid:05d}-{txid}.parquet   data (orphans possible, ignored)
+      staging/{txid}/part-{pid:05d}.parquet pre-commit scratch
+      manifests/{txid}.json                 immutable per-tx lineage record
+      MANIFEST.json                         THE atomically-swapped root
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import shutil
+
+import pyarrow as pa
+
+
+def _schema_to_json(schema: pa.Schema) -> dict:
+    return {
+        "ipc_b64": base64.b64encode(schema.serialize().to_pybytes()).decode("ascii"),
+        "fields": [[f.name, str(f.type)] for f in schema],
+    }
+
+
+def _schema_from_json(d: dict) -> pa.Schema:
+    buf = base64.b64decode(d["ipc_b64"])
+    return pa.ipc.read_schema(pa.BufferReader(buf))
+
+
+class LakeTable:
+    """Manifest-governed partitioned Parquet table."""
+
+    def __init__(self, root: str, num_partitions: int = 32):
+        self.root = root
+        self.parts_dir = os.path.join(root, "parts")
+        self.staging_root = os.path.join(root, "staging")
+        self.manifests_dir = os.path.join(root, "manifests")
+        self.manifest_path = os.path.join(root, "MANIFEST.json")
+        self.default_num_partitions = num_partitions
+
+    # -- init / read ------------------------------------------------------
+
+    def exists(self) -> bool:
+        return os.path.exists(self.manifest_path)
+
+    def init(self, schema: pa.Schema, num_partitions: int | None = None) -> dict:
+        """Create an empty table (txid tx000000, no partitions yet)."""
+        for d in (self.parts_dir, self.staging_root, self.manifests_dir):
+            os.makedirs(d, exist_ok=True)
+        manifest = {
+            "txid": "tx000000",
+            "tx_seq": 0,
+            "num_partitions": num_partitions or self.default_num_partitions,
+            "schema_version": 0,
+            "schema": _schema_to_json(schema),
+            "partitions": {},  # pid(str) -> {file, rows, checksum, lsn_hi}
+            "applied_segments": [],
+            "applied_lsn_ranges": [],
+            "lineage": [],  # per-tx summary records
+        }
+        self._atomic_write(manifest)
+        return manifest
+
+    def read_manifest(self) -> dict:
+        with open(self.manifest_path) as f:
+            return json.load(f)
+
+    def schema(self, manifest: dict | None = None) -> pa.Schema:
+        m = manifest or self.read_manifest()
+        return _schema_from_json(m["schema"])
+
+    def data_files(self, manifest: dict | None = None) -> list[str]:
+        m = manifest or self.read_manifest()
+        return [
+            os.path.join(self.root, p["file"]) for p in m["partitions"].values()
+        ]
+
+    # -- transaction lifecycle -------------------------------------------
+
+    def next_txid(self, manifest: dict) -> str:
+        return f"tx{manifest['tx_seq'] + 1:06d}"
+
+    def staging_dir(self, txid: str) -> str:
+        d = os.path.join(self.staging_root, txid)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def staging_path(self, txid: str, pid: int) -> str:
+        return os.path.join(self.staging_root, txid, f"part-{pid:05d}.parquet")
+
+    def commit(
+        self,
+        manifest: dict,
+        txid: str,
+        partition_results: list[dict],
+        applied_segments: list[str],
+        applied_lsn_range: tuple[int, int] | None,
+        new_schema: pa.Schema | None = None,
+    ) -> dict:
+        """Atomically publish a transaction.
+
+        ``partition_results``: one dict per rewritten partition —
+        ``{pid, rows, checksum, lsn_hi, events_applied}`` — whose staged
+        file ``staging/{txid}/part-{pid:05d}.parquet`` is promoted to
+        ``parts/part-{pid:05d}-{txid}.parquet``.  Untouched partitions
+        keep their current files.  Crash before the final ``os.replace``
+        leaves the previous manifest fully intact.
+        """
+        m = dict(manifest)
+        partitions = dict(m["partitions"])
+        promoted = []
+        for res in partition_results:
+            pid = int(res["pid"])
+            src = self.staging_path(txid, pid)
+            rel = os.path.join("parts", f"part-{pid:05d}-{txid}.parquet")
+            dst = os.path.join(self.root, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+            partitions[str(pid)] = {
+                "file": rel,
+                "rows": int(res["rows"]),
+                "checksum": int(res["checksum"]),
+                "lsn_hi": int(res.get("lsn_hi", 0)),
+            }
+            promoted.append(rel)
+
+        tx_record = {
+            "txid": txid,
+            "applied_segments": list(applied_segments),
+            "applied_lsn_range": list(applied_lsn_range) if applied_lsn_range else None,
+            "partitions": [
+                {k: int(v) if isinstance(v, (int, float)) else v for k, v in r.items()}
+                for r in partition_results
+            ],
+            "rows_total": int(sum(r["rows"] for r in partition_results)),
+            "events_applied": int(sum(r.get("events_applied", 0) for r in partition_results)),
+        }
+        os.makedirs(self.manifests_dir, exist_ok=True)
+        with open(os.path.join(self.manifests_dir, f"{txid}.json"), "w") as f:
+            json.dump(tx_record, f, indent=1)
+
+        m["txid"] = txid
+        m["tx_seq"] = manifest["tx_seq"] + 1
+        m["partitions"] = partitions
+        m["applied_segments"] = list(manifest["applied_segments"]) + list(applied_segments)
+        if applied_lsn_range:
+            m["applied_lsn_ranges"] = list(manifest["applied_lsn_ranges"]) + [
+                list(applied_lsn_range)
+            ]
+        if new_schema is not None and not new_schema.equals(self.schema(manifest)):
+            m["schema"] = _schema_to_json(new_schema)
+            m["schema_version"] = manifest["schema_version"] + 1
+        m["lineage"] = list(manifest["lineage"]) + [
+            {
+                "txid": txid,
+                "rows_total": tx_record["rows_total"],
+                "events_applied": tx_record["events_applied"],
+                "applied_lsn_range": tx_record["applied_lsn_range"],
+                "partitions_rewritten": len(partition_results),
+            }
+        ]
+        self._atomic_write(m)
+        # post-commit GC of this tx's staging dir (safe: manifest is durable)
+        shutil.rmtree(os.path.join(self.staging_root, txid), ignore_errors=True)
+        return m
+
+    def pending_segments(self, all_segments: list[str], manifest: dict | None = None) -> list[str]:
+        """Ledger diff — the reference's new-file predicate
+        (`src/pipeline/core/client_clickhouse.py:193`) at segment level."""
+        m = manifest or self.read_manifest()
+        applied = {os.path.basename(s) for s in m["applied_segments"]}
+        return [s for s in all_segments if os.path.basename(s) not in applied]
+
+    # -- internals --------------------------------------------------------
+
+    def _atomic_write(self, manifest: dict) -> None:
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.manifest_path)

@@ -1,0 +1,109 @@
+"""Differential correctness: Ray engine replay == single-process oracle.
+
+SURVEY.md §5 target strategy item 2 — final table must equal the oracle
+exactly (row set + byte-identical `text` per url).
+"""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from etl_ray.oracle import replay_oracle
+
+
+def _canon(tbl: pa.Table) -> pa.Table:
+    return tbl.take(pc.sort_indices(tbl, sort_keys=[("url", "ascending")]))
+
+
+def assert_tables_equal(a: pa.Table, b: pa.Table):
+    assert a.schema.equals(b.schema), f"{a.schema}\n!=\n{b.schema}"
+    assert a.num_rows == b.num_rows
+    a, b = _canon(a), _canon(b)
+    for name in a.column_names:
+        ca, cb = a.column(name), b.column(name)
+        if not ca.equals(cb):
+            for i, (x, y) in enumerate(zip(ca.to_pylist(), cb.to_pylist())):
+                assert x == y, f"col {name} row {i}: {x!r} != {y!r}"
+            raise AssertionError(f"col {name} differs")
+
+
+@pytest.fixture()
+def lake_root(tmp_path):
+    return str(tmp_path / "lake" / "pages")
+
+
+def test_replay_matches_oracle_single_tx(ray_session, small_wal, lake_root):
+    from etl_ray.pipelines.replay import bootstrap_lake, read_table_arrow, replay
+
+    bootstrap_lake(lake_root, small_wal["base"], num_partitions=16)
+    stats = replay(lake_root, small_wal["wal_dir"])
+    assert stats.transactions == 1
+    assert stats.schema_version == 0  # lang already in base schema
+
+    oracle = replay_oracle(small_wal["base"], small_wal["segments"])
+    engine = read_table_arrow(lake_root)
+    assert_tables_equal(engine, oracle)
+    assert stats.rows_live == oracle.num_rows
+
+
+def test_replay_incremental_matches_oracle(ray_session, small_wal, tmp_path):
+    """Per-segment transactions (incremental tailing) reach the same state;
+    tombstone retention makes late events across tx boundaries correct."""
+    from etl_ray.pipelines.replay import bootstrap_lake, read_table_arrow, replay
+
+    root = str(tmp_path / "lake2" / "pages")
+    bootstrap_lake(root, small_wal["base"], num_partitions=8)
+    stats = replay(root, small_wal["wal_dir"], max_segments_per_tx=2)
+    assert stats.transactions >= 3
+
+    oracle = replay_oracle(small_wal["base"], small_wal["segments"])
+    assert_tables_equal(read_table_arrow(root), oracle)
+
+
+def test_replay_is_idempotent(ray_session, small_wal, lake_root):
+    from etl_ray.pipelines.replay import bootstrap_lake, read_table_arrow, replay
+    from etl_ray.state.manifest import LakeTable
+
+    bootstrap_lake(lake_root, small_wal["base"], num_partitions=16)
+    replay(lake_root, small_wal["wal_dir"])
+    m1 = LakeTable(lake_root).read_manifest()
+    # second replay over the same WAL: ledger says nothing pending -> no-op
+    stats2 = replay(lake_root, small_wal["wal_dir"])
+    assert stats2.transactions == 0 and stats2.events_applied == 0
+    m2 = LakeTable(lake_root).read_manifest()
+    assert m1["txid"] == m2["txid"]
+    assert m1["partitions"] == m2["partitions"]
+
+
+def test_replay_salting_on_matches_oracle(ray_session, small_wal, tmp_path):
+    from etl_ray.pipelines.replay import bootstrap_lake, read_table_arrow, replay
+
+    root = str(tmp_path / "lake3" / "pages")
+    bootstrap_lake(root, small_wal["base"], num_partitions=8)
+    replay(root, small_wal["wal_dir"], salting="on", salt=4)
+    oracle = replay_oracle(small_wal["base"], small_wal["segments"])
+    assert_tables_equal(read_table_arrow(root), oracle)
+
+
+def test_replay_without_base(ray_session, small_wal, tmp_path):
+    from etl_ray.pipelines.replay import bootstrap_lake, read_table_arrow, replay
+
+    root = str(tmp_path / "lake4" / "pages")
+    bootstrap_lake(root, None, num_partitions=8)
+    replay(root, small_wal["wal_dir"])
+    oracle = replay_oracle(None, small_wal["segments"])
+    assert_tables_equal(read_table_arrow(root), oracle)
+
+
+def test_lineage_recorded(ray_session, small_wal, lake_root):
+    from etl_ray.pipelines.replay import bootstrap_lake, replay
+    from etl_ray.state.manifest import LakeTable
+
+    bootstrap_lake(lake_root, small_wal["base"], num_partitions=16)
+    replay(lake_root, small_wal["wal_dir"])
+    m = LakeTable(lake_root).read_manifest()
+    assert m["applied_lsn_ranges"], "lsn ranges recorded"
+    lo, hi = m["applied_lsn_ranges"][-1]
+    assert lo == 1 and hi == small_wal["spec"].n_events
+    assert all("checksum" in p for p in m["partitions"].values())
+    assert m["lineage"][-1]["events_applied"] > 0
