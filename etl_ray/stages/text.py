@@ -1,0 +1,169 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+Target-added operators (no reference analogue — the reference processes
+JSON chain events): language-ID, quality scoring, token counting, document
+fingerprinting.  Each is a callable CLASS for
+``map_batches(Cls, concurrency=N)`` actor pools — regexes/tables compiled
+once per actor in ``__init__`` (the fix for the reference's
+rebuild-state-per-file anti-pattern, `src/pipeline/core/spark.py:31-47`).
+
+All scores are deterministic and, where feasible, defined so a DuckDB SQL
+oracle can reproduce them exactly (integer counts, md5 hex digests;
+ratios defined as plain divisions of those integers).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# stopword sets for the n-gram-free heuristic language id
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "pt": {"de", "que", "e", "o", "a", "do", "da", "em", "um", "para"},
+    "de": {"der", "die", "und", "das", "in", "von", "zu", "den", "mit", "ist"},
+    "es": {"de", "la", "que", "el", "en", "y", "los", "del", "se", "las"},
+    "fr": {"de", "la", "le", "et", "les", "des", "en", "un", "du", "une"},
+}
+
+
+class TokenCounter:
+    """Whitespace tokens + a BPE-ish subword estimate per document.
+
+    ``n_tokens`` = count of ``\\S+`` runs (== DuckDB
+    ``len(regexp_extract_all(text,'\\S+'))``); ``n_bpe_est`` = count of
+    word/number/punct pieces from a GPT-2-style pre-tokenizer regex.
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.ws = re.compile(r"\S+")
+        # public GPT-2 pre-tokenizer shape (contractions, words, numbers, other)
+        self.bpe = re.compile(r"'s|'t|'re|'ve|'m|'ll|'d| ?\w+| ?[^\s\w]+|\s+(?!\S)")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        n_tok = np.fromiter(
+            (len(self.ws.findall(t or "")) for t in texts), np.int64, len(texts)
+        )
+        n_bpe = np.fromiter(
+            (len(self.bpe.findall(t or "")) for t in texts), np.int64, len(texts)
+        )
+        return batch.append_column("n_tokens", pa.array(n_tok)).append_column(
+            "n_bpe_est", pa.array(n_bpe)
+        )
+
+
+class QualityScorer:
+    """Length / punctuation / alpha / stopword signals per document.
+
+    Integer counts are SQL-reproducible; ``alpha_ratio`` =
+    n_alpha / max(n_chars_counted, 1) with n_chars_counted = length(text).
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.alpha = re.compile(r"[A-Za-z]")
+        self.punct = re.compile(r"[!-/:-@\[-`{-~]")
+        self.word = re.compile(r"[a-z']+")
+        self.stop_en = _STOPWORDS["en"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        n = len(texts)
+        n_chars = np.fromiter((len(t or "") for t in texts), np.int64, n)
+        n_alpha = np.fromiter(
+            (len(self.alpha.findall(t or "")) for t in texts), np.int64, n
+        )
+        n_punct = np.fromiter(
+            (len(self.punct.findall(t or "")) for t in texts), np.int64, n
+        )
+        stop_ratio = np.empty(n, np.float64)
+        for i, t in enumerate(texts):
+            words = self.word.findall((t or "").lower())
+            stop_ratio[i] = (
+                sum(w in self.stop_en for w in words) / len(words) if words else 0.0
+            )
+        out = batch
+        out = out.append_column("n_chars_counted", pa.array(n_chars))
+        out = out.append_column("n_alpha", pa.array(n_alpha))
+        out = out.append_column("n_punct", pa.array(n_punct))
+        out = out.append_column(
+            "alpha_ratio", pa.array(n_alpha / np.maximum(n_chars, 1))
+        )
+        out = out.append_column("stop_ratio_en", pa.array(stop_ratio))
+        return out
+
+
+class LangId:
+    """Heuristic language ID: argmax of per-language stopword hit rates,
+    tie-broken alphabetically; 'und' when nothing matches."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.word = re.compile(r"[a-zà-ÿäöüß']+")
+        self.tables = {k: frozenset(v) for k, v in _STOPWORDS.items()}
+
+    def classify(self, text: str) -> str:
+        words = self.word.findall((text or "").lower())
+        if not words:
+            return "und"
+        best, best_score = "und", 0
+        for lang in sorted(self.tables):
+            score = sum(w in self.tables[lang] for w in words)
+            if score > best_score:
+                best, best_score = lang, score
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        preds = pa.array([self.classify(t) for t in texts], pa.string())
+        return batch.append_column("lang_pred", preds)
+
+
+class Fingerprinter:
+    """Document fingerprints: md5 of normalized text (SQL-reproducible:
+    ``md5(lower(trim(text)))``) plus a 64-bit rolling (Rabin-Karp-style)
+    hash over byte windows for shift-robust near-dup blocking."""
+
+    BASE = 257
+    MOD = (1 << 61) - 1
+
+    def __init__(self, text_col: str = "text", window: int = 16):
+        self.text_col = text_col
+        self.window = window
+
+    def md5_norm(self, text: str) -> str:
+        return hashlib.md5((text or "").strip().lower().encode("utf-8")).hexdigest()
+
+    def rolling_min(self, text: str) -> int:
+        """Min rolling hash over all windows (a 1-perm minhash on byte
+        shingles) — stable under content shifts."""
+        data = (text or "").encode("utf-8")
+        w = self.window
+        if len(data) < w:
+            return self._hash(data)
+        h = self._hash(data[:w])
+        out = h
+        pw = pow(self.BASE, w - 1, self.MOD)
+        for i in range(w, len(data)):
+            h = ((h - data[i - w] * pw) * self.BASE + data[i]) % self.MOD
+            if h < out:
+                out = h
+        return out
+
+    def _hash(self, b: bytes) -> int:
+        h = 0
+        for c in b:
+            h = (h * self.BASE + c) % self.MOD
+        return h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        md5s = pa.array([self.md5_norm(t) for t in texts], pa.string())
+        rolls = pa.array([self.rolling_min(t) for t in texts], pa.int64())
+        return batch.append_column("fp_md5", md5s).append_column("fp_roll", rolls)

@@ -1,0 +1,132 @@
+"""Dedup family + similarity search over testdata documents/embeddings."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(ray_session):
+    """documents + planted exact and near duplicates."""
+    import ray.data
+
+    tbl = pq.read_table(DOCS)
+    texts = tbl.column("text").to_pylist()
+    ids = tbl.column("doc_id").to_pylist()
+    top = max(ids)
+    extra_texts = [
+        texts[0],  # exact dup of doc 0
+        texts[1] + " tiny tail appended",  # near dup of doc 1
+    ]
+    extra = pa.table(
+        {
+            "doc_id": pa.array([top + 1, top + 2], pa.int64()),
+            "text": pa.array(extra_texts, pa.string()),
+            "lang": pa.array(["en", "en"], pa.string()),
+            "source": pa.array(["dup", "dup"], pa.string()),
+            "n_chars": pa.array([len(t) for t in extra_texts], pa.int64()),
+        }
+    )
+    merged = pa.concat_tables([tbl.select(extra.column_names), extra])
+    return ray.data.from_arrow(merged), ids[0], ids[1], top + 1, top + 2
+
+
+def test_exact_dedup_removes_planted_dup(docs_with_dups):
+    from etl_ray.stages.dedup import exact_dedup
+
+    ds, id0, id1, dup_exact, dup_near = docs_with_dups
+    n_in = ds.count()
+    out = exact_dedup(ds)
+    rows = out.take_all()
+    kept = {r["doc_id"] for r in rows}
+    assert dup_exact not in kept  # min-id winner kept
+    assert id0 in kept
+    assert dup_near in kept  # near-dup is NOT exact
+    assert len(rows) == n_in - 1
+
+
+def test_minhash_lsh_finds_near_dup(docs_with_dups):
+    from etl_ray.stages.dedup import minhash_lsh_pairs
+
+    ds, id0, id1, dup_exact, dup_near = docs_with_dups
+    pairs = minhash_lsh_pairs(ds, threshold=0.6).take_all()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (id0, dup_exact) in got
+    assert (id1, dup_near) in got
+    for r in pairs:
+        assert r["est_jaccard"] >= 0.6
+
+
+def test_simhash_groups_exact_dup(docs_with_dups):
+    from etl_ray.stages.dedup import simhash_dup_groups
+
+    ds, id0, _, dup_exact, _ = docs_with_dups
+    groups = simhash_dup_groups(ds).take_all()
+    found = [g for g in groups if id0 in g["ids"]]
+    assert found and dup_exact in found[0]["ids"]
+
+
+def test_shingle_jaccard_pairs(docs_with_dups):
+    from etl_ray.stages.dedup import shingle_jaccard_pairs
+
+    ds, id0, id1, dup_exact, dup_near = docs_with_dups
+    pairs = shingle_jaccard_pairs(ds, threshold=0.9).take_all()
+    got = {(r["id_a"], r["id_b"]): r for r in pairs}
+    assert (id0, dup_exact) in got
+    r = got[(id0, dup_exact)]
+    assert r["jaccard"] == 1.0 and r["n_a"] == r["inter"]
+
+
+def test_knn_brute_exact_topk(ray_session):
+    import ray.data
+
+    from etl_ray.stages.similarity import knn_brute
+
+    tbl = pq.read_table(EMB)
+    ds = ray.data.from_arrow(tbl)
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], np.float32)
+        for r in tbl.slice(0, 3).to_pylist()
+    }
+    out = knn_brute(ds, vecs, k=5).take_all()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(vecs)
+    for qid, rows in by_q.items():
+        assert len(rows) == 5
+        # self is its own nearest neighbour at cosine ~1
+        best = max(rows, key=lambda r: r["cosine"])
+        assert best["vec_id"] == qid and best["cosine"] == pytest.approx(1.0, abs=1e-5)
+        # verify against a full numpy brute force
+        m = np.array(tbl.column("embedding").to_pylist(), np.float32)
+        ids = np.array(tbl.column("vec_id").to_pylist())
+        q = vecs[qid] / np.linalg.norm(vecs[qid])
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = mn @ q
+        expect = set(ids[np.argsort(-sims)[:5]].tolist())
+        assert {r["vec_id"] for r in rows} == expect
+
+
+def test_knn_lsh_recalls_self(ray_session):
+    import ray.data
+
+    from etl_ray.stages.similarity import knn_lsh
+
+    tbl = pq.read_table(EMB)
+    ds = ray.data.from_arrow(tbl)
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], np.float32)
+        for r in tbl.slice(0, 5).to_pylist()
+    }
+    out = knn_lsh(ds, vecs, k=5, bits=4).take_all()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # each query's own vector is in its own bucket -> always recalled
+    for qid in vecs:
+        assert qid in by_q.get(qid, set())

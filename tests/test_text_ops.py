@@ -1,0 +1,93 @@
+"""Text analysis + multimodal plumbing over /root/testdata documents."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs_tbl():
+    return pq.read_table(DOCS)
+
+
+def test_token_counter_matches_python_split(docs_tbl):
+    from etl_ray.stages.text import TokenCounter
+
+    out = TokenCounter()(docs_tbl.slice(0, 50))
+    for row in out.to_pylist():
+        assert row["n_tokens"] == len((row["text"] or "").split())
+        assert row["n_bpe_est"] >= row["n_tokens"]  # subword >= word count
+
+
+def test_quality_scorer_bounds(docs_tbl):
+    from etl_ray.stages.text import QualityScorer
+
+    out = QualityScorer()(docs_tbl.slice(0, 50))
+    for row in out.to_pylist():
+        assert 0 <= row["alpha_ratio"] <= 1
+        assert 0 <= row["stop_ratio_en"] <= 1
+        assert row["n_alpha"] + row["n_punct"] <= row["n_chars_counted"] + 1
+
+
+def test_langid_deterministic_and_plausible(docs_tbl):
+    from etl_ray.stages.text import LangId
+
+    li = LangId()
+    out1 = li(docs_tbl.slice(0, 100))
+    out2 = li(docs_tbl.slice(0, 100))
+    assert out1.column("lang_pred").equals(out2.column("lang_pred"))
+    assert li.classify("the cat sat on the mat and it is that") == "en"
+    assert li.classify("") == "und"
+
+
+def test_fingerprinter_stability_and_shift(docs_tbl):
+    from etl_ray.stages.text import Fingerprinter
+
+    fp = Fingerprinter()
+    t = "some document body here with enough bytes to roll over windows"
+    assert fp.md5_norm("  X  ") == fp.md5_norm("x")
+    # rolling-min hash is shift-invariant once content overlaps fully
+    assert fp.rolling_min("PREFIX " + t) != 0
+    assert fp.rolling_min(t) == fp.rolling_min(t)
+    out = fp(docs_tbl.slice(0, 20))
+    assert out.column("fp_md5").null_count == 0
+
+
+def test_image_decoder_and_features_plumbing(ray_session):
+    import ray.data
+
+    from etl_ray.stages.multimodal import (
+        FeatureExtractor,
+        FrameSampler,
+        ImageDecoder,
+        make_fake_media_table,
+    )
+
+    tbl = make_fake_media_table(48)
+    ds = ray.data.from_arrow(tbl)
+    out = (
+        ds.map_batches(ImageDecoder, batch_format="pyarrow", batch_size=16, concurrency=2)
+        .map_batches(FeatureExtractor, batch_format="pyarrow", batch_size=16, concurrency=2)
+        .map_batches(FrameSampler, batch_format="pyarrow", batch_size=16, concurrency=2)
+    )
+    got = out.take_all()
+    assert len(got) == 48
+    r = got[0]
+    assert r["dec_channels"] == 3 and len(r["features"]) == 32
+    assert all(f["length"] > 0 for f in r["frames"])
+    # determinism across runs
+    got2 = (
+        ray.data.from_arrow(tbl)
+        .map_batches(ImageDecoder, batch_format="pyarrow", batch_size=16, concurrency=2)
+        .take_all()
+    )
+    assert [g["dec_height"] for g in got2] == [g["dec_height"] for g in got]
+
+
+def test_real_decode_stub_raises():
+    from etl_ray.stages.multimodal import ImageDecoder
+
+    with pytest.raises(NotImplementedError):
+        ImageDecoder(fake=False)
