@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in etl_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` maps SURVEY.md §2 operator families (+ target-added
+training-data ops) to Ray Data pipelines over ``sf_dir``;
+``oracle_sql()`` holds the DuckDB-equivalent SQL with IDENTICAL output
+column names.  Shared determinism rule: float measures aggregate as
+integer cents via floor(x*100) (int64 sums are exact; float sums are
+summation-order-sensitive across engines).
 """
 
 from __future__ import annotations
@@ -18,27 +16,193 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from etl_ray.pipelines import queries as Q
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: the CDC/LWW upsert
+    shape applied to the `events` change log (latest state per user)."""
+    return Q.upsert_lww_events("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational core (reference operator families)
+        "q1_pricing_summary": Q.q1_pricing_summary,
+        "project_cast_lineitem": Q.project_cast_lineitem,
+        "filter_click_events": Q.filter_click_events,
+        "anti_join_customers_without_orders": Q.anti_join_customers_without_orders,
+        "semi_join_customers_with_open_orders": Q.semi_join_customers_with_open_orders,
+        "upsert_lww_events": Q.upsert_lww_events,
+        "topk_orders": Q.topk_orders,
+        "distinct_segments": Q.distinct_segments,
+        "union_distinct_ids": Q.union_distinct_ids,
+        "hourly_event_stats": Q.hourly_event_stats,
+        "revenue_by_segment": Q.revenue_by_segment,
+        "customers_per_region": Q.customers_per_region,
+        "json_extract_props": Q.json_extract_props,
+        # text / dedup / similarity (target-added)
+        "token_count_docs": Q.token_count_docs,
+        "quality_docs": Q.quality_docs,
+        "fingerprint_docs": Q.fingerprint_docs,
+        "dedup_docs_exact": Q.dedup_docs_exact,
+        "shingle_jaccard_docs": Q.shingle_jaccard_docs,
+        "knn_brute_embeddings": Q.knn_brute_embeddings,
+        # rows-only (no SQL-expressible oracle)
+        "text_profile_docs": Q.text_profile_docs,
+        "minhash_pairs_docs": Q.minhash_pairs_docs,
+        "simhash_groups_docs": Q.simhash_groups_docs,
+        "knn_lsh_embeddings": Q.knn_lsh_embeddings,
+        "multimodal_features": Q.multimodal_features,
+        "cdc_replay_pages": Q.cdc_replay_pages,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "project_cast_lineitem": """
+            SELECT l_orderkey AS order_key,
+                   CAST(l_linenumber AS BIGINT) AS line_number,
+                   l_quantity AS quantity,
+                   CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS revenue_cents,
+                   CAST(extract(year FROM l_shipdate) AS BIGINT) AS ship_year
+            FROM lineitem
+        """,
+        "filter_click_events": """
+            SELECT event_id, user_id, value FROM events
+            WHERE event_type = 'click' AND value > 100.0
+        """,
+        "anti_join_customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders
+                WHERE o_orderdate < TIMESTAMP '1996-01-01')
+        """,
+        "semi_join_customers_with_open_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        """,
+        "upsert_lww_events": """
+            SELECT user_id, ts, event_type, value FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) WHERE rn = 1
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+        """,
+        "distinct_segments": """
+            SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
+        """,
+        "union_distinct_ids": """
+            SELECT DISTINCT id FROM (
+                SELECT CAST(user_id AS BIGINT) AS id FROM events
+                UNION ALL
+                SELECT CAST(c_custkey AS BIGINT) AS id FROM customer
+            ) ORDER BY id
+        """,
+        "hourly_event_stats": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n_events,
+                   sum(CAST(floor(value * 100) AS BIGINT)) AS sum_value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "revenue_by_segment": """
+            SELECT c_mktsegment,
+                   sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "customers_per_region": """
+            SELECT r_name, count(*) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "json_extract_props": """
+            SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events
+        """,
+        "token_count_docs": r"""
+            SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "quality_docs": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_counted,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+                   CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS BIGINT) AS n_punct,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+                     / greatest(length(text), 1) AS alpha_ratio
+            FROM documents
+        """,
+        "fingerprint_docs": """
+            SELECT doc_id,
+                   md5(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)))) AS fp_md5
+            FROM documents
+        """,
+        "dedup_docs_exact": """
+            SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY md5(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))))
+        """,
+        "shingle_jaccard_docs": r"""
+            WITH words AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS w
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(w) < 3 THEN
+                       CASE WHEN len(w) = 0 THEN [] ELSE [array_to_string(w, ' ')] END
+                     ELSE list_transform(range(1, len(w) - 1),
+                                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                END)) AS shingle
+              FROM words
+            ),
+            rare AS (
+              SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64
+            ),
+            rs AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM rs GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM rs a JOIN rs b USING (shingle)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, inter,
+                   sa.n AS n_a, sb.n AS n_b,
+                   CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+        """,
+        "knn_brute_embeddings": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4),
+            s AS (
+              SELECT q.qid, e.vec_id,
+                     list_cosine_similarity(q.qv, e.embedding) AS sim
+              FROM q CROSS JOIN embeddings e
+            ),
+            r AS (
+              SELECT qid AS query_id, vec_id,
+                     row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+              FROM s
+            )
+            SELECT query_id, vec_id FROM r WHERE rn <= 10
+        """,
+    }

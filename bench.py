@@ -1,0 +1,157 @@
+"""Benchmark harness: headline CDC replay throughput + query suite.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "events_per_sec": ..., "rows_live": ...}
+
+``--scaling`` re-runs this script in two fresh processes
+(RAY_GRAFT_CPUS=8 and 32) on the same input and reports both
+throughputs + scaling efficiency (the sandbox stand-in for the north
+rule's N vs 4N node criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# bench WAL scale by sf dir (urls, events); cached under /tmp across runs
+WAL_SCALE = {
+    "sf0.001": (2_000, 10_000),
+    "sf0.01": (8_000, 40_000),
+    "sf0.1": (30_000, 150_000),
+}
+
+QUERY_SUBSET = [
+    "q1_pricing_summary",
+    "project_cast_lineitem",
+    "upsert_lww_events",
+    "hourly_event_stats",
+    "revenue_by_segment",
+    "token_count_docs",
+    "dedup_docs_exact",
+    "shingle_jaccard_docs",
+    "minhash_pairs_docs",
+    "knn_brute_embeddings",
+]
+
+
+def _consume(res) -> int:
+    """Force execution without materializing to the driver."""
+    if hasattr(res, "count"):
+        return res.count()
+    return len(res)
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from etl_ray.gen import WalSpec, generate_dataset
+    from etl_ray.pipelines import queries as Q
+    from etl_ray.pipelines.replay import bootstrap_lake, replay
+
+    sf_name = os.path.basename(SF_DIR.rstrip("/"))
+    n_urls, n_events = WAL_SCALE.get(sf_name, WAL_SCALE["sf0.1"])
+
+    # deterministic bench WAL, cached across processes/runs
+    data_dir = os.path.join("/tmp", f"etlray_bench_{n_urls}_{n_events}")
+    if not os.path.exists(os.path.join(data_dir, "wal")):
+        generate_dataset(
+            data_dir, WalSpec(n_urls=n_urls, n_events=n_events, n_segments=16)
+        )
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    for root, _, files in os.walk(data_dir):
+        for f in files:
+            with open(os.path.join(root, f), "rb") as fh:
+                fh.read()
+
+    # headline: bootstrap excluded; timed = full WAL replay -> committed lake
+    lake_root = os.path.join("/tmp", f"etlray_bench_lake_{os.getpid()}", "pages")
+    bootstrap_lake(
+        lake_root,
+        os.path.join(data_dir, "base", "pages.parquet"),
+        num_partitions=64,
+    )
+    t0 = time.perf_counter()
+    stats = replay(lake_root, os.path.join(data_dir, "wal"))
+    headline = time.perf_counter() - t0
+    shutil.rmtree(os.path.dirname(os.path.dirname(lake_root)), ignore_errors=True)
+
+    qtimes = {}
+    for name in QUERY_SUBSET:
+        fn = getattr(Q, name)
+        t0 = time.perf_counter()
+        _consume(fn(SF_DIR))
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "cdc replay seconds (WAL -> committed lake), plus query suite",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf_name,
+        "num_cpus": NUM_CPUS,
+        "wal_events": n_events,
+        "wal_urls": n_urls,
+        "events_per_sec": round(n_events / headline, 1),
+        "rows_live": stats.rows_live,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    tp_lo, tp_hi = r_lo["events_per_sec"], r_hi["events_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (events/s at 8 vs 32 cpus, fresh processes)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "events_per_sec_8": tp_lo,
+        "events_per_sec_32": tp_hi,
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

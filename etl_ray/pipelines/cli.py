@@ -1,0 +1,141 @@
+"""CLI entrypoints — the `ray job submit` surface.
+
+Usage (single node; on a cluster submit via
+``ray job submit --working-dir . -- python -m etl_ray.pipelines.cli replay ...``):
+
+    python -m etl_ray.pipelines.cli gen --out /tmp/cdc --urls 1000 --events 5000
+    python -m etl_ray.pipelines.cli bootstrap --lake /tmp/lake/pages \\
+        --base /tmp/cdc/base/pages.parquet --partitions 64
+    python -m etl_ray.pipelines.cli replay --lake /tmp/lake/pages --wal /tmp/cdc/wal
+    python -m etl_ray.pipelines.cli show --lake /tmp/lake/pages
+
+Replaces the reference's ``python -m pipeline.app`` + spark-submit loop
+(`src/pipeline/app.py:35-46`, `src/pipeline/core/spark_job.py:66-101` in
+/root/reference).  The replay command is resumable: rerunning it applies
+only pending segments (manifest ledger diff).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="etl_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen", help="generate deterministic base+WAL dataset")
+    g.add_argument("--out", required=True)
+    g.add_argument("--urls", type=int, default=1000)
+    g.add_argument("--events", type=int, default=5000)
+    g.add_argument("--segments", type=int, default=8)
+    g.add_argument("--seed", type=int, default=42)
+
+    b = sub.add_parser("bootstrap", help="create lake table (+ load base)")
+    b.add_argument("--lake", required=True)
+    b.add_argument("--base")
+    b.add_argument("--partitions", type=int, default=64)
+
+    r = sub.add_parser("replay", help="replay pending WAL segments (resumable)")
+    r.add_argument("--lake", required=True)
+    r.add_argument("--wal", required=True)
+    r.add_argument("--max-segments-per-tx", type=int, default=None)
+    r.add_argument("--salting", choices=["auto", "on", "off"], default="auto")
+    r.add_argument("--salt", type=int, default=8)
+    r.add_argument("--batch-size", type=int, default=8192)
+
+    s = sub.add_parser("show", help="print manifest summary + row count")
+    s.add_argument("--lake", required=True)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "gen":
+        from ..gen import WalSpec, generate_dataset
+
+        spec = WalSpec(
+            n_urls=args.urls, n_events=args.events,
+            n_segments=args.segments, seed=args.seed,
+        )
+        paths = generate_dataset(args.out, spec)
+        print(json.dumps({"base": paths["base"], "segments": len(paths["segments"])}))
+        return 0
+
+    if args.cmd == "bootstrap":
+        _init_ray()
+        from .replay import bootstrap_lake
+
+        bootstrap_lake(args.lake, args.base, num_partitions=args.partitions)
+        print(json.dumps({"lake": args.lake, "partitions": args.partitions}))
+        return 0
+
+    if args.cmd == "replay":
+        _init_ray()
+        from .replay import replay
+
+        t0 = time.perf_counter()
+        stats = replay(
+            args.lake,
+            args.wal,
+            max_segments_per_tx=args.max_segments_per_tx,
+            salting=args.salting,
+            salt=args.salt,
+            batch_size=args.batch_size,
+        )
+        dt = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "transactions": stats.transactions,
+                    "segments_applied": stats.segments_applied,
+                    "events_applied": stats.events_applied,
+                    "rows_live": stats.rows_live,
+                    "schema_version": stats.schema_version,
+                    "seconds": round(dt, 3),
+                    "events_per_sec": round(stats.events_applied / dt, 1) if dt > 0 else None,
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "show":
+        from ..state.manifest import LakeTable
+
+        m = LakeTable(args.lake).read_manifest()
+        print(
+            json.dumps(
+                {
+                    "txid": m["txid"],
+                    "num_partitions": m["num_partitions"],
+                    "schema_version": m["schema_version"],
+                    "schema": [f[0] for f in m["schema"]["fields"]],
+                    "rows_live": sum(p["rows"] for p in m["partitions"].values()),
+                    "applied_segments": len(m["applied_segments"]),
+                    "applied_lsn_ranges": m["applied_lsn_ranges"][-3:],
+                }
+            )
+        )
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

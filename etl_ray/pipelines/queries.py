@@ -1,0 +1,464 @@
+"""Operator-inventory query suite over the driver's testdata tables.
+
+One function per implemented operator family from SURVEY.md §2 (plus the
+target-added training-data ops).  Every function takes ``sf_dir`` and
+returns a ``ray.data.Dataset`` / ``pyarrow.Table``; the matching DuckDB
+oracle SQL lives in ``__ray_entry__.oracle_sql``.
+
+Determinism rules shared with the oracles (so value-hashes match):
+* money/float measures aggregate as integer cents via ``floor(x*100)`` —
+  float sums are order-sensitive across engines, int64 sums are exact;
+* float columns that pass through unchanged are safe to compare;
+* divisions of identical operands (ratios) are IEEE-identical and safe.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..stages.merge import lww_compact
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _cents(arr) -> pa.Array:
+    """floor(x*100) as int64 — deterministic money representation."""
+    return pc.cast(pc.floor(pc.multiply(arr, pa.scalar(100.0))), pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# relational core (reference operator families A1/A2, M4/M9, O, J1/J2, D2)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str):
+    """Grouped aggregate with per-batch partial pre-aggregation (A1;
+    reference `src/pipeline/core/spark.py:448-451`)."""
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.less_equal(t["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us")))
+        )
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": t["l_quantity"],
+                "base_cents": _cents(t["l_extendedprice"]),
+                "disc_cents": _cents(rev),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="sum_base_cents"),
+            Sum("disc_cents", alias_name="sum_disc_cents"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+def project_cast_lineitem(sf_dir: str):
+    """Rename+cast projection w/ derived columns (M4/M5/M9)."""
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prj(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table(
+            {
+                "order_key": t["l_orderkey"],
+                "line_number": pc.cast(t["l_linenumber"], pa.int64()),
+                "quantity": t["l_quantity"],
+                "revenue_cents": _cents(rev),
+                "ship_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(prj, batch_format="pyarrow")
+
+
+def filter_click_events(sf_dir: str):
+    """Vectorized predicate filter (M16/M17)."""
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "value"]
+    )
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t["event_type"], pa.scalar("click")),
+                    pc.greater(t["value"], pa.scalar(100.0)))
+        ).select(["event_id", "user_id", "value"]),
+        batch_format="pyarrow",
+    )
+
+
+def anti_join_customers_without_orders(sf_dir: str):
+    """Broadcast anti join (J1; reference `spark.py:139`): the key set is
+    ray.put once and read per task — no shuffle.  At 100 TB the small
+    side would be a bloom filter; same plumbing."""
+    okeys = pa.concat_tables(
+        ray.get(
+            ray.data.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"])
+            .map_batches(
+                lambda t: t.filter(
+                    pc.less(t["o_orderdate"], pa.scalar(np.datetime64("1996-01-01", "us")))
+                ).select(["o_custkey"]),
+                batch_format="pyarrow",
+            )
+            .to_arrow_refs()
+        )
+    )
+    keys_ref = ray.put(set(okeys["o_custkey"].to_pylist()))
+
+    def anti(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        mask = pa.array([k not in ks for k in t["c_custkey"].to_pylist()])
+        return t.filter(mask)
+
+    return ray.data.read_parquet(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_name"]
+    ).map_batches(anti, batch_format="pyarrow")
+
+
+def semi_join_customers_with_open_orders(sf_dir: str):
+    """Broadcast semi join (J2; reference `spark.py:140`)."""
+    open_orders = pa.concat_tables(
+        ray.get(
+            ray.data.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_orderstatus"])
+            .map_batches(
+                lambda t: t.filter(pc.equal(t["o_orderstatus"], pa.scalar("O"))).select(["o_custkey"]),
+                batch_format="pyarrow",
+            )
+            .to_arrow_refs()
+        )
+    )
+    keys_ref = ray.put(set(open_orders["o_custkey"].to_pylist()))
+
+    def semi(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        mask = pa.array([k in ks for k in t["c_custkey"].to_pylist()])
+        return t.filter(mask)
+
+    return ray.data.read_parquet(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_name"]
+    ).map_batches(semi, batch_format="pyarrow")
+
+
+def upsert_lww_events(sf_dir: str):
+    """THE flagship semantics on shared data: treat `events` as a change
+    log keyed by user_id, LWW-ordered by (ts, event_id) — per-batch
+    combiner then per-key reduce, exactly the CDC merge shape (K3/A4/D2;
+    reference chains upsert `src/pipeline/core/spark.py:134-177`)."""
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    combine = lambda t: lww_compact(t, key="user_id", order_by=("ts", "event_id"))
+    final = (
+        ds.map_batches(combine, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+    return final.map_batches(
+        lambda t: t.select(["user_id", "ts", "event_type", "value"]),
+        batch_format="pyarrow",
+    )
+
+
+def topk_orders(sf_dir: str):
+    """Global sort + limit (O; verification-style)."""
+    ds = ray.data.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(100)
+
+
+def distinct_segments(sf_dir: str):
+    """Distinct values of one column (D-family)."""
+    ds = ray.data.read_parquet(_p(sf_dir, "customer"), columns=["c_mktsegment"])
+    vals = sorted(ds.unique("c_mktsegment"))
+    return pa.table({"c_mktsegment": pa.array(vals, pa.string())})
+
+
+def union_distinct_ids(sf_dir: str):
+    """Union + distinct across two sources."""
+    a = ray.data.read_parquet(_p(sf_dir, "events"), columns=["user_id"]).map_batches(
+        lambda t: pa.table({"id": pc.cast(t["user_id"], pa.int64())}), batch_format="pyarrow"
+    )
+    b = ray.data.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey"]).map_batches(
+        lambda t: pa.table({"id": pc.cast(t["c_custkey"], pa.int64())}), batch_format="pyarrow"
+    )
+    vals = sorted(a.union(b).unique("id"))
+    return pa.table({"id": pa.array(vals, pa.int64())})
+
+
+def hourly_event_stats(sf_dir: str):
+    """Streaming-shaped tumbling window: 1h tumble per event_type
+    (SURVEY §2.10 — no watermarks; event-time bucketing)."""
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table(
+            {"hour": hour, "event_type": t["event_type"], "value_cents": _cents(t["value"])}
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["hour", "event_type"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents"))
+    )
+
+
+def revenue_by_segment(sf_dir: str):
+    """Broadcast hash join + partial aggregation (J-family + A1):
+    dimension (customer) is ray.put once; fact (orders) streams; per-batch
+    pre-aggregation shrinks the shuffle to |segments| rows per block."""
+    cust = pa.concat_tables(
+        ray.get(
+            ray.data.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]).to_arrow_refs()
+        )
+    )
+    seg_map = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+    seg_ref = ray.put(seg_map)
+
+    def join_and_partial(t: pa.Table) -> pa.Table:
+        sm = ray.get(seg_ref)
+        segs = [sm.get(k) for k in t["o_custkey"].to_pylist()]
+        tt = pa.table(
+            {"c_mktsegment": pa.array(segs, pa.string()), "price_cents": _cents(t["o_totalprice"])}
+        ).filter(pc.is_valid(pa.array(segs, pa.string())))
+        return tt.group_by("c_mktsegment").aggregate(
+            [("price_cents", "sum"), ("price_cents", "count")]
+        ).rename_columns(["c_mktsegment", "partial_cents", "partial_n"])
+
+    return (
+        ray.data.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+        .map_batches(join_and_partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("partial_cents", alias_name="revenue_cents"),
+            Sum("partial_n", alias_name="n_orders"),
+        )
+    )
+
+
+def customers_per_region(sf_dir: str):
+    """Join chain over two broadcast dims (region->nation->customer)."""
+    nation = pa.concat_tables(
+        ray.get(ray.data.read_parquet(_p(sf_dir, "nation")).to_arrow_refs())
+    )
+    region = pa.concat_tables(
+        ray.get(ray.data.read_parquet(_p(sf_dir, "region")).to_arrow_refs())
+    )
+    rmap = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    nmap = {
+        nk: rmap[rk]
+        for nk, rk in zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
+    }
+    nref = ray.put(nmap)
+
+    def tag(t: pa.Table) -> pa.Table:
+        nm = ray.get(nref)
+        r = [nm.get(k) for k in t["c_nationkey"].to_pylist()]
+        return pa.table({"r_name": pa.array(r, pa.string())})
+
+    return (
+        ray.data.read_parquet(_p(sf_dir, "customer"), columns=["c_nationkey"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_customers"))
+    )
+
+
+def json_extract_props(sf_dir: str):
+    """Per-batch JSON parse (M1/M11-style escape hatch)."""
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["event_id", "props"])
+
+    def ext(t: pa.Table) -> pa.Table:
+        ks = [json.loads(p).get("k") if p else None for p in t["props"].to_pylist()]
+        return pa.table({"event_id": t["event_id"], "k": pa.array(ks, pa.int64())})
+
+    return ds.map_batches(ext, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# text / dedup / similarity (target-added operator families)
+# ---------------------------------------------------------------------------
+
+
+def token_count_docs(sf_dir: str):
+    from ..stages.text import TokenCounter
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(TokenCounter, batch_format="pyarrow", concurrency=(1, 2)).map_batches(
+        lambda t: t.select(["doc_id", "n_tokens"]), batch_format="pyarrow"
+    )
+
+
+def quality_docs(sf_dir: str):
+    from ..stages.text import QualityScorer
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 2)).map_batches(
+        lambda t: t.select(["doc_id", "n_chars_counted", "n_alpha", "n_punct", "alpha_ratio"]),
+        batch_format="pyarrow",
+    )
+
+
+def fingerprint_docs(sf_dir: str):
+    from ..stages.text import Fingerprinter
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    fp = Fingerprinter()
+
+    def add(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "fp_md5": pa.array([fp.md5_norm(x) for x in t["text"].to_pylist()], pa.string()),
+            }
+        )
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def dedup_docs_exact(sf_dir: str):
+    from ..stages.dedup import exact_dedup
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = exact_dedup(ds)
+    return out.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+
+
+def shingle_jaccard_docs(sf_dir: str):
+    from ..stages.dedup import shingle_jaccard_pairs
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return shingle_jaccard_pairs(ds, ngram=3, max_df=64, threshold=0.5)
+
+
+def knn_brute_embeddings(sf_dir: str):
+    from ..stages.similarity import knn_brute
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(_p(sf_dir, "embeddings"))
+    queries = {
+        r["vec_id"]: np.array(r["embedding"], np.float64)
+        for r in tbl.filter(pc.less(tbl["vec_id"], pa.scalar(4))).to_pylist()
+    }
+    ds = ray.data.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = knn_brute(ds, queries, k=10)
+    return out.map_batches(lambda t: t.select(["query_id", "vec_id"]), batch_format="pyarrow")
+
+
+# -- rows-only (no SQL-expressible oracle) ----------------------------------
+
+
+def text_profile_docs(sf_dir: str):
+    """LangId + BPE-ish token estimate + stopword ratio (heuristics with
+    no SQL equivalent -> rows-only check)."""
+    from ..stages.text import LangId, QualityScorer, TokenCounter
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = (
+        ds.map_batches(TokenCounter, batch_format="pyarrow", concurrency=(1, 2))
+        .map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 2))
+        .map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2))
+    )
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "lang_pred", "n_bpe_est", "stop_ratio_en"]),
+        batch_format="pyarrow",
+    )
+
+
+def minhash_pairs_docs(sf_dir: str):
+    from ..stages.dedup import minhash_lsh_pairs
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.6)
+
+
+def simhash_groups_docs(sf_dir: str):
+    from ..stages.dedup import simhash_dup_groups
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = simhash_dup_groups(ds)
+    return out.map_batches(
+        lambda t: t.select(["simhash", "n"]), batch_format="pyarrow"
+    )
+
+
+def knn_lsh_embeddings(sf_dir: str):
+    from ..stages.similarity import knn_lsh
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(_p(sf_dir, "embeddings"))
+    queries = {
+        r["vec_id"]: np.array(r["embedding"], np.float64)
+        for r in tbl.filter(pc.less(tbl["vec_id"], pa.scalar(4))).to_pylist()
+    }
+    ds = ray.data.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = knn_lsh(ds, queries, k=10, bits=5)
+    return out.map_batches(lambda t: t.select(["query_id", "vec_id"]), batch_format="pyarrow")
+
+
+def multimodal_features(sf_dir: str):
+    """Actor-pool decode/feature plumbing over deterministic fake media."""
+    from ..stages.multimodal import FeatureExtractor, ImageDecoder, make_fake_media_table
+
+    tbl = make_fake_media_table(256, seed=42)
+    ds = ray.data.from_arrow(tbl)
+    out = ds.map_batches(
+        ImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=(1, 2)
+    ).map_batches(FeatureExtractor, batch_format="pyarrow", batch_size=64, concurrency=(1, 2))
+    return out.map_batches(
+        lambda t: t.select(["media_id", "dec_height", "dec_width", "dec_channels"]),
+        batch_format="pyarrow",
+    )
+
+
+def cdc_replay_pages(sf_dir: str):
+    """The flagship CDC pipeline itself, scaled by sf_dir (rows-only for
+    the driver; the pytest suite is the real differential gate)."""
+    import tempfile
+
+    from ..gen import WalSpec, generate_dataset
+    from .replay import bootstrap_lake, read_table_arrow, replay
+
+    sizes = {"sf0.001": (300, 1500), "sf0.01": (1000, 8000), "sf0.1": (4000, 40000)}
+    n_urls, n_events = sizes.get(os.path.basename(sf_dir.rstrip("/")), (300, 1500))
+    root = os.path.join(
+        tempfile.gettempdir(), f"etlray_cdc_{n_urls}_{n_events}"
+    )
+    data_dir = os.path.join(root, "data")
+    if not os.path.exists(os.path.join(data_dir, "wal")):
+        generate_dataset(data_dir, WalSpec(n_urls=n_urls, n_events=n_events, n_segments=8))
+    lake_root = os.path.join(root, "lake", str(os.getpid()), "pages")
+    bootstrap_lake(lake_root, os.path.join(data_dir, "base", "pages.parquet"), num_partitions=16)
+    replay(lake_root, os.path.join(data_dir, "wal"))
+    out = read_table_arrow(lake_root)
+    return out.select(["url", "warc_ts", "text", "lang"])

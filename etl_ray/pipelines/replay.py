@@ -252,7 +252,9 @@ def _replay_one_tx(
         applied_lsn_range=(int(lsn_lo), int(lsn_hi)),
         new_schema=target_schema,
     )
-    stats.events_applied += int(sum(r["events_applied"] for r in lineage))
+    # raw WAL rows applied (pre-compaction) — the throughput denominator;
+    # per-partition lineage keeps the post-compaction merge counts
+    stats.events_applied += int(n_events_est)
     stats.segments_applied += len(chunk)
 
 

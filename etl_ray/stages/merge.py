@@ -31,17 +31,19 @@ from ..extract import extract_text
 INTERNAL_COLS = ("_lsn", "_deleted")
 
 
-def lww_compact(tbl: pa.Table, key: str = "url") -> pa.Table:
-    """Keep, per key, the single row with max (warc_ts, lsn) — vectorized.
+def lww_compact(
+    tbl: pa.Table,
+    key: str = "url",
+    order_by: tuple[str, ...] = ("warc_ts", "lsn"),
+) -> pa.Table:
+    """Keep, per key, the single row with max ``order_by`` — vectorized.
 
     Associative & commutative, so it is safe as a per-batch combiner, a
     salted pre-reduce, and the final per-partition reduce (SURVEY.md A4).
     """
     if tbl.num_rows == 0:
         return tbl
-    idx = pc.sort_indices(
-        tbl, sort_keys=[("warc_ts", "ascending"), ("lsn", "ascending")]
-    )
+    idx = pc.sort_indices(tbl, sort_keys=[(c, "ascending") for c in order_by])
     tbl = tbl.take(idx)
     others = [c for c in tbl.column_names if c != key]
     agg = tbl.group_by(key, use_threads=False).aggregate(

@@ -79,7 +79,7 @@ def knn_brute(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 10,
-    concurrency: int = 4,
+    concurrency=(1, 4),
 ):
     """Exact cosine top-k for each query vector. Returns
     Dataset(query_id, vec_id, cosine) with exactly k rows per query."""
@@ -135,7 +135,7 @@ def knn_lsh(
     bits: int = 6,
     dim: int | None = None,
     seed: int = 42,
-    concurrency: int = 4,
+    concurrency=(1, 4),
 ):
     """Approximate top-k: corpus bucketed by random-hyperplane LSH; each
     query scored only against its bucket.  Recall < 1 by design; the
