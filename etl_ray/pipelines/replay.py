@@ -160,7 +160,7 @@ def replay(
     salting: str = "auto",
     salt: int = 8,
     combine: bool = True,
-    batch_size: int = 8192,
+    batch_size: int = 32768,
 ) -> ReplayStats:
     """Replay all pending WAL segments into the lake. Idempotent/resumable:
     already-applied segments are skipped via the manifest ledger; a crash
@@ -208,13 +208,36 @@ def _replay_one_tx(
     target_schema = evolve(current_schema, _wal_payload_schema(unified_wal))
 
     n_events_est = sum(pq.read_metadata(s).num_rows for s in chunk)
+    # auto rule: the per-batch combiner already caps any key's post-shuffle
+    # rows at the number of batches, so the extra salted pre-reduce shuffle
+    # only pays once that cap itself is large (10^10-event territory, where
+    # a 100%-hot key would still mean millions of post-combine rows).
     use_salt = salting == "on" or (
-        # auto: pre-reduce pays off once a hot key could span many batches
-        salting == "auto" and n_events_est > 64 * batch_size
+        salting == "auto" and (not combine or n_events_est / batch_size > 4096)
     )
     eff_salt = salt if use_salt else 0
 
-    ds = ray.data.read_parquet(chunk, schema=unified_wal)
+    # block-count control: the sort shuffle's fragment fan-out is
+    # O(map_blocks x reduce_blocks); hundreds of 3 MB blocks measurably
+    # thrash the local object store (2M events: 17s -> 5.6s when capped).
+    # Target ~1 block per CPU, bounded to [16, 256].
+    import ray as _ray
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    n_blocks = min(256, max(16, ncpu, len(chunk)))
+    # concurrency headroom: at full width every CPU runs a worker and the
+    # raylet/object-store/driver threads get starved — measured on this
+    # workload: 32-wide 25.7s vs 24-wide 10.4s on a 32-core box.  Leave
+    # 25% headroom on wide sessions (real clusters size per-node the same
+    # way); restored after the transaction.
+    from ray.data import ExecutionResources
+    from ray.data import DataContext as _DC
+
+    exec_opts = _DC.get_current().execution_options
+    prev_limits = exec_opts.resource_limits
+    if ncpu > 16:
+        exec_opts.resource_limits = ExecutionResources(cpu=max(16, int(ncpu * 0.75)))
+    ds = ray.data.read_parquet(chunk, schema=unified_wal, override_num_blocks=n_blocks)
     ds = ds.map_batches(
         _make_combiner(num_partitions, eff_salt, unified_wal, combine),
         batch_format="pyarrow",
@@ -256,6 +279,7 @@ def _replay_one_tx(
     # per-partition lineage keeps the post-compaction merge counts
     stats.events_applied += int(n_events_est)
     stats.segments_applied += len(chunk)
+    exec_opts.resource_limits = prev_limits
 
 
 # ---------------------------------------------------------------------------

@@ -287,24 +287,19 @@ def shingle_jaccard_pairs(
 
     shingles = ds.map_batches(explode, batch_format="pyarrow")
 
-    # document frequency per shingle; keep only sub-cap shingles
-    df_counts = shingles.groupby("shingle").count()
-    keep_tbl = df_counts.filter(lambda r: r["count()"] <= max_df).take_all()
-    keep_set = {r["shingle"] for r in keep_tbl}
-    keep_ref = ray.put(keep_set)
-
-    def keep_rare(batch: pa.Table) -> pa.Table:
-        ks = ray.get(keep_ref)
-        mask = pa.array([s in ks for s in batch.column("shingle").to_pylist()])
-        return batch.filter(mask)
-
-    rare = shingles.map_batches(keep_rare, batch_format="pyarrow")
-    sizes = {r[id_col]: r["count()"] for r in rare.groupby(id_col).count().take_all()}
-    sizes_ref = ray.put(sizes)
-
-    def shingle_pairs(g: pa.Table) -> pa.Table:
+    # ONE shuffle on shingle does both jobs: groups over the df cap are
+    # dropped entirely; surviving groups emit pair rows (id_a<id_b) plus a
+    # per-doc size marker (id_b == -1).  No giant keep-set broadcast — the
+    # df filter happens where the data already is.
+    def tagged_rows(g: pa.Table) -> pa.Table:
         ids = sorted(g.column(id_col).to_pylist())
-        a, b = [], []
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+        if len(ids) > max_df:
+            return empty
+        a = [i for i in ids]
+        b = [-1] * len(ids)  # size markers: this shingle counts toward |doc|
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 a.append(ids[i])
@@ -313,8 +308,13 @@ def shingle_jaccard_pairs(
             {"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())}
         )
 
-    pairs = rare.groupby("shingle").map_groups(shingle_pairs, batch_format="pyarrow")
-    inter = pairs.groupby(["id_a", "id_b"]).count()
+    tagged = shingles.groupby("shingle").map_groups(tagged_rows, batch_format="pyarrow")
+    sizes = {
+        r["id_a"]: r["count()"]
+        for r in tagged.filter(expr="id_b == -1").groupby("id_a").count().take_all()
+    }  # one row per doc — small
+    sizes_ref = ray.put(sizes)
+    inter = tagged.filter(expr="id_b >= 0").groupby(["id_a", "id_b"]).count()
 
     def score(batch: pa.Table) -> pa.Table:
         sz = ray.get(sizes_ref)
