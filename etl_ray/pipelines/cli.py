@@ -65,6 +65,10 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("show", help="print manifest summary + row count")
     s.add_argument("--lake", required=True)
 
+    c = sub.add_parser("compact", help="drop tombstones <= watermark, then vacuum orphans")
+    c.add_argument("--lake", required=True)
+    c.add_argument("--watermark-lsn", type=int, default=None)
+
     args = p.parse_args(argv)
 
     if args.cmd == "gen":
@@ -113,6 +117,15 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "compact":
+        _init_ray()
+        from .maintenance import compact, vacuum
+
+        lineage = compact(args.lake, args.watermark_lsn)
+        gc = vacuum(args.lake)
+        print(json.dumps({**lineage, **gc}))
         return 0
 
     if args.cmd == "show":

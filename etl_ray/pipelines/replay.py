@@ -25,6 +25,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data
 
+from ..config import PAGES, TableSpec
 from ..gen import PAGES_SCHEMA
 from ..stages.merge import INTERNAL_COLS, MergePartition, lww_compact
 from ..stages.partition import add_partition_cols
@@ -131,24 +132,31 @@ def _wal_payload_schema(wal_schema: pa.Schema) -> pa.Schema:
     return pa.schema(fields)
 
 
-def _make_combiner(num_partitions: int, salt: int, unified: pa.Schema, combine: bool):
+def _make_combiner(
+    num_partitions: int, salt: int, unified: pa.Schema, combine: bool, spec: TableSpec
+):
     def combiner(batch: pa.Table) -> pa.Table:
+        if spec.normalize is not None:
+            batch = spec.normalize(batch)
         # conform to the unified WAL schema (null-fills columns absent in
         # old-schema segments when the reader didn't already)
         batch = conform(batch, unified)
-        batch = add_partition_cols(batch, num_partitions, salt)
+        batch = add_partition_cols(batch, num_partitions, salt, key=spec.key)
         if combine:
             # per-batch LWW compaction: the "combiner" — bounds any key's
             # post-shuffle row count by the number of batches, shrinking
             # both the shuffle and hot-key groups (SURVEY.md §4 skew row)
-            batch = lww_compact(batch)
+            batch = lww_compact(batch, spec.key, order_by=(spec.ts_col, "lsn"))
         return batch
 
     return combiner
 
 
-def _salted_reduce(group: pa.Table) -> pa.Table:
-    return lww_compact(group)
+def _make_salted_reduce(spec: TableSpec):
+    def salted_reduce(group: pa.Table) -> pa.Table:
+        return lww_compact(group, spec.key, order_by=(spec.ts_col, "lsn"))
+
+    return salted_reduce
 
 
 def replay(
@@ -161,6 +169,7 @@ def replay(
     salt: int = 8,
     combine: bool = True,
     batch_size: int = 32768,
+    spec: TableSpec = PAGES,
 ) -> ReplayStats:
     """Replay all pending WAL segments into the lake. Idempotent/resumable:
     already-applied segments are skipped via the manifest ledger; a crash
@@ -176,7 +185,7 @@ def replay(
             break
         chunk = pending if max_segments_per_tx is None else pending[:max_segments_per_tx]
         stats.transactions += 1
-        _replay_one_tx(lake, manifest, chunk, salting, salt, combine, batch_size, stats)
+        _replay_one_tx(lake, manifest, chunk, salting, salt, combine, batch_size, stats, spec)
         if max_segments_per_tx is None:
             break
 
@@ -195,9 +204,13 @@ def _replay_one_tx(
     combine: bool,
     batch_size: int,
     stats: ReplayStats,
+    spec: TableSpec = PAGES,
 ) -> None:
+    import time as _time
+
     num_partitions = manifest["num_partitions"]
     txid = lake.next_txid(manifest)
+    t_start = _time.perf_counter()
 
     # schema evolution: widen lake schema with any new WAL payload columns
     seg_schemas = [pq.read_schema(s) for s in chunk]
@@ -239,17 +252,18 @@ def _replay_one_tx(
         exec_opts.resource_limits = ExecutionResources(cpu=max(16, int(ncpu * 0.75)))
     ds = ray.data.read_parquet(chunk, schema=unified_wal, override_num_blocks=n_blocks)
     ds = ds.map_batches(
-        _make_combiner(num_partitions, eff_salt, unified_wal, combine),
+        _make_combiner(num_partitions, eff_salt, unified_wal, combine, spec),
         batch_format="pyarrow",
         batch_size=batch_size,
     )
     if use_salt:
         ds = ds.groupby(["pid", "salt"]).map_groups(
-            _salted_reduce, batch_format="pyarrow"
+            _make_salted_reduce(spec), batch_format="pyarrow"
         )
         ds = ds.drop_columns(["salt"])
     merge = MergePartition(
-        lake.root, txid, target_schema, manifest["partitions"]
+        lake.root, txid, target_schema, manifest["partitions"],
+        key=spec.key, ts_col=spec.ts_col, derive_text=spec.derive_text,
     )
     lineage_ds = ds.groupby("pid").map_groups(merge, batch_format="pyarrow")
     lineage = lineage_ds.take_all()  # tiny: <= num_partitions rows
@@ -267,6 +281,7 @@ def _replay_one_tx(
                 lsn_hi = st.max if lsn_hi is None else max(lsn_hi, st.max)
     lsn_lo = lsn_lo or 0
     lsn_hi = lsn_hi or 0
+    tx_seconds = _time.perf_counter() - t_start
     lake.commit(
         manifest,
         txid,
@@ -274,6 +289,12 @@ def _replay_one_tx(
         applied_segments=[os.path.basename(s) for s in chunk],
         applied_lsn_range=(int(lsn_lo), int(lsn_hi)),
         new_schema=target_schema,
+        extras={
+            "wal_events": int(n_events_est),
+            "seconds": round(tx_seconds, 3),
+            "events_per_sec": round(n_events_est / tx_seconds, 1) if tx_seconds > 0 else None,
+            "salted": bool(use_salt),
+        },
     )
     # raw WAL rows applied (pre-compaction) — the throughput denominator;
     # per-partition lineage keeps the post-compaction merge counts

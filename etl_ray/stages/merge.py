@@ -75,6 +75,8 @@ class MergePartition:
         target_schema: pa.Schema,
         partitions: dict[str, dict],
         key: str = "url",
+        ts_col: str = "warc_ts",
+        derive_text: bool = True,
     ):
         self.__name__ = "MergePartition"
         self.lake_root = lake_root
@@ -82,6 +84,8 @@ class MergePartition:
         self.schema = target_schema
         self.partitions = partitions  # manifest snapshot: pid -> {file,...}
         self.key = key
+        self.ts_col = ts_col
+        self.derive_text = derive_text
 
     def __call__(self, group: pa.Table) -> pa.Table:
         from ..state.schema_registry import conform
@@ -90,22 +94,23 @@ class MergePartition:
         changes = group.drop_columns(
             [c for c in ("pid", "salt") if c in group.column_names]
         )
-        changes = lww_compact(changes, self.key)
+        changes = lww_compact(changes, self.key, order_by=(self.ts_col, "lsn"))
 
-        # rows that will need fresh text (insert/update winners)
         ops = changes.column("op")
-        # build the storable form of changes: conform payload + internals
         n = changes.num_rows
         deleted = pc.equal(ops, pa.scalar("delete"))
-        html_col = changes.column("html")
-        texts = []
-        for i in range(n):
-            if deleted[i].as_py():
-                texts.append(None)
-            else:
-                h = html_col[i].as_py()
-                texts.append(extract_text(h))
-        body = changes.append_column("text", pa.array(texts, pa.string()))
+        body = changes
+        if self.derive_text and "html" in changes.column_names:
+            # text extraction ONLY for merge winners (insert/update) —
+            # superseded events never pay the extraction cost
+            html_col = changes.column("html")
+            texts = []
+            for i in range(n):
+                if deleted[i].as_py():
+                    texts.append(None)
+                else:
+                    texts.append(extract_text(html_col[i].as_py()))
+            body = body.append_column("text", pa.array(texts, pa.string()))
         body = conform(body, self.schema)  # fills lang etc. with nulls if absent
         body = body.append_column("_lsn", changes.column("lsn").cast(pa.int64()))
         body = body.append_column("_deleted", deleted)
@@ -119,7 +124,7 @@ class MergePartition:
         else:
             merged = body
 
-        # final exact reduce: max (warc_ts, _lsn) per key over base ∪ changes
+        # final exact reduce: max (ts_col, _lsn) per key over base ∪ changes
         merged = self._lww_stored(merged)
 
         out_path = os.path.join(
@@ -135,7 +140,7 @@ class MergePartition:
         lsn_np = merged.column("_lsn").to_numpy(zero_copy_only=False)
         ck = _checksum(
             live.column(self.key).to_pylist(),
-            live.column("warc_ts").cast(pa.int64()).to_numpy(zero_copy_only=False),
+            live.column(self.ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False),
             live.column("_lsn").to_numpy(zero_copy_only=False),
         )
         ev_lsn = changes.column("lsn").to_numpy(zero_copy_only=False)
@@ -178,7 +183,7 @@ class MergePartition:
 
     def _lww_stored(self, tbl: pa.Table) -> pa.Table:
         idx = pc.sort_indices(
-            tbl, sort_keys=[("warc_ts", "ascending"), ("_lsn", "ascending")]
+            tbl, sort_keys=[(self.ts_col, "ascending"), ("_lsn", "ascending")]
         )
         tbl = tbl.take(idx)
         others = [c for c in tbl.column_names if c != self.key]

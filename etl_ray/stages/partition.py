@@ -21,10 +21,12 @@ import numpy as np
 import pyarrow as pa
 
 
-def add_partition_cols(batch: pa.Table, num_partitions: int, salt: int = 0) -> pa.Table:
+def add_partition_cols(
+    batch: pa.Table, num_partitions: int, salt: int = 0, key: str = "url"
+) -> pa.Table:
     """Append pid (and optionally salt) columns. Vectorized except the
     crc32 loop (C-speed per element; ~3M urls/s/core)."""
-    urls = batch.column("url").to_pylist()
+    urls = batch.column(key).to_pylist()
     pid = np.fromiter(
         (zlib.crc32(u.encode("utf-8")) % num_partitions for u in urls),
         dtype=np.int32,

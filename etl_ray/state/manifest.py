@@ -116,6 +116,7 @@ class LakeTable:
         applied_segments: list[str],
         applied_lsn_range: tuple[int, int] | None,
         new_schema: pa.Schema | None = None,
+        extras: dict | None = None,
     ) -> dict:
         """Atomically publish a transaction.
 
@@ -155,6 +156,8 @@ class LakeTable:
             "rows_total": int(sum(r["rows"] for r in partition_results)),
             "events_applied": int(sum(r.get("events_applied", 0) for r in partition_results)),
         }
+        if extras:
+            tx_record.update(extras)
         os.makedirs(self.manifests_dir, exist_ok=True)
         with open(os.path.join(self.manifests_dir, f"{txid}.json"), "w") as f:
             json.dump(tx_record, f, indent=1)
@@ -177,6 +180,7 @@ class LakeTable:
                 "events_applied": tx_record["events_applied"],
                 "applied_lsn_range": tx_record["applied_lsn_range"],
                 "partitions_rewritten": len(partition_results),
+                **(extras or {}),
             }
         ]
         self._atomic_write(m)
