@@ -41,6 +41,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_segment": Q.revenue_by_segment,
         "customers_per_region": Q.customers_per_region,
         "json_extract_props": Q.json_extract_props,
+        "join_orders_lineitem_native": Q.join_orders_lineitem_native,
+        "embedding_neardup_pairs": Q.embedding_neardup_pairs,
+        "sliding_window_events": Q.sliding_window_events,
+        "session_windows_events": Q.session_windows_events,
         # text / dedup / similarity (target-added)
         "token_count_docs": Q.token_count_docs,
         "quality_docs": Q.quality_docs,
@@ -135,6 +139,49 @@ def oracle_sql() -> dict[str, str]:
         "json_extract_props": """
             SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
             FROM events
+        """,
+        "join_orders_lineitem_native": """
+            SELECT o_orderpriority,
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+                   count(*) AS n_lineitems
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "embedding_neardup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 1000 AND b.vec_id < 1000
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.42
+        """,
+        "sliding_window_events": """
+            WITH w AS (
+                SELECT date_trunc('hour', ts) AS window_start, event_type,
+                       CAST(floor(value * 100) AS BIGINT) AS value_cents FROM events
+                UNION ALL
+                SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type,
+                       CAST(floor(value * 100) AS BIGINT) FROM events
+            )
+            SELECT window_start, event_type, count(*) AS n_events,
+                   sum(value_cents) AS sum_value_cents
+            FROM w GROUP BY 1, 2
+        """,
+        "session_windows_events": """
+            WITH g AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN epoch(ts - lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+                SELECT user_id, ts, event_id,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING) AS sid
+                FROM g
+            )
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sid
         """,
         "token_count_docs": r"""
             SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens

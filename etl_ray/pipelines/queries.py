@@ -462,3 +462,120 @@ def cdc_replay_pages(sf_dir: str):
     replay(lake_root, os.path.join(data_dir, "wal"))
     out = read_table_arrow(lake_root)
     return out.select(["url", "warc_ts", "text", "lang"])
+
+
+def join_orders_lineitem_native(sf_dir: str):
+    """Large-side equi join via Ray's native hash-partitioned Dataset.join
+    (both sides stream; num_partitions bounds per-partition memory).
+    Result: revenue cents per order priority."""
+    orders = ray.data.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
+    )
+    li = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev_cents": _cents(rev)})
+
+    li = li.map_batches(li_prep, batch_format="pyarrow")
+    joined = orders.join(
+        li, "inner", num_partitions=16, on=("o_orderkey",), right_on=("l_orderkey",)
+    )
+    return (
+        joined.groupby("o_orderpriority")
+        .aggregate(
+            Sum("rev_cents", alias_name="revenue_cents"),
+            Count(alias_name="n_lineitems"),
+        )
+    )
+
+
+def embedding_neardup_pairs(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (vec_id < 1000 sample, i<j,
+    cosine >= 0.42): broadcast the sample matrix, one numpy matmul per
+    batch — no shuffle of the corpus."""
+    import pyarrow.parquet as pq_
+
+    from ..stages.similarity import _normalize
+
+    tbl = pq_.read_table(_p(sf_dir, "embeddings"))
+    tbl = tbl.filter(pc.less(tbl["vec_id"], pa.scalar(1000)))
+    ids = np.asarray(tbl.column("vec_id").to_pylist())
+    m = _normalize(
+        np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    )
+    m_ref = ray.put((ids, m))
+
+    ds = ray.data.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], pa.scalar(1000))),
+        batch_format="pyarrow",
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        all_ids, all_m = ray.get(m_ref)
+        bid = np.asarray(batch.column("vec_id").to_pylist())
+        bm = _normalize(np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)) if len(bid) else np.zeros((0, all_m.shape[1]))
+        out_a, out_b = [], []
+        if len(bid):
+            sims = bm @ all_m.T  # (B, N)
+            ii, jj = np.nonzero(sims >= 0.42)
+            for i, j in zip(ii.tolist(), jj.tolist()):
+                if bid[i] < all_ids[j]:
+                    out_a.append(int(bid[i]))
+                    out_b.append(int(all_ids[j]))
+        return pa.table(
+            {"id_a": pa.array(out_a, pa.int64()), "id_b": pa.array(out_b, pa.int64())}
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+def sliding_window_events(sf_dir: str):
+    """Sliding window (2h size, 1h step): each event lands in 2 windows —
+    flat-map into (window_start, event_type) rows then aggregate."""
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["ts", "event_type", "value"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        prev = pc.subtract(hour, pa.scalar(3_600_000_000, pa.duration("us")))
+        cents = _cents(t["value"])
+        w0 = pa.table(
+            {"window_start": hour, "event_type": t["event_type"], "value_cents": cents}
+        )
+        w1 = pa.table(
+            {"window_start": prev, "event_type": t["event_type"], "value_cents": cents}
+        )
+        return pa.concat_tables([w0, w1])
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents"))
+    )
+
+
+def session_windows_events(sf_dir: str):
+    """Session windows (30 min inactivity gap) per user: groupby(user) ->
+    sorted per-group pandas sessionization (SURVEY §2.10 pattern).  The
+    DuckDB oracle reproduces it with lag() + cumulative sum."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff().dt.total_seconds().fillna(0)
+        sid = (gap > 1800).cumsum()
+        out = g.groupby(sid).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("event_id", "count"),
+        )
+        return out.reset_index(drop=True)
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
