@@ -44,6 +44,41 @@ def _shingle_hashes(words: list[str], n: int) -> np.ndarray:
     return np.fromiter(hs, np.uint64, len(hs))
 
 
+
+def _pairs_from_sorted_groups(
+    codes: np.ndarray, docs: np.ndarray, max_df: int, emit_markers: bool = True
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized pair emission over contiguous groups.
+
+    ``codes`` must be sorted; docs ascending within each group.  Groups
+    larger than ``max_df`` are dropped.  Returns (id_a, id_b) arrays;
+    when ``emit_markers`` each kept row also yields a (doc, -1) marker.
+    One numpy reshape+take per group-size class — no per-group Python.
+    """
+    if len(codes) == 0:
+        return np.array([], np.int64), np.array([], np.int64)
+    boundary = np.flatnonzero(np.diff(codes)) + 1
+    starts = np.concatenate(([0], boundary))
+    ends = np.concatenate((boundary, [len(codes)]))
+    sizes = ends - starts
+    keep = sizes <= max_df
+    out_a, out_b = [], []
+    if emit_markers:
+        out_a.append(docs[np.repeat(keep, sizes.astype(np.int64))])
+        out_b.append(np.full(int(sizes[keep].sum()), -1, np.int64))
+    for s in range(2, max_df + 1):
+        gs = starts[keep & (sizes == s)]
+        if not len(gs):
+            continue
+        mat = docs[(gs[:, None] + np.arange(s)[None, :]).ravel()].reshape(-1, s)
+        iu, ju = np.triu_indices(s, k=1)
+        out_a.append(mat[:, iu].ravel())
+        out_b.append(mat[:, ju].ravel())
+    if not out_a:
+        return np.array([], np.int64), np.array([], np.int64)
+    return np.concatenate(out_a).astype(np.int64), np.concatenate(out_b).astype(np.int64)
+
+
 class MinHasher:
     """Per-batch minhash signatures over word n-gram shingles.
 
@@ -102,40 +137,15 @@ class BandEmitter:
             out_band.append(np.full(len(ids), b, np.int32))
             out_hash.append(hs)
             out_id.append(ids)
+        hashes = np.concatenate(out_hash)
         return pa.table(
             {
                 "band": pa.array(np.concatenate(out_band)),
-                "band_hash": pa.array(np.concatenate(out_hash)),
+                "band_hash": pa.array(hashes),
+                "gbucket": pa.array((hashes % np.uint64(512)).astype(np.int32)),
                 self.id_col: pa.array(np.concatenate(out_id)),
             }
         )
-
-
-def _pairs_from_bucket(group: pa.Table, id_col: str, max_bucket: int) -> pa.Table:
-    ids = sorted(group.column(id_col).to_pylist())
-    if len(ids) < 2 or len(ids) > max_bucket:
-        # oversized bucket = degenerate band (boilerplate); emit a marker row
-        # so the drop is observable, never silent
-        dropped = len(ids) if len(ids) > max_bucket else 0
-        return pa.table(
-            {
-                "id_a": pa.array([], pa.int64()),
-                "id_b": pa.array([], pa.int64()),
-                "dropped_bucket_size": pa.array([dropped] * (1 if dropped else 0), pa.int64()),
-            }
-        )
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pa.table(
-        {
-            "id_a": pa.array(a, pa.int64()),
-            "id_b": pa.array(b, pa.int64()),
-            "dropped_bucket_size": pa.array([0] * len(a), pa.int64()),
-        }
-    )
 
 
 def minhash_lsh_pairs(
@@ -162,26 +172,38 @@ def minhash_lsh_pairs(
     import ray
 
     hasher = MinHasher(text_col, k, ngram, seed)
-    sigs = ds.map_batches(hasher, batch_format="pyarrow")
+    # materialize signatures once: both the banding pass and the broadcast
+    # verification read them (without this the Python minhash pass runs twice)
+    sigs = ds.map_batches(hasher, batch_format="pyarrow").select_columns(
+        [id_col, "sig"]
+    ).materialize()
     # signature table is small (k*8 bytes/doc); collect for verification
-    sig_tbl = sigs.select_columns([id_col, "sig"]).take_all()
+    sig_tbl = sigs.take_all()
     sig_map = {
         r[id_col]: np.asarray(r["sig"], dtype=np.uint64) for r in sig_tbl
     }
     sig_ref = ray.put(sig_map)
 
     bandemit = BandEmitter(id_col, bands, k)
-    banded = sigs.select_columns([id_col, "sig"]).map_batches(
-        bandemit, batch_format="pyarrow"
-    )
+    banded = sigs.map_batches(bandemit, batch_format="pyarrow")
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
-        return _pairs_from_bucket(g, id_col, max_bucket)
+        # one call per hash bucket (512 total), vectorized inside — NOT one
+        # Python call per (band, band_hash) group, which is ~bands*n_docs
+        # groups and dominated wall time at 50k docs
+        band = g.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+        bh = g.column("band_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        docs = g.column(id_col).to_numpy(zero_copy_only=False)
+        codes = (bh * np.uint64(64) + band.astype(np.uint64)).astype(np.int64)
+        order = np.lexsort((docs, codes))
+        a, b = _pairs_from_sorted_groups(
+            codes[order], docs[order], max_bucket, emit_markers=False
+        )
+        return pa.table(
+            {"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())}
+        )
 
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
-    )
-    pairs = pairs.filter(lambda r: r["id_a"] != r["id_b"] or r["dropped_bucket_size"] > 0)
+    pairs = banded.groupby("gbucket").map_groups(bucket_pairs, batch_format="pyarrow")
 
     def verify(batch: pa.Table) -> pa.Table:
         smap = ray.get(sig_ref)
@@ -265,6 +287,10 @@ def shingle_jaccard_pairs(
     """
     import ray
 
+    import ray as _ray
+
+    n_buckets = 1024
+
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
@@ -281,65 +307,126 @@ def shingle_jaccard_pairs(
             for s in sh:
                 out_s.append(s)
                 out_id.append(i)
+        bucket = np.fromiter(
+            (zlib.crc32(s.encode()) % n_buckets for s in out_s),
+            np.int32,
+            len(out_s),
+        )
         return pa.table(
-            {"shingle": pa.array(out_s, pa.string()), id_col: pa.array(out_id, pa.int64())}
+            {
+                "shingle": pa.array(out_s, pa.string()),
+                id_col: pa.array(out_id, pa.int64()),
+                "bucket": pa.array(bucket),
+            }
         )
 
     shingles = ds.map_batches(explode, batch_format="pyarrow")
 
-    # ONE shuffle on shingle does both jobs: groups over the df cap are
-    # dropped entirely; surviving groups emit pair rows (id_a<id_b) plus a
-    # per-doc size marker (id_b == -1).  No giant keep-set broadcast — the
-    # df filter happens where the data already is.
-    def tagged_rows(g: pa.Table) -> pa.Table:
-        ids = sorted(g.column(id_col).to_pylist())
-        empty = pa.table(
-            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
-        )
-        if len(ids) > max_df:
-            return empty
-        a = [i for i in ids]
-        b = [-1] * len(ids)  # size markers: this shingle counts toward |doc|
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
+    # ONE shuffle, keyed by a shingle-hash BUCKET (1024 groups, not one
+    # Python call per distinct shingle — per-group dispatch overhead at
+    # millions of shingles dominated the first implementation).  Inside a
+    # bucket everything is vectorized: dictionary-encode shingles, find
+    # group boundaries, drop groups over the df cap, emit per-doc size
+    # markers (id_b == -1) and, per group-size class s, all (s choose 2)
+    # doc pairs with one reshape+take per class.
+    def bucket_rows(g: pa.Table) -> pa.Table:
+        codes = pc.dictionary_encode(g.column("shingle").combine_chunks()).indices
+        codes = codes.to_numpy(zero_copy_only=False).astype(np.int64)
+        docs = g.column(id_col).to_numpy(zero_copy_only=False)
+        # sort by (shingle code, doc id) -> groups contiguous, docs ascending
+        order = np.lexsort((docs, codes))
+        codes, docs = codes[order], docs[order]
+        a, b = _pairs_from_sorted_groups(codes, docs, max_df, emit_markers=True)
+        # in-bucket combiner: the same doc pair recurs across many shingles
+        # of this bucket — pre-count so the pair shuffle moves partials,
+        # not one row per (pair, shingle) occurrence
+        if len(a) and max(int(a.max()), int(b.max()) + 1) < (1 << 31):
+            packed = a.astype(np.uint64) * np.uint64(1 << 32) + (b + 1).astype(np.uint64)
+            uniq, counts = np.unique(packed, return_counts=True)
+            a = (uniq >> np.uint64(32)).astype(np.int64)
+            b = (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64) - 1
+        else:  # ids too wide to pack — ship unreduced (n=1 per occurrence)
+            counts = np.ones(len(a), np.int64)
         return pa.table(
-            {"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())}
+            {
+                "id_a": pa.array(a, pa.int64()),
+                "id_b": pa.array(b, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
         )
 
-    tagged = shingles.groupby("shingle").map_groups(tagged_rows, batch_format="pyarrow")
+    tagged = (
+        shingles.groupby("bucket").map_groups(bucket_rows, batch_format="pyarrow")
+    )
+    # consumed twice below (sizes + intersections); materialize the compact
+    # pair/marker partials once instead of re-running explode+shuffle twice.
+    # Coalesce the 1024 bucket-group blocks first — downstream groupbys over
+    # a thousand tiny blocks pay O(blocks^2) shuffle-fragment overhead.
+    tagged = tagged.repartition(32).materialize()
+
+    # High-cardinality reduction: Ray's groupby().aggregate() costs
+    # ~100us PER GROUP (measured: 1.3M distinct 2-int keys = 160s!), so
+    # reduce by HASH BUCKET with a vectorized np.unique/bincount inside
+    # each group — one Python call per bucket, C speed within.
+    def pair_bucket(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        pb = ((a * 2654435761 + b) % 256).astype(np.int32)
+        return batch.append_column("pbucket", pa.array(pb))
+
+    def reduce_pairs(g: pa.Table) -> pa.Table:
+        a = g.column("id_a").to_numpy(zero_copy_only=False)
+        b = g.column("id_b").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        packed = a.astype(np.uint64) * np.uint64(1 << 32) + (b + 1).astype(np.uint64)
+        uniq, inv = np.unique(packed, return_inverse=True)
+        sums = np.bincount(inv, weights=n.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {
+                "id_a": pa.array((uniq >> np.uint64(32)).astype(np.int64), pa.int64()),
+                "id_b": pa.array(
+                    (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64) - 1, pa.int64()
+                ),
+                "count()": pa.array(sums, pa.int64()),
+            }
+        )
+
+    reduced = (
+        tagged.map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(reduce_pairs, batch_format="pyarrow")
+        .materialize()
+    )
     sizes = {
         r["id_a"]: r["count()"]
-        for r in tagged.filter(expr="id_b == -1").groupby("id_a").count().take_all()
+        for r in reduced.filter(expr="id_b == -1").take_all()
     }  # one row per doc — small
     sizes_ref = ray.put(sizes)
-    inter = tagged.filter(expr="id_b >= 0").groupby(["id_a", "id_b"]).count()
+    inter = reduced.filter(expr="id_b >= 0")
 
     def score(batch: pa.Table) -> pa.Table:
         sz = ray.get(sizes_ref)
-        ia = batch.column("id_a").to_pylist()
-        ib = batch.column("id_b").to_pylist()
-        it = batch.column("count()").to_pylist()
-        rows = {"id_a": [], "id_b": [], "inter": [], "n_a": [], "n_b": [], "jaccard": []}
-        for x, y, c in zip(ia, ib, it):
-            na, nb = sz.get(x, 0), sz.get(y, 0)
-            j = c / (na + nb - c) if (na + nb - c) else 0.0
-            if j >= threshold:
-                rows["id_a"].append(x)
-                rows["id_b"].append(y)
-                rows["inter"].append(c)
-                rows["n_a"].append(na)
-                rows["n_b"].append(nb)
-                rows["jaccard"].append(j)
+        ia = batch.column("id_a").to_numpy(zero_copy_only=False)
+        ib = batch.column("id_b").to_numpy(zero_copy_only=False)
+        it = batch.column("count()").to_numpy(zero_copy_only=False)
+        # vectorized size lookup via sorted key array + searchsorted
+        keys = np.fromiter(sz.keys(), np.int64, len(sz))
+        vals = np.fromiter(sz.values(), np.int64, len(sz))
+        order = np.argsort(keys)
+        keys, vals = keys[order], vals[order]
+        na = vals[np.searchsorted(keys, ia)]
+        nb = vals[np.searchsorted(keys, ib)]
+        denom = na + nb - it
+        jac = np.where(denom > 0, it / np.maximum(denom, 1), 0.0)
+        keep = jac >= threshold
         return pa.table(
             {
-                "id_a": pa.array(rows["id_a"], pa.int64()),
-                "id_b": pa.array(rows["id_b"], pa.int64()),
-                "inter": pa.array(rows["inter"], pa.int64()),
-                "n_a": pa.array(rows["n_a"], pa.int64()),
-                "n_b": pa.array(rows["n_b"], pa.int64()),
-                "jaccard": pa.array(rows["jaccard"], pa.float64()),
+                "id_a": pa.array(ia[keep], pa.int64()),
+                "id_b": pa.array(ib[keep], pa.int64()),
+                "inter": pa.array(it[keep], pa.int64()),
+                "n_a": pa.array(na[keep], pa.int64()),
+                "n_b": pa.array(nb[keep], pa.int64()),
+                "jaccard": pa.array(jac[keep], pa.float64()),
             }
         )
 
