@@ -60,7 +60,11 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--max-segments-per-tx", type=int, default=None)
     r.add_argument("--salting", choices=["auto", "on", "off"], default="auto")
     r.add_argument("--salt", type=int, default=8)
-    r.add_argument("--batch-size", type=int, default=8192)
+    r.add_argument("--batch-size", type=int, default=32768)
+    r.add_argument("--follow", action="store_true", help="poll for new segments")
+    r.add_argument("--poll-interval", type=float, default=5.0)
+    r.add_argument("--idle-exit-after", type=int, default=None,
+                   help="exit after N idle polls (default: run forever)")
 
     s = sub.add_parser("show", help="print manifest summary + row count")
     s.add_argument("--lake", required=True)
@@ -94,15 +98,24 @@ def main(argv: list[str] | None = None) -> int:
         _init_ray()
         from .replay import replay
 
+        from .replay import follow
+
         t0 = time.perf_counter()
-        stats = replay(
-            args.lake,
-            args.wal,
+        kw = dict(
             max_segments_per_tx=args.max_segments_per_tx,
             salting=args.salting,
             salt=args.salt,
             batch_size=args.batch_size,
         )
+        if args.follow:
+            stats = follow(
+                args.lake, args.wal,
+                poll_interval=args.poll_interval,
+                idle_exit_after=args.idle_exit_after,
+                **kw,
+            )
+        else:
+            stats = replay(args.lake, args.wal, **kw)
         dt = time.perf_counter() - t0
         print(
             json.dumps(

@@ -195,6 +195,46 @@ def replay(
     return stats
 
 
+def follow(
+    lake_root: str,
+    wal_dir: str,
+    *,
+    poll_interval: float = 5.0,
+    max_polls: int | None = None,
+    idle_exit_after: int | None = None,
+    **replay_kwargs,
+) -> ReplayStats:
+    """Continuous tailing: poll the WAL dir for new segments and replay
+    them as they appear — the reference's loader loop
+    (`src/pipeline/core/client_clickhouse.py:154-206` 30s poll +
+    `src/pipeline/core/spark_job.py:66-98` outer retry in /root/reference)
+    without the fixed sleeps on the apply path.
+
+    Exits after ``max_polls`` polls, or after ``idle_exit_after``
+    consecutive polls with no pending segments (None = run forever).
+    """
+    import time
+
+    total = ReplayStats()
+    idle = 0
+    polls = 0
+    while True:
+        stats = replay(lake_root, wal_dir, **replay_kwargs)
+        total.transactions += stats.transactions
+        total.events_applied += stats.events_applied
+        total.segments_applied += stats.segments_applied
+        total.rows_live = stats.rows_live
+        total.schema_version = stats.schema_version
+        idle = idle + 1 if stats.segments_applied == 0 else 0
+        polls += 1
+        if idle_exit_after is not None and idle >= idle_exit_after:
+            break
+        if max_polls is not None and polls >= max_polls:
+            break
+        time.sleep(poll_interval)
+    return total
+
+
 def _replay_one_tx(
     lake: LakeTable,
     manifest: dict,

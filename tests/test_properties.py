@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis) for the LWW core and schema logic.
+
+The reference has no property tests (SURVEY.md §5); these pin the
+algebraic properties the distributed plan RELIES on: the LWW reduce is
+associative, commutative and idempotent, so per-batch combining, salted
+pre-reduction and arbitrary re-partitioning cannot change the result.
+"""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_ray.stages.merge import lww_compact
+
+events = st.lists(
+    st.tuples(
+        st.integers(0, 5),  # key id
+        st.integers(0, 10),  # ts
+        st.integers(1, 1000),  # lsn (unique-ified below)
+        st.sampled_from(["insert", "update", "delete"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _tbl(rows):
+    # make lsns unique (the WAL guarantees this)
+    seen, out = set(), []
+    for k, ts, lsn, op in rows:
+        while lsn in seen:
+            lsn += 1000
+        seen.add(lsn)
+        out.append((k, ts, lsn, op))
+    return pa.table(
+        {
+            "url": pa.array([f"u{k}" for k, _, _, _ in out], pa.string()),
+            "warc_ts": pa.array([ts for _, ts, _, _ in out], pa.timestamp("us")),
+            "lsn": pa.array([l for _, _, l, _ in out], pa.int64()),
+            "op": pa.array([op for _, _, _, op in out], pa.string()),
+        }
+    )
+
+
+def _canon(t: pa.Table):
+    t = t.take(pc.sort_indices(t, sort_keys=[("url", "ascending")]))
+    return t.select(["url", "warc_ts", "lsn", "op"]).to_pylist()
+
+
+def _brute(t: pa.Table):
+    best = {}
+    for r in t.to_pylist():
+        key = (r["warc_ts"], r["lsn"])
+        if r["url"] not in best or key > (best[r["url"]]["warc_ts"], best[r["url"]]["lsn"]):
+            best[r["url"]] = r
+    return sorted(best.values(), key=lambda r: r["url"])
+
+
+@settings(max_examples=200, deadline=None)
+@given(events)
+def test_lww_matches_bruteforce(rows):
+    t = _tbl(rows)
+    got = _canon(lww_compact(t))
+    want = [
+        {"url": r["url"], "warc_ts": r["warc_ts"], "lsn": r["lsn"], "op": r["op"]}
+        for r in _brute(t)
+    ]
+    assert got == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(events, st.integers(1, 5))
+def test_lww_partition_invariance(rows, cut):
+    """compact(A + B) == compact(compact(A) + compact(B)) for any split —
+    the property that makes the combiner and salting exact."""
+    t = _tbl(rows)
+    k = max(1, len(t) * cut // 6)
+    a, b = t.slice(0, k), t.slice(k)
+    whole = _canon(lww_compact(t))
+    parts = pa.concat_tables([lww_compact(a), lww_compact(b)]) if b.num_rows else lww_compact(a)
+    assert _canon(lww_compact(parts)) == whole
+
+
+@settings(max_examples=100, deadline=None)
+@given(events)
+def test_lww_idempotent_under_redelivery(rows):
+    """compact(X + X) == compact(X) — duplicate-LSN redelivery is a no-op."""
+    t = _tbl(rows)
+    doubled = pa.concat_tables([t, t])
+    assert _canon(lww_compact(doubled)) == _canon(lww_compact(t))
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=4, unique=True),
+    st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=1, max_size=5, unique=True),
+)
+def test_schema_evolve_is_additive_and_stable(cur_cols, new_cols):
+    from etl_ray.state.schema_registry import conform, evolve
+
+    cur = pa.schema([(c, pa.int64()) for c in cur_cols])
+    inc = pa.schema([(c, pa.int64()) for c in new_cols])
+    out = evolve(cur, inc)
+    # old columns keep position and presence; new ones appended
+    assert list(out.names[: len(cur_cols)]) == cur_cols
+    assert set(out.names) == set(cur_cols) | set(new_cols)
+    # evolve is idempotent
+    assert evolve(out, inc).equals(out)
+    # conform fills exactly the missing ones with nulls
+    t = pa.table({c: pa.array([1], pa.int64()) for c in cur_cols})
+    ct = conform(t, out)
+    for c in set(new_cols) - set(cur_cols):
+        assert ct.column(c).null_count == 1
