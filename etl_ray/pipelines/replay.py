@@ -305,7 +305,12 @@ def _replay_one_tx(
         lake.root, txid, target_schema, manifest["partitions"],
         key=spec.key, ts_col=spec.ts_col, derive_text=spec.derive_text,
     )
-    lineage_ds = ds.groupby("pid").map_groups(merge, batch_format="pyarrow")
+    # retry application exceptions too: a merge task is side-effect-safe
+    # (deterministic staging path, overwrite on retry), so transient I/O
+    # failures mid-write must not kill the transaction
+    lineage_ds = ds.groupby("pid").map_groups(
+        merge, batch_format="pyarrow", max_retries=3, retry_exceptions=True
+    )
     lineage = lineage_ds.take_all()  # tiny: <= num_partitions rows
 
     # applied LSN range from parquet footer stats (pre-compaction truth;
