@@ -456,7 +456,16 @@ def cdc_replay_pages(sf_dir: str):
     )
     data_dir = os.path.join(root, "data")
     if not os.path.exists(os.path.join(data_dir, "wal")):
-        generate_dataset(data_dir, WalSpec(n_urls=n_urls, n_events=n_events, n_segments=8))
+        # generate into a private dir, publish with one atomic rename —
+        # concurrent callers must never observe a half-written fixture
+        tmp_dir = f"{data_dir}.tmp.{os.getpid()}"
+        generate_dataset(tmp_dir, WalSpec(n_urls=n_urls, n_events=n_events, n_segments=8))
+        try:
+            os.rename(tmp_dir, data_dir)
+        except OSError:  # someone else won the race
+            import shutil
+
+            shutil.rmtree(tmp_dir, ignore_errors=True)
     lake_root = os.path.join(root, "lake", str(os.getpid()), "pages")
     bootstrap_lake(lake_root, os.path.join(data_dir, "base", "pages.parquet"), num_partitions=16)
     replay(lake_root, os.path.join(data_dir, "wal"))
