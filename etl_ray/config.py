@@ -11,7 +11,7 @@ optional Arrow-in/Arrow-out normalize callable (pluggable into
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import pyarrow as pa
 

@@ -287,8 +287,6 @@ def shingle_jaccard_pairs(
     """
     import ray
 
-    import ray as _ray
-
     n_buckets = 1024
 
     def explode(batch: pa.Table) -> pa.Table:

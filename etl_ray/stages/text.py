@@ -19,7 +19,6 @@ import re
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 # stopword sets for the n-gram-free heuristic language id
 _STOPWORDS = {
