@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs_docs": Q.minhash_pairs_docs,
         "simhash_groups_docs": Q.simhash_groups_docs,
         "knn_lsh_embeddings": Q.knn_lsh_embeddings,
+        "knn_ivf_embeddings": Q.knn_ivf_embeddings,
         "multimodal_features": Q.multimodal_features,
         "cdc_replay_pages": Q.cdc_replay_pages,
     }

@@ -588,3 +588,18 @@ def session_windows_events(sf_dir: str):
         return out.reset_index(drop=True)
 
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def knn_ivf_embeddings(sf_dir: str):
+    from ..stages.similarity import knn_ivf
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(_p(sf_dir, "embeddings"))
+    queries = {
+        r["vec_id"]: np.array(r["embedding"], np.float64)
+        for r in tbl.filter(pc.less(tbl["vec_id"], pa.scalar(4))).to_pylist()
+    }
+    ds = ray.data.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = knn_ivf(ds, queries, k=10, n_lists=8, nprobe=3)
+    return out.map_batches(lambda t: t.select(["query_id", "vec_id"]), batch_format="pyarrow")

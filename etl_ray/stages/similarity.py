@@ -125,6 +125,141 @@ class _LshBucketer:
         return batch.append_column("bucket", pa.array(b, pa.int64()))
 
 
+def _kmeans_centroids(ds, vec_col: str, k: int, iters: int, seed: int) -> np.ndarray:
+    """Deterministic mini k-means over the corpus, Ray-Data-native:
+    seeded sample for init, then ``iters`` Lloyd rounds where each round
+    is one map_batches pass emitting per-batch partial sums (combiner) and
+    a tiny driver-side combine.  No shuffle of the corpus."""
+    import ray
+
+    init = ds.limit(4 * k).take_all()  # deterministic: first rows
+    rng = np.random.default_rng(seed)
+    mat = _normalize(np.stack([np.asarray(r[vec_col], np.float32) for r in init]))
+    centroids = mat[rng.choice(len(mat), size=k, replace=len(mat) < k)]
+
+    for _ in range(iters):
+        cref = ray.put(centroids)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            m = _to_matrix(batch, vec_col)
+            if m.shape[0] == 0:
+                return pa.table({"cid": pa.array([], pa.int32()),
+                                 "n": pa.array([], pa.int64()),
+                                 "vsum": pa.array([], pa.list_(pa.float64()))})
+            mn = _normalize(m)
+            assign = np.argmax(mn @ c.T, axis=1)
+            cids, counts = np.unique(assign, return_counts=True)
+            sums = [mn[assign == cid].sum(axis=0).astype(np.float64).tolist() for cid in cids]
+            return pa.table(
+                {
+                    "cid": pa.array(cids.astype(np.int32)),
+                    "n": pa.array(counts.astype(np.int64)),
+                    "vsum": pa.array(sums, pa.list_(pa.float64())),
+                }
+            )
+
+        rows = ds.map_batches(partials, batch_format="pyarrow").take_all()
+        acc = np.zeros_like(centroids, dtype=np.float64)
+        cnt = np.zeros(k, np.int64)
+        for r in rows:
+            acc[r["cid"]] += np.asarray(r["vsum"])
+            cnt[r["cid"]] += r["n"]
+        nonzero = cnt > 0
+        centroids = centroids.astype(np.float64)
+        centroids[nonzero] = acc[nonzero] / cnt[nonzero, None]
+        centroids = _normalize(centroids.astype(np.float32))
+    return centroids
+
+
+def knn_ivf(
+    ds,
+    queries: dict[int, np.ndarray],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    kmeans_iters: int = 2,
+    seed: int = 42,
+    concurrency=(1, 4),
+):
+    """IVF approximate top-k: corpus assigned to ``n_lists`` k-means cells
+    (inverted lists); each query scans only its ``nprobe`` nearest cells.
+    The clustering itself is distributed (per-batch partial sums).  Recall
+    grows with nprobe; nprobe == n_lists degenerates to exact brute force."""
+    import ray
+
+    centroids = _kmeans_centroids(ds, vec_col, n_lists, kmeans_iters, seed)
+    cref = ray.put(centroids)
+
+    class _Assign:
+        def __init__(self):
+            self.c = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _to_matrix(batch, vec_col)
+            cell = (
+                np.argmax(_normalize(m) @ self.c.T, axis=1).astype(np.int32)
+                if m.shape[0]
+                else np.array([], np.int32)
+            )
+            return batch.append_column("cell", pa.array(cell))
+
+    assigned = ds.map_batches(_Assign, batch_format="pyarrow", concurrency=concurrency)
+
+    # query -> probed cells (driver side; Q small)
+    qitems = sorted((int(i), np.asarray(v, np.float32)) for i, v in queries.items())
+    qm = _normalize(np.stack([v for _, v in qitems]))
+    probe_order = np.argsort(-(qm @ centroids.T), axis=1)[:, :nprobe]
+    cell_to_qs: dict[int, dict[int, np.ndarray]] = {}
+    for (qid, v), cells in zip(qitems, probe_order):
+        for c in cells:
+            cell_to_qs.setdefault(int(c), {})[qid] = v
+    cq_ref = ray.put(cell_to_qs)
+
+    def score_cell(g: pa.Table) -> pa.Table:
+        cell = int(g.column("cell")[0].as_py())
+        qs = ray.get(cq_ref).get(cell)
+        if not qs:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        m = _to_matrix(g, vec_col)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        qids = sorted(qs)
+        sims = _normalize(np.stack([qs[i] for i in qids])) @ _normalize(m).T
+        kk = min(k, sims.shape[1])
+        order = np.argsort(-sims, axis=1)[:, :kk]
+        return pa.table(
+            {
+                "query_id": pa.array(np.repeat(qids, kk), pa.int64()),
+                id_col: pa.array(ids[order].reshape(-1), pa.int64()),
+                "cosine": pa.array(
+                    np.take_along_axis(sims, order, axis=1).reshape(-1).astype(np.float64),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    partial = assigned.groupby("cell").map_groups(score_cell, batch_format="pyarrow")
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            g, sort_keys=[("cosine", "descending"), (id_col, "ascending")]
+        )
+        return g.take(idx[:k])
+
+    return partial.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
+
+
 def knn_lsh(
     ds,
     queries: dict[int, np.ndarray],

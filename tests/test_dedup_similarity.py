@@ -130,3 +130,30 @@ def test_knn_lsh_recalls_self(ray_session):
     # each query's own vector is in its own bucket -> always recalled
     for qid in vecs:
         assert qid in by_q.get(qid, set())
+
+
+def test_knn_ivf_recall_and_determinism(ray_session):
+    import ray.data
+
+    from etl_ray.stages.similarity import knn_ivf
+
+    tbl = pq.read_table(EMB)
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], np.float32)
+        for r in tbl.slice(0, 4).to_pylist()
+    }
+    ds = ray.data.from_arrow(tbl)
+    out = knn_ivf(ds, vecs, k=5, n_lists=8, nprobe=3).take_all()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid in vecs:
+        rows = by_q.get(qid, [])
+        assert rows, f"query {qid} lost"
+        # own vector lives in the query's own (nearest) cell -> recalled
+        best = max(rows, key=lambda r: r["cosine"])
+        assert best["vec_id"] == qid
+    # deterministic across runs
+    out2 = knn_ivf(ray.data.from_arrow(tbl), vecs, k=5, n_lists=8, nprobe=3).take_all()
+    key = lambda rs: sorted((r["query_id"], r["vec_id"]) for r in rs)
+    assert key(out) == key(out2)
