@@ -52,14 +52,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_docs_exact": Q.dedup_docs_exact,
         "shingle_jaccard_docs": Q.shingle_jaccard_docs,
         "knn_brute_embeddings": Q.knn_brute_embeddings,
-        # rows-only (no SQL-expressible oracle)
+        # oracle-checked via fixture-backed SQL (see oracle_sql notes)
         "text_profile_docs": Q.text_profile_docs,
-        "minhash_pairs_docs": Q.minhash_pairs_docs,
-        "simhash_groups_docs": Q.simhash_groups_docs,
         "knn_lsh_embeddings": Q.knn_lsh_embeddings,
         "knn_ivf_embeddings": Q.knn_ivf_embeddings,
         "multimodal_features": Q.multimodal_features,
         "cdc_replay_pages": Q.cdc_replay_pages,
+        # rows-only (no SQL-expressible oracle: crc32-based signatures)
+        "minhash_pairs_docs": Q.minhash_pairs_docs,
+        "simhash_groups_docs": Q.simhash_groups_docs,
     }
 
 
@@ -68,8 +69,8 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,
-                   sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+                   CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -120,12 +121,12 @@ def oracle_sql() -> dict[str, str]:
         "hourly_event_stats": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n_events,
-                   sum(CAST(floor(value * 100) AS BIGINT)) AS sum_value_cents
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY 1, 2
         """,
         "revenue_by_segment": """
             SELECT c_mktsegment,
-                   sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+                   CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
                    count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
@@ -143,7 +144,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "join_orders_lineitem_native": """
             SELECT o_orderpriority,
-                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
                    count(*) AS n_lineitems
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY o_orderpriority
@@ -164,7 +165,7 @@ def oracle_sql() -> dict[str, str]:
                        CAST(floor(value * 100) AS BIGINT) FROM events
             )
             SELECT window_start, event_type, count(*) AS n_events,
-                   sum(value_cents) AS sum_value_cents
+                   CAST(sum(value_cents) AS BIGINT) AS sum_value_cents
             FROM w GROUP BY 1, 2
         """,
         "session_windows_events": """
@@ -239,18 +240,88 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
         """,
-        "knn_brute_embeddings": """
-            WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4),
-            s AS (
-              SELECT q.qid, e.vec_id,
-                     list_cosine_similarity(q.qv, e.embedding) AS sim
-              FROM q CROSS JOIN embeddings e
-            ),
-            r AS (
-              SELECT qid AS query_id, vec_id,
-                     row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
-              FROM s
+        "knn_brute_embeddings": _KNN_EXACT_SQL,
+        # full-probe LSH (probe_radius == bits) and full-scan IVF
+        # (nprobe == n_lists) are exactly brute force: the bucket/cell
+        # shuffle partitions the corpus, so the per-query top-k merge is
+        # lossless.  Partial-probe recall is pinned by pytest instead.
+        "knn_lsh_embeddings": _KNN_EXACT_SQL,
+        "knn_ivf_embeddings": _KNN_EXACT_SQL,
+        # fake decode = (64 + md5[0], 64 + md5[1], 3); this DuckDB has no
+        # BLOB md5, so the fixture carries the hex digest (computed at
+        # fixture build time, independent of the engine's per-batch hash)
+        "multimodal_features": """
+            WITH m AS (
+              SELECT media_id,
+                     strpos('0123456789abcdef', substr(payload_md5, 1, 1)) - 1 AS h1,
+                     strpos('0123456789abcdef', substr(payload_md5, 2, 1)) - 1 AS h2,
+                     strpos('0123456789abcdef', substr(payload_md5, 3, 1)) - 1 AS h3,
+                     strpos('0123456789abcdef', substr(payload_md5, 4, 1)) - 1 AS h4
+              FROM read_parquet('/tmp/etlray_media_256.parquet')
             )
-            SELECT query_id, vec_id FROM r WHERE rn <= 10
+            SELECT media_id,
+                   CAST(64 + 16 * h1 + h2 AS INTEGER) AS dec_height,
+                   CAST(64 + 16 * h3 + h4 AS INTEGER) AS dec_width,
+                   CAST(3 AS INTEGER) AS dec_channels
+            FROM m
+        """,
+        # replay semantics as SQL: LWW by (warc_ts DESC, lsn DESC) per url,
+        # latest-delete wins, v0-segment rows carry NULL lang (additive
+        # schema evolution).  The flattened event table (incl. per-event
+        # extracted text — regex+entity unescape, not SQL-expressible) is
+        # written next to the generated fixture; path is the sf0.01 shape
+        # the driver compares at.
+        "cdc_replay_pages": """
+            WITH w AS (
+              SELECT url, warc_ts, lsn, op, text, lang,
+                     row_number() OVER (
+                       PARTITION BY url ORDER BY warc_ts DESC, lsn DESC) AS rn
+              FROM read_parquet('/tmp/etlray_cdc_1000_8000/data/oracle_events.parquet')
+            )
+            SELECT url, warc_ts, text, lang FROM w WHERE rn = 1 AND op <> 'delete'
+        """,
+        "text_profile_docs": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z'']+') AS ws_en,
+                     regexp_extract_all(lower(text), '[a-zà-ÿäöüß'']+') AS ws_l
+              FROM documents
+            ),
+            scores AS (
+              SELECT doc_id, ws_en,
+                len(list_filter(ws_l, w -> list_contains(['der','die','und','das','in','von','zu','den','mit','ist'], w))) AS s_de,
+                len(list_filter(ws_l, w -> list_contains(['the','and','of','to','a','in','is','that','it','for'], w))) AS s_en,
+                len(list_filter(ws_l, w -> list_contains(['de','la','que','el','en','y','los','del','se','las'], w))) AS s_es,
+                len(list_filter(ws_l, w -> list_contains(['de','la','le','et','les','des','en','un','du','une'], w))) AS s_fr,
+                len(list_filter(ws_l, w -> list_contains(['de','que','e','o','a','do','da','em','um','para'], w))) AS s_pt
+              FROM base
+            )
+            SELECT doc_id,
+              CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_pt) = 0 THEN 'und'
+                   WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_pt) THEN 'de'
+                   WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_pt) THEN 'en'
+                   WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_pt) THEN 'es'
+                   WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_pt) THEN 'fr'
+                   ELSE 'pt' END AS lang_pred,
+              CASE WHEN len(ws_en) = 0 THEN 0.0
+                   ELSE CAST(len(list_filter(ws_en, w -> list_contains(['the','and','of','to','a','in','is','that','it','for'], w))) AS DOUBLE) / len(ws_en)
+              END AS stop_ratio_en
+            FROM scores
         """,
     }
+
+
+_KNN_EXACT_SQL = """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4),
+    s AS (
+      SELECT q.qid, e.vec_id,
+             list_cosine_similarity(q.qv, e.embedding) AS sim
+      FROM q CROSS JOIN embeddings e
+    ),
+    r AS (
+      SELECT qid AS query_id, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+      FROM s
+    )
+    SELECT query_id, vec_id FROM r WHERE rn <= 10
+"""

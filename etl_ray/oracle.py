@@ -70,6 +70,57 @@ def replay_oracle(base_path: str | None, segment_paths: list[str]) -> pa.Table:
     )
 
 
+def flat_events_table(base_path: str | None, segment_paths: list[str]) -> pa.Table:
+    """Flatten base + WAL into one event table (url, warc_ts, lsn, op,
+    text, lang) for the DuckDB driver oracle: the SQL then expresses the
+    replay semantics itself (LWW by (warc_ts, lsn) DESC, delete wins,
+    schema-evolution null-fill) as a window query, with ``text`` supplied
+    per event by the shared pure ``extract_text`` (not SQL-expressible —
+    regex backreferences + HTML entity unescape)."""
+    import numpy as np
+
+    tables = []
+    if base_path is not None:
+        base = pq.read_table(base_path)
+        tables.append(
+            pa.table(
+                {
+                    "url": base.column("url"),
+                    "warc_ts": base.column("warc_ts"),
+                    "lsn": pa.array(np.zeros(base.num_rows, np.int64)),
+                    "op": pa.array(["insert"] * base.num_rows, pa.string()),
+                    "text": base.column("text"),
+                    "lang": base.column("lang"),
+                }
+            )
+        )
+    for seg in segment_paths:
+        t = pq.read_table(seg)
+        ops = t.column("op").to_pylist()
+        htmls = t.column("html").to_pylist()
+        texts = [
+            None if op == "delete" else extract_text(h) for op, h in zip(ops, htmls)
+        ]
+        lang = (
+            t.column("lang")
+            if "lang" in t.schema.names
+            else pa.array([None] * t.num_rows, pa.string())
+        )
+        tables.append(
+            pa.table(
+                {
+                    "url": t.column("url"),
+                    "warc_ts": t.column("warc_ts"),
+                    "lsn": t.column("lsn"),
+                    "op": t.column("op"),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": lang,
+                }
+            )
+        )
+    return pa.concat_tables(tables)
+
+
 def _to_us(ts) -> int:
     if isinstance(ts, int):
         return ts

@@ -132,12 +132,11 @@ def anti_join_customers_without_orders(sf_dir: str):
             .to_arrow_refs()
         )
     )
-    keys_ref = ray.put(set(okeys["o_custkey"].to_pylist()))
+    keys_ref = ray.put(pc.unique(okeys["o_custkey"].combine_chunks()))
 
     def anti(t: pa.Table) -> pa.Table:
         ks = ray.get(keys_ref)
-        mask = pa.array([k not in ks for k in t["c_custkey"].to_pylist()])
-        return t.filter(mask)
+        return t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=ks)))
 
     return ray.data.read_parquet(
         _p(sf_dir, "customer"), columns=["c_custkey", "c_name"]
@@ -156,12 +155,11 @@ def semi_join_customers_with_open_orders(sf_dir: str):
             .to_arrow_refs()
         )
     )
-    keys_ref = ray.put(set(open_orders["o_custkey"].to_pylist()))
+    keys_ref = ray.put(pc.unique(open_orders["o_custkey"].combine_chunks()))
 
     def semi(t: pa.Table) -> pa.Table:
         ks = ray.get(keys_ref)
-        mask = pa.array([k in ks for k in t["c_custkey"].to_pylist()])
-        return t.filter(mask)
+        return t.filter(pc.is_in(t["c_custkey"], value_set=ks))
 
     return ray.data.read_parquet(
         _p(sf_dir, "customer"), columns=["c_custkey", "c_name"]
@@ -176,11 +174,23 @@ def upsert_lww_events(sf_dir: str):
     ds = ray.data.read_parquet(
         _p(sf_dir, "events"), columns=["event_id", "ts", "user_id", "event_type", "value"]
     )
-    combine = lambda t: lww_compact(t, key="user_id", order_by=("ts", "event_id"))
+
+    # shuffle on a hash BUCKET of the key, not the raw key: Ray groupby
+    # dispatch costs ~100us per distinct group (BASELINE.md), so at 10^8
+    # users the per-key shuffle is the wall.  lww_compact is already
+    # vectorized per-key WITHIN a bucket (bucket is a function of the key).
+    def combine(t: pa.Table) -> pa.Table:
+        t = lww_compact(t, key="user_id", order_by=("ts", "event_id"))
+        b = pc.bit_wise_and(pc.cast(t["user_id"], pa.uint64()), pa.scalar(255, pa.uint64()))
+        return t.append_column("bucket", pc.cast(b, pa.int32()))
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        return lww_compact(g.drop_columns(["bucket"]), key="user_id", order_by=("ts", "event_id"))
+
     final = (
         ds.map_batches(combine, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(combine, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
     )
     return final.map_batches(
         lambda t: t.select(["user_id", "ts", "event_type", "value"]),
@@ -228,6 +238,15 @@ def hourly_event_stats(sf_dir: str):
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby(["hour", "event_type"])
         .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents"))
+        # Ray's groupby carries the timestamp key at second resolution;
+        # restore timestamp[us] to match date_trunc's output type
+        .map_batches(
+            lambda t: t.set_column(
+                t.column_names.index("hour"), "hour",
+                t.column("hour").cast(pa.timestamp("us")),
+            ),
+            batch_format="pyarrow",
+        )
     )
 
 
@@ -240,15 +259,19 @@ def revenue_by_segment(sf_dir: str):
             ray.data.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]).to_arrow_refs()
         )
     )
-    seg_map = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
-    seg_ref = ray.put(seg_map)
+    seg_ref = ray.put(
+        (cust["c_custkey"].combine_chunks(), cust["c_mktsegment"].combine_chunks())
+    )
 
     def join_and_partial(t: pa.Table) -> pa.Table:
-        sm = ray.get(seg_ref)
-        segs = [sm.get(k) for k in t["o_custkey"].to_pylist()]
+        keys, vals = ray.get(seg_ref)
+        # vectorized dim lookup: position of each fact key in the dim key
+        # array, then take the value column (missing key -> null)
+        pos = pc.index_in(t["o_custkey"], value_set=keys)
+        segs = pc.take(vals, pos)
         tt = pa.table(
-            {"c_mktsegment": pa.array(segs, pa.string()), "price_cents": _cents(t["o_totalprice"])}
-        ).filter(pc.is_valid(pa.array(segs, pa.string())))
+            {"c_mktsegment": segs, "price_cents": _cents(t["o_totalprice"])}
+        ).filter(pc.is_valid(segs))
         return tt.group_by("c_mktsegment").aggregate(
             [("price_cents", "sum"), ("price_cents", "count")]
         ).rename_columns(["c_mktsegment", "partial_cents", "partial_n"])
@@ -272,17 +295,20 @@ def customers_per_region(sf_dir: str):
     region = pa.concat_tables(
         ray.get(ray.data.read_parquet(_p(sf_dir, "region")).to_arrow_refs())
     )
-    rmap = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
-    nmap = {
-        nk: rmap[rk]
-        for nk, rk in zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
-    }
-    nref = ray.put(nmap)
+    # pre-join the two tiny dims driver-side (nation -> region name), then
+    # broadcast (key array, value array) for a vectorized index_in lookup
+    rpos = pc.index_in(nation["n_regionkey"], value_set=region["r_regionkey"].combine_chunks())
+    nref = ray.put(
+        (
+            nation["n_nationkey"].combine_chunks(),
+            pc.take(region["r_name"].combine_chunks(), rpos),
+        )
+    )
 
     def tag(t: pa.Table) -> pa.Table:
-        nm = ray.get(nref)
-        r = [nm.get(k) for k in t["c_nationkey"].to_pylist()]
-        return pa.table({"r_name": pa.array(r, pa.string())})
+        keys, vals = ray.get(nref)
+        pos = pc.index_in(t["c_nationkey"], value_set=keys)
+        return pa.table({"r_name": pc.take(vals, pos)})
 
     return (
         ray.data.read_parquet(_p(sf_dir, "customer"), columns=["c_nationkey"])
@@ -359,16 +385,26 @@ def shingle_jaccard_docs(sf_dir: str):
     return shingle_jaccard_pairs(ds, ngram=3, max_df=64, threshold=0.5)
 
 
+def _query_vectors(sf_dir: str, upper: int) -> dict[int, np.ndarray]:
+    """Pruned driver-side read of the query sample: only the two needed
+    columns and only vec_id < upper row groups leave storage."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import _to_matrix
+
+    tbl = pq.read_table(
+        _p(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", upper)],
+    )
+    m = _to_matrix(tbl, "embedding")
+    return {int(i): m[j] for j, i in enumerate(tbl.column("vec_id").to_pylist())}
+
+
 def knn_brute_embeddings(sf_dir: str):
     from ..stages.similarity import knn_brute
 
-    import pyarrow.parquet as pq
-
-    tbl = pq.read_table(_p(sf_dir, "embeddings"))
-    queries = {
-        r["vec_id"]: np.array(r["embedding"], np.float64)
-        for r in tbl.filter(pc.less(tbl["vec_id"], pa.scalar(4))).to_pylist()
-    }
+    queries = _query_vectors(sf_dir, 4)
     ds = ray.data.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     out = knn_brute(ds, queries, k=10)
     return out.map_batches(lambda t: t.select(["query_id", "vec_id"]), batch_format="pyarrow")
@@ -378,18 +414,19 @@ def knn_brute_embeddings(sf_dir: str):
 
 
 def text_profile_docs(sf_dir: str):
-    """LangId + BPE-ish token estimate + stopword ratio (heuristics with
-    no SQL equivalent -> rows-only check)."""
-    from ..stages.text import LangId, QualityScorer, TokenCounter
+    """LangId (stopword-hit argmax) + english stopword ratio.  Both are
+    SQL-reproducible (list_filter + greatest/CASE), so this is oracle-
+    checked; the BPE-ish token estimate (lookahead regex, not RE2-safe)
+    stays a pytest-only column on TokenCounter."""
+    from ..stages.text import LangId, QualityScorer
 
     ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     out = (
-        ds.map_batches(TokenCounter, batch_format="pyarrow", concurrency=(1, 2))
-        .map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 2))
+        ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 2))
         .map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2))
     )
     return out.map_batches(
-        lambda t: t.select(["doc_id", "lang_pred", "n_bpe_est", "stop_ratio_en"]),
+        lambda t: t.select(["doc_id", "lang_pred", "stop_ratio_en"]),
         batch_format="pyarrow",
     )
 
@@ -412,26 +449,49 @@ def simhash_groups_docs(sf_dir: str):
 
 
 def knn_lsh_embeddings(sf_dir: str):
+    """LSH top-k, driver entry: probe_radius == bits probes every bucket,
+    so the result is EXACTLY the brute-force top-k (same SQL oracle) while
+    still exercising the full bucket-shuffle machinery; partial-radius
+    recall is pinned by pytest (tests/test_dedup_similarity.py)."""
     from ..stages.similarity import knn_lsh
+
+    queries = _query_vectors(sf_dir, 4)
+    ds = ray.data.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = knn_lsh(ds, queries, k=10, bits=5, probe_radius=5)
+    return out.map_batches(lambda t: t.select(["query_id", "vec_id"]), batch_format="pyarrow")
+
+
+def _media_fixture_path() -> str:
+    """Deterministic media fixture parquet, shared by the Ray pipeline and
+    the DuckDB oracle.  Carries ``payload_md5`` (hex, computed at fixture
+    build time) so the oracle can reproduce the engine's md5-derived fake
+    decode without a BLOB md5 function (this DuckDB has md5(VARCHAR) only).
+    The engine ignores that column and hashes the payload bytes itself."""
+    import hashlib
 
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(_p(sf_dir, "embeddings"))
-    queries = {
-        r["vec_id"]: np.array(r["embedding"], np.float64)
-        for r in tbl.filter(pc.less(tbl["vec_id"], pa.scalar(4))).to_pylist()
-    }
-    ds = ray.data.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    out = knn_lsh(ds, queries, k=10, bits=5)
-    return out.map_batches(lambda t: t.select(["query_id", "vec_id"]), batch_format="pyarrow")
+    from ..stages.multimodal import make_fake_media_table
+
+    path = "/tmp/etlray_media_256.parquet"
+    if not os.path.exists(path):
+        tbl = make_fake_media_table(256, seed=42)
+        md5s = [
+            hashlib.md5(p).hexdigest() if p else None
+            for p in tbl.column("payload").to_pylist()
+        ]
+        tbl = tbl.append_column("payload_md5", pa.array(md5s, pa.string()))
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+    return path
 
 
 def multimodal_features(sf_dir: str):
     """Actor-pool decode/feature plumbing over deterministic fake media."""
-    from ..stages.multimodal import FeatureExtractor, ImageDecoder, make_fake_media_table
+    from ..stages.multimodal import FeatureExtractor, ImageDecoder
 
-    tbl = make_fake_media_table(256, seed=42)
-    ds = ray.data.from_arrow(tbl)
+    ds = ray.data.read_parquet(_media_fixture_path())
     out = ds.map_batches(
         ImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=(1, 2)
     ).map_batches(FeatureExtractor, batch_format="pyarrow", batch_size=64, concurrency=(1, 2))
@@ -442,11 +502,18 @@ def multimodal_features(sf_dir: str):
 
 
 def cdc_replay_pages(sf_dir: str):
-    """The flagship CDC pipeline itself, scaled by sf_dir (rows-only for
-    the driver; the pytest suite is the real differential gate)."""
+    """The flagship CDC pipeline itself, scaled by sf_dir.  The driver
+    oracle is real SQL over a flattened event table written next to the
+    fixture: the LWW/delete/schema-evolution semantics live in the SQL
+    window query (`__ray_entry__.oracle_sql`); per-event ``text`` comes
+    from the shared pure ``extract_text`` (byte-identity is additionally
+    pinned by the pytest differential suite)."""
     import tempfile
 
+    import pyarrow.parquet as pq
+
     from ..gen import WalSpec, generate_dataset
+    from ..oracle import flat_events_table
     from .replay import bootstrap_lake, read_table_arrow, replay
 
     sizes = {"sf0.001": (300, 1500), "sf0.01": (1000, 8000), "sf0.1": (4000, 40000)}
@@ -459,13 +526,32 @@ def cdc_replay_pages(sf_dir: str):
         # generate into a private dir, publish with one atomic rename —
         # concurrent callers must never observe a half-written fixture
         tmp_dir = f"{data_dir}.tmp.{os.getpid()}"
-        generate_dataset(tmp_dir, WalSpec(n_urls=n_urls, n_events=n_events, n_segments=8))
+        paths = generate_dataset(
+            tmp_dir, WalSpec(n_urls=n_urls, n_events=n_events, n_segments=8)
+        )
+        pq.write_table(
+            flat_events_table(paths["base"], paths["segments"]),
+            os.path.join(tmp_dir, "oracle_events.parquet"),
+        )
         try:
             os.rename(tmp_dir, data_dir)
         except OSError:  # someone else won the race
             import shutil
 
             shutil.rmtree(tmp_dir, ignore_errors=True)
+    elif not os.path.exists(os.path.join(data_dir, "oracle_events.parquet")):
+        # fixture from an older run without the flat oracle table: backfill
+        from .replay import list_segments
+
+        tmp = os.path.join(data_dir, f"oracle_events.tmp.{os.getpid()}")
+        pq.write_table(
+            flat_events_table(
+                os.path.join(data_dir, "base", "pages.parquet"),
+                list_segments(os.path.join(data_dir, "wal")),
+            ),
+            tmp,
+        )
+        os.replace(tmp, os.path.join(data_dir, "oracle_events.parquet"))
     lake_root = os.path.join(root, "lake", str(os.getpid()), "pages")
     bootstrap_lake(lake_root, os.path.join(data_dir, "base", "pages.parquet"), num_partitions=16)
     replay(lake_root, os.path.join(data_dir, "wal"))
@@ -508,14 +594,15 @@ def embedding_neardup_pairs(sf_dir: str):
     batch — no shuffle of the corpus."""
     import pyarrow.parquet as pq_
 
-    from ..stages.similarity import _normalize
+    from ..stages.similarity import _normalize, _to_matrix
 
-    tbl = pq_.read_table(_p(sf_dir, "embeddings"))
-    tbl = tbl.filter(pc.less(tbl["vec_id"], pa.scalar(1000)))
-    ids = np.asarray(tbl.column("vec_id").to_pylist())
-    m = _normalize(
-        np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    tbl = pq_.read_table(
+        _p(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 1000)],
     )
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+    m = _normalize(_to_matrix(tbl, "embedding").astype(np.float64))
     m_ref = ray.put((ids, m))
 
     ds = ray.data.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
@@ -526,8 +613,8 @@ def embedding_neardup_pairs(sf_dir: str):
 
     def pairs(batch: pa.Table) -> pa.Table:
         all_ids, all_m = ray.get(m_ref)
-        bid = np.asarray(batch.column("vec_id").to_pylist())
-        bm = _normalize(np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)) if len(bid) else np.zeros((0, all_m.shape[1]))
+        bid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        bm = _normalize(_to_matrix(batch, "embedding").astype(np.float64)) if len(bid) else np.zeros((0, all_m.shape[1]))
         out_a, out_b = [], []
         if len(bid):
             sims = bm @ all_m.T  # (B, N)
@@ -564,42 +651,76 @@ def sliding_window_events(sf_dir: str):
         ds.map_batches(explode, batch_format="pyarrow")
         .groupby(["window_start", "event_type"])
         .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents"))
+        .map_batches(
+            lambda t: t.set_column(
+                t.column_names.index("window_start"), "window_start",
+                t.column("window_start").cast(pa.timestamp("us")),
+            ),
+            batch_format="pyarrow",
+        )
     )
 
 
 def session_windows_events(sf_dir: str):
-    """Session windows (30 min inactivity gap) per user: groupby(user) ->
-    sorted per-group pandas sessionization (SURVEY §2.10 pattern).  The
-    DuckDB oracle reproduces it with lag() + cumulative sum."""
-    import pandas as pd
+    """Session windows (30 min inactivity gap) per user (SURVEY §2.10).
 
+    Scale shape: ONE shuffle keyed by hash(user) % 256 buckets (bounded
+    group count, not one Python dispatch per user), then fully vectorized
+    numpy sessionization inside each bucket: sort by (user, ts, event_id),
+    session boundary = user change OR gap > 30 min, cumsum -> session ids,
+    reduce via boundary indices.  The DuckDB oracle reproduces it with
+    lag() + cumulative sum."""
     ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gap = g["ts"].diff().dt.total_seconds().fillna(0)
-        sid = (gap > 1800).cumsum()
-        out = g.groupby(sid).agg(
-            user_id=("user_id", "first"),
-            session_start=("ts", "min"),
-            session_end=("ts", "max"),
-            n_events=("event_id", "count"),
-        )
-        return out.reset_index(drop=True)
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.bit_wise_and(pc.cast(t["user_id"], pa.uint64()), pa.scalar(255, pa.uint64()))
+        return t.append_column("bucket", pc.cast(b, pa.int32()))
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def sessions_bucket(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = g.take(idx)
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)  # us
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "session_start": pa.array([], pa.timestamp("us")),
+                    "session_end": pa.array([], pa.timestamp("us")),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        new_sess = np.ones(n, bool)
+        new_sess[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > 1_800_000_000)
+        starts = np.flatnonzero(new_sess)
+        ends = np.append(starts[1:], n) - 1  # rows are ts-sorted per user
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "session_start": pa.array(ts[starts], pa.timestamp("us")),
+                "session_end": pa.array(ts[ends], pa.timestamp("us")),
+                "n_events": pa.array(np.append(starts[1:], n) - starts, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sessions_bucket, batch_format="pyarrow")
+    )
 
 
 def knn_ivf_embeddings(sf_dir: str):
+    """IVF top-k, driver entry: nprobe == n_lists scans every cell, so the
+    result is EXACTLY the brute-force top-k (same SQL oracle) while still
+    exercising the distributed k-means + cell-shuffle machinery;
+    partial-nprobe recall is pinned by pytest."""
     from ..stages.similarity import knn_ivf
 
-    import pyarrow.parquet as pq
-
-    tbl = pq.read_table(_p(sf_dir, "embeddings"))
-    queries = {
-        r["vec_id"]: np.array(r["embedding"], np.float64)
-        for r in tbl.filter(pc.less(tbl["vec_id"], pa.scalar(4))).to_pylist()
-    }
+    queries = _query_vectors(sf_dir, 4)
     ds = ray.data.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    out = knn_ivf(ds, queries, k=10, n_lists=8, nprobe=3)
+    out = knn_ivf(ds, queries, k=10, n_lists=8, nprobe=8)
     return out.map_batches(lambda t: t.select(["query_id", "vec_id"]), batch_format="pyarrow")

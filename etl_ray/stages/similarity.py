@@ -268,14 +268,21 @@ def knn_lsh(
     id_col: str = "vec_id",
     k: int = 10,
     bits: int = 6,
+    probe_radius: int = 1,
     dim: int | None = None,
     seed: int = 42,
     concurrency=(1, 4),
 ):
     """Approximate top-k: corpus bucketed by random-hyperplane LSH; each
-    query scored only against its bucket.  Recall < 1 by design; the
+    query probes every bucket within Hamming distance ``probe_radius`` of
+    its own code (multi-probe).  Recall grows with the radius;
+    ``probe_radius == bits`` probes all 2^bits buckets and is EXACTLY
+    brute force (the buckets partition the corpus, so candidates are
+    disjoint and the final per-query top-k merge is lossless).  The
     partitioning assumption (bucket sizes ~ n/2^bits) is the documented
     trade."""
+    import itertools
+
     import ray
 
     qitems = sorted((int(i), np.asarray(v, np.float32)) for i, v in queries.items())
@@ -292,12 +299,20 @@ def knn_lsh(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    # queries -> buckets (driver-side; Q is small)
+    # queries -> probed buckets (driver-side; Q and 2^bits are small):
+    # all codes within Hamming distance <= probe_radius of the query code
+    radius = min(max(0, probe_radius), bits)
+    flips = [0] + [
+        sum(1 << p for p in pos)
+        for r in range(1, radius + 1)
+        for pos in itertools.combinations(range(bits), r)
+    ]
     qmat = np.stack([v for _, v in qitems])
     qbuckets = bucketer.bucket_of(qmat)
     by_bucket: dict[int, dict[int, np.ndarray]] = {}
     for (qid, v), b in zip(qitems, qbuckets):
-        by_bucket.setdefault(int(b), {})[qid] = v
+        for mask in flips:
+            by_bucket.setdefault(int(b) ^ mask, {})[qid] = v
     by_bucket_ref = ray.put(by_bucket)
 
     def score_bucket(g: pa.Table) -> pa.Table:
@@ -330,4 +345,16 @@ def knn_lsh(
             }
         )
 
-    return bucketed.groupby("bucket").map_groups(score_bucket, batch_format="pyarrow")
+    partial = bucketed.groupby("bucket").map_groups(score_bucket, batch_format="pyarrow")
+
+    # merge per-bucket partials (a query probes several buckets; buckets
+    # partition the corpus so partials are disjoint — plain top-k merge)
+    def final_topk(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            g, sort_keys=[("cosine", "descending"), (id_col, "ascending")]
+        )
+        return g.take(idx[:k])
+
+    return partial.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
