@@ -79,6 +79,34 @@ def _pairs_from_sorted_groups(
     return np.concatenate(out_a).astype(np.int64), np.concatenate(out_b).astype(np.int64)
 
 
+def _unique_pairs_sum(
+    a: np.ndarray, b: np.ndarray, n: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized per-(a,b) sum of n.  Packs both ids into one uint64 when
+    they fit in 31 bits (fast path); otherwise reduces over a structured
+    2-column key — wide or negative ids are never silently collided."""
+    if len(a) == 0:
+        return a.astype(np.int64), b.astype(np.int64), n.astype(np.int64)
+    if (
+        int(a.min()) >= 0
+        and int(b.min()) >= -1
+        and max(int(a.max()), int(b.max()) + 1) < (1 << 31)
+    ):
+        packed = a.astype(np.uint64) * np.uint64(1 << 32) + (b + 1).astype(np.uint64)
+        uniq, inv = np.unique(packed, return_inverse=True)
+        sums = np.bincount(inv, weights=n.astype(np.float64)).astype(np.int64)
+        return (
+            (uniq >> np.uint64(32)).astype(np.int64),
+            (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64) - 1,
+            sums,
+        )
+    rec = np.empty(len(a), dtype=[("a", np.int64), ("b", np.int64)])
+    rec["a"], rec["b"] = a, b
+    uniq, inv = np.unique(rec, return_inverse=True)
+    sums = np.bincount(inv, weights=n.astype(np.float64)).astype(np.int64)
+    return uniq["a"].astype(np.int64), uniq["b"].astype(np.int64), sums
+
+
 class MinHasher:
     """Per-batch minhash signatures over word n-gram shingles.
 
@@ -163,26 +191,20 @@ def minhash_lsh_pairs(
     """MinHash+LSH near-duplicate candidate pairs, verified by signature
     agreement >= threshold.  Returns Dataset(id_a, id_b, est_jaccard).
 
-    Pipeline: map_batches(MinHasher) -> map_batches(BandEmitter)
-    -> groupby(band, band_hash) pairs -> distinct -> verify via
-    signatures (re-computed per pair batch from a broadcast of the two
-    docs' signatures is avoided by joining signatures through a second
-    groupby on id — at small scale we broadcast; see ``_verify``).
+    Pipeline (everything distributed; nothing corpus-sized touches the
+    driver): map_batches(MinHasher) -> map_batches(BandEmitter)
+    -> groupby(hash bucket) vectorized pair emission -> groupby(hash
+    bucket) vectorized pair dedup -> two hash-partitioned Dataset.join()s
+    back to the signature table -> per-batch vectorized signature
+    agreement.  At 10^10 docs the signature table is ~TBs — it stays
+    sharded in the object store and moves only through the joins.
     """
-    import ray
-
     hasher = MinHasher(text_col, k, ngram, seed)
-    # materialize signatures once: both the banding pass and the broadcast
-    # verification read them (without this the Python minhash pass runs twice)
+    # materialize signatures once: the banding pass and both verify joins
+    # read them (without this the Python minhash pass would run 3x)
     sigs = ds.map_batches(hasher, batch_format="pyarrow").select_columns(
         [id_col, "sig"]
     ).materialize()
-    # signature table is small (k*8 bytes/doc); collect for verification
-    sig_tbl = sigs.take_all()
-    sig_map = {
-        r[id_col]: np.asarray(r["sig"], dtype=np.uint64) for r in sig_tbl
-    }
-    sig_ref = ray.put(sig_map)
 
     bandemit = BandEmitter(id_col, bands, k)
     banded = sigs.map_batches(bandemit, batch_format="pyarrow")
@@ -205,63 +227,125 @@ def minhash_lsh_pairs(
 
     pairs = banded.groupby("gbucket").map_groups(bucket_pairs, batch_format="pyarrow")
 
+    # global pair dedup (same pair can surface from multiple bands):
+    # shuffle on a 256-way hash of the pair, np.unique inside — bounded
+    # group count, no per-distinct-pair Python dispatch
+    def tag_pair(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        pb = ((a * 2654435761 + b) % 256).astype(np.int32)
+        return batch.append_column("pbucket", pa.array(pb))
+
+    def dedup_pairs(g: pa.Table) -> pa.Table:
+        a = g.column("id_a").to_numpy(zero_copy_only=False)
+        b = g.column("id_b").to_numpy(zero_copy_only=False)
+        ua, ub, _ = _unique_pairs_sum(a, b, np.ones(len(a), np.int64))
+        return pa.table(
+            {"id_a": pa.array(ua, pa.int64()), "id_b": pa.array(ub, pa.int64())}
+        )
+
+    pairs = (
+        pairs.map_batches(tag_pair, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(dedup_pairs, batch_format="pyarrow")
+    )
+
+    # distributed verification: hash-partitioned joins back to the
+    # signature table (NOT a driver-side signature dict — at 10^10 docs
+    # the signatures are far beyond driver memory).  Signatures travel as
+    # fixed_size_binary (the Acero join rejects fixed_size_list payloads);
+    # the bytes are the raw little-endian uint64 signature, zero-copy both
+    # ways.
+    def _sig_side(side: str):
+        def conv(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            flat = np.asarray(t.column("sig").combine_chunks().flatten())
+            fsb = pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(k * 8), n, [None, pa.py_buffer(flat.tobytes())]
+            )
+            return pa.table({f"id_{side}": t.column(id_col), f"sig_{side}": fsb})
+
+        return conv
+
+    sig_a = sigs.map_batches(_sig_side("a"), batch_format="pyarrow")
+    sig_b = sigs.map_batches(_sig_side("b"), batch_format="pyarrow")
+    # each JoinOperator holds num_partitions aggregator actors; BOTH joins
+    # run in one streaming plan, so size them to the session or the second
+    # join's actors never schedule (measured deadlock: 2x16 partitions on
+    # a 4-CPU session)
+    import ray as _ray
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    npart = max(2, min(64, ncpu // 4))
+    joined = pairs.join(sig_a, "inner", num_partitions=npart, on=("id_a",)).join(
+        sig_b, "inner", num_partitions=npart, on=("id_b",)
+    )
+
+    def _sig_matrix(col: pa.ChunkedArray | pa.Array, nrows: int) -> np.ndarray:
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        full = np.frombuffer(arr.buffers()[1], np.uint64).reshape(-1, k)
+        return full[arr.offset : arr.offset + nrows]
+
     def verify(batch: pa.Table) -> pa.Table:
-        smap = ray.get(sig_ref)
-        ia = batch.column("id_a").to_pylist()
-        ib = batch.column("id_b").to_pylist()
-        keep_a, keep_b, est = [], [], []
-        seen = set()
-        for x, y in zip(ia, ib):
-            if (x, y) in seen:
-                continue
-            seen.add((x, y))
-            sa, sb = smap.get(x), smap.get(y)
-            if sa is None or sb is None:
-                continue
-            j = float(np.mean(sa == sb))
-            if j >= threshold:
-                keep_a.append(x)
-                keep_b.append(y)
-                est.append(j)
+        nrows = batch.num_rows
+        if nrows == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "est_jaccard": pa.array([], pa.float64()),
+                }
+            )
+        sa = _sig_matrix(batch.column("sig_a"), nrows)
+        sb = _sig_matrix(batch.column("sig_b"), nrows)
+        est = (sa == sb).mean(axis=1)
+        keep = est >= threshold
         return pa.table(
             {
-                "id_a": pa.array(keep_a, pa.int64()),
-                "id_b": pa.array(keep_b, pa.int64()),
-                "est_jaccard": pa.array(est, pa.float64()),
+                "id_a": batch.column("id_a").filter(pa.array(keep)),
+                "id_b": batch.column("id_b").filter(pa.array(keep)),
+                "est_jaccard": pa.array(est[keep], pa.float64()),
             }
         )
 
-    verified = pairs.map_batches(verify, batch_format="pyarrow")
-    # global pair dedup (same pair can surface from multiple bands)
-    return verified.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id"):
     """Exact dedup: keep the min-id row per normalized-content digest.
 
-    Shuffle moves (digest, row) — groupby on the 32-hex digest, keep-first
-    within group.  Reference analogue: file-level ledger dedup D1 + key
-    upsert D2 (`src/pipeline/core/client_clickhouse.py:181,193`)."""
+    Scale shape: ONE shuffle keyed by the digest's first byte (256
+    bounded groups — per-distinct-digest groupby dispatch costs ~100us
+    per group, hours at 10^9 docs), then a vectorized keep-first inside
+    each bucket (dictionary-encode digests, lexsort by (digest, id),
+    take group heads).  The shuffle moves digests + rows, never re-reads
+    text.  Reference analogue: file-level ledger dedup D1 + key upsert
+    D2 (`src/pipeline/core/client_clickhouse.py:181,193`)."""
     from .text import Fingerprinter
 
     fp = Fingerprinter(text_col)
 
     def add_fp(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
+        fps = [fp.md5_norm(t) for t in texts]
+        batch = batch.append_column("fp_md5", pa.array(fps, pa.string()))
         return batch.append_column(
-            "fp_md5", pa.array([fp.md5_norm(t) for t in texts], pa.string())
+            "fp_bucket",
+            pa.array([int(h[:2], 16) for h in fps], pa.int32()),
         )
 
-    def keep_min_id(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(g, sort_keys=[(id_col, "ascending")])
-        return g.take(idx[:1]).drop_columns(["fp_md5"])
+    def keep_min_id_bucket(g: pa.Table) -> pa.Table:
+        codes = pc.dictionary_encode(g.column("fp_md5").combine_chunks()).indices
+        codes = codes.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, codes))
+        heads = order[np.concatenate(([True], np.diff(codes[order]) != 0))]
+        return g.take(pa.array(np.sort(heads))).drop_columns(["fp_md5", "fp_bucket"])
 
     return (
         ds.map_batches(add_fp, batch_format="pyarrow")
-        .groupby("fp_md5")
-        .map_groups(keep_min_id, batch_format="pyarrow")
+        .groupby("fp_bucket")
+        .map_groups(keep_min_id_bucket, batch_format="pyarrow")
     )
 
 
@@ -337,14 +421,9 @@ def shingle_jaccard_pairs(
         a, b = _pairs_from_sorted_groups(codes, docs, max_df, emit_markers=True)
         # in-bucket combiner: the same doc pair recurs across many shingles
         # of this bucket — pre-count so the pair shuffle moves partials,
-        # not one row per (pair, shingle) occurrence
-        if len(a) and max(int(a.max()), int(b.max()) + 1) < (1 << 31):
-            packed = a.astype(np.uint64) * np.uint64(1 << 32) + (b + 1).astype(np.uint64)
-            uniq, counts = np.unique(packed, return_counts=True)
-            a = (uniq >> np.uint64(32)).astype(np.int64)
-            b = (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64) - 1
-        else:  # ids too wide to pack — ship unreduced (n=1 per occurrence)
-            counts = np.ones(len(a), np.int64)
+        # not one row per (pair, shingle) occurrence (wide ids take the
+        # structured-key path inside the helper, never a silent collision)
+        a, b, counts = _unique_pairs_sum(a, b, np.ones(len(a), np.int64))
         return pa.table(
             {
                 "id_a": pa.array(a, pa.int64()),
@@ -376,15 +455,11 @@ def shingle_jaccard_pairs(
         a = g.column("id_a").to_numpy(zero_copy_only=False)
         b = g.column("id_b").to_numpy(zero_copy_only=False)
         n = g.column("n").to_numpy(zero_copy_only=False)
-        packed = a.astype(np.uint64) * np.uint64(1 << 32) + (b + 1).astype(np.uint64)
-        uniq, inv = np.unique(packed, return_inverse=True)
-        sums = np.bincount(inv, weights=n.astype(np.float64)).astype(np.int64)
+        ua, ub, sums = _unique_pairs_sum(a, b, n)
         return pa.table(
             {
-                "id_a": pa.array((uniq >> np.uint64(32)).astype(np.int64), pa.int64()),
-                "id_b": pa.array(
-                    (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64) - 1, pa.int64()
-                ),
+                "id_a": pa.array(ua, pa.int64()),
+                "id_b": pa.array(ub, pa.int64()),
                 "count()": pa.array(sums, pa.int64()),
             }
         )
@@ -463,25 +538,48 @@ class SimHasher:
 
 
 def simhash_dup_groups(ds, *, text_col: str = "text", id_col: str = "doc_id"):
-    """Exact-simhash duplicate groups: Dataset(simhash, ids list, n)."""
+    """Exact-simhash duplicate groups: Dataset(simhash, ids list, n).
+
+    Scale shape: ONE shuffle keyed by hash-bucket (256 bounded groups,
+    not one Python dispatch per distinct 64-bit simhash ~ n_docs groups);
+    inside a bucket the grouping is fully vectorized (lexsort by
+    (simhash, id), boundary diff, ListArray built from offsets)."""
     sigs = ds.map_batches(SimHasher(text_col), batch_format="pyarrow")
 
-    def group_ids(g: pa.Table) -> pa.Table:
-        ids = sorted(g.column(id_col).to_pylist())
-        if len(ids) < 2:
-            return pa.table(
-                {"simhash": pa.array([], pa.int64()),
-                 "ids": pa.array([], pa.list_(pa.int64())),
-                 "n": pa.array([], pa.int64())}
-            )
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = t.column("simhash").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array((h.astype(np.uint64) % np.uint64(256)).astype(np.int32))
+        )
+
+    def bucket_groups(g: pa.Table) -> pa.Table:
+        h = g.column("simhash").to_numpy(zero_copy_only=False)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        h, ids = h[order], ids[order]
+        boundary = np.flatnonzero(np.diff(h)) + 1
+        starts = np.concatenate(([0], boundary))
+        ends = np.concatenate((boundary, [len(h)]))
+        sizes = ends - starts
+        keep = sizes >= 2
+        ks, ksz = starts[keep], sizes[keep]
+        # gather kept groups' ids contiguously, then wrap as list<int64>
+        take_idx = np.concatenate(
+            [np.arange(s, s + z) for s, z in zip(ks, ksz)]
+        ) if len(ks) else np.array([], np.int64)
+        offsets = np.concatenate(([0], np.cumsum(ksz))).astype(np.int32)
+        values = pa.array(ids[take_idx], pa.int64())
         return pa.table(
             {
-                "simhash": pa.array([g.column("simhash")[0].as_py()], pa.int64()),
-                "ids": pa.array([ids], pa.list_(pa.int64())),
-                "n": pa.array([len(ids)], pa.int64()),
+                "simhash": pa.array(h[ks], pa.int64()),
+                "ids": pa.ListArray.from_arrays(pa.array(offsets), values),
+                "n": pa.array(ksz.astype(np.int64), pa.int64()),
             }
         )
 
-    return sigs.select_columns([id_col, "simhash"]).groupby("simhash").map_groups(
-        group_ids, batch_format="pyarrow"
+    return (
+        sigs.select_columns([id_col, "simhash"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_groups, batch_format="pyarrow")
     )
