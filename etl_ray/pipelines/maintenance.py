@@ -59,16 +59,42 @@ def _compact_partition(
     }
 
 
+def contiguous_applied_prefix(manifest: dict) -> int:
+    """Highest LSN H such that every lsn <= H lies inside a committed
+    applied range.  Events above H may still arrive in not-yet-applied
+    segments, so tombstones above H must be retained."""
+    cur = 0
+    for lo, hi in sorted((int(a), int(b)) for a, b in manifest["applied_lsn_ranges"]):
+        if lo <= cur + 1:
+            cur = max(cur, hi)
+        else:
+            break
+    return cur
+
+
 def compact(lake_root: str, watermark_lsn: int | None = None) -> dict:
-    """Drop tombstones at or below ``watermark_lsn`` (default: the highest
-    applied LSN — valid when the WAL is replayed strictly in segment
-    order, which ``replay()`` guarantees).  Returns the tx lineage."""
+    """Drop tombstones at or below ``watermark_lsn``.
+
+    Safety analysis (LWW order is EVENT TIME ``(warc_ts, lsn)``, so an
+    event's lsn says nothing about its warc_ts):
+
+    * redelivered copies of already-applied segments can never resurrect a
+      dropped tombstone — the replay combiner filters events whose lsn
+      lies inside a committed range (event-level exactly-once);
+    * a still-PENDING segment may carry arbitrarily late (old-warc_ts)
+      events for a deleted key, and only the tombstone guards those.
+
+    Default watermark therefore: the full applied range when the committed
+    LSN ranges are gap-free (caller asserts the stream is caught up), and
+    0 — drop nothing — when a gap shows older segments are still pending.
+    Pass ``watermark_lsn`` explicitly to encode a stronger WAL lateness
+    contract (e.g. an event-time bound).  Returns the tx lineage."""
     lake = LakeTable(lake_root)
     manifest = lake.read_manifest()
     if watermark_lsn is None:
-        watermark_lsn = max(
-            (hi for _, hi in manifest["applied_lsn_ranges"]), default=0
-        )
+        prefix = contiguous_applied_prefix(manifest)
+        mx = max((hi for _, hi in manifest["applied_lsn_ranges"]), default=0)
+        watermark_lsn = prefix if prefix >= mx else 0
     txid = lake.next_txid(manifest)
     futs = [
         _compact_partition.remote(
@@ -93,7 +119,13 @@ def compact(lake_root: str, watermark_lsn: int | None = None) -> dict:
 
 
 def vacuum(lake_root: str) -> dict:
-    """Delete unreferenced part files and stale staging dirs."""
+    """Delete unreferenced part files and stale staging dirs.
+
+    Only staging dirs whose txid is <= the committed ``tx_seq`` are
+    removed: a concurrently in-flight transaction stages under
+    ``tx_seq + 1`` and must not have its files deleted before commit.
+    (A crashed transaction's staging dir is reclaimed after the next
+    successful commit advances ``tx_seq`` past it.)"""
     import shutil
 
     lake = LakeTable(lake_root)
@@ -106,8 +138,14 @@ def vacuum(lake_root: str) -> dict:
                 os.remove(os.path.join(lake.parts_dir, f))
                 removed_parts += 1
     removed_staging = 0
+    committed_seq = int(manifest["tx_seq"])
     if os.path.isdir(lake.staging_root):
         for d in os.listdir(lake.staging_root):
-            shutil.rmtree(os.path.join(lake.staging_root, d), ignore_errors=True)
-            removed_staging += 1
+            try:
+                seq = int(d.removeprefix("tx"))
+            except ValueError:
+                continue  # unknown dir — leave it
+            if seq <= committed_seq:
+                shutil.rmtree(os.path.join(lake.staging_root, d), ignore_errors=True)
+                removed_staging += 1
     return {"removed_parts": removed_parts, "removed_staging_dirs": removed_staging}

@@ -132,10 +132,48 @@ def _wal_payload_schema(wal_schema: pa.Schema) -> pa.Schema:
     return pa.schema(fields)
 
 
+def _merged_lsn_ranges(ranges) -> tuple | None:
+    """Sort + coalesce [lo, hi] pairs into disjoint numpy arrays for a
+    vectorized searchsorted membership test."""
+    import numpy as np
+
+    if not ranges:
+        return None
+    rs = sorted((int(lo), int(hi)) for lo, hi in ranges)
+    out: list[list[int]] = []
+    for lo, hi in rs:
+        if out and lo <= out[-1][1] + 1:
+            out[-1][1] = max(out[-1][1], hi)
+        else:
+            out.append([lo, hi])
+    return (
+        np.array([r[0] for r in out], np.int64),
+        np.array([r[1] for r in out], np.int64),
+    )
+
+
 def _make_combiner(
-    num_partitions: int, salt: int, unified: pa.Schema, combine: bool, spec: TableSpec
+    num_partitions: int,
+    salt: int,
+    unified: pa.Schema,
+    combine: bool,
+    spec: TableSpec,
+    applied_ranges: tuple | None = None,
 ):
     def combiner(batch: pa.Table) -> pa.Table:
+        if applied_ranges is not None and batch.num_rows:
+            # event-level exactly-once: drop events whose lsn falls inside
+            # a COMMITTED range — a redelivered copy of an applied segment
+            # becomes a true no-op, which also makes tombstone compaction
+            # safe against at-least-once redelivery (SURVEY.md D1/D2)
+            import numpy as np
+
+            los, his = applied_ranges
+            lsn = batch.column("lsn").to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(los, lsn, side="right") - 1
+            dup = (idx >= 0) & (lsn <= his[np.maximum(idx, 0)])
+            if dup.any():
+                batch = batch.filter(pa.array(~dup))
         if spec.normalize is not None:
             batch = spec.normalize(batch)
         # conform to the unified WAL schema (null-fills columns absent in
@@ -286,53 +324,64 @@ def _replay_one_tx(
     from ray.data import ExecutionResources
     from ray.data import DataContext as _DC
 
-    exec_opts = _DC.get_current().execution_options
-    prev_limits = exec_opts.resource_limits
-    if ncpu > 16:
-        exec_opts.resource_limits = ExecutionResources(cpu=max(16, int(ncpu * 0.75)))
-    ds = ray.data.read_parquet(chunk, schema=unified_wal, override_num_blocks=n_blocks)
-    ds = ds.map_batches(
-        _make_combiner(num_partitions, eff_salt, unified_wal, combine, spec),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-    )
-    if use_salt:
-        ds = ds.groupby(["pid", "salt"]).map_groups(
-            _make_salted_reduce(spec), batch_format="pyarrow"
-        )
-        ds = ds.drop_columns(["salt"])
-    merge = MergePartition(
-        lake.root, txid, target_schema, manifest["partitions"],
-        key=spec.key, ts_col=spec.ts_col, derive_text=spec.derive_text,
-    )
-    # retry application exceptions too: a merge task is side-effect-safe
-    # (deterministic staging path, overwrite on retry), so transient I/O
-    # failures mid-write must not kill the transaction
-    lineage_ds = ds.groupby("pid").map_groups(
-        merge, batch_format="pyarrow", max_retries=3, retry_exceptions=True
-    )
-    lineage = lineage_ds.take_all()  # tiny: <= num_partitions rows
-
-    # applied LSN range from parquet footer stats (pre-compaction truth;
-    # the combiner drops superseded events so group-level mins undercount)
-    lsn_lo, lsn_hi = None, None
+    # applied LSN range PER SEGMENT from parquet footer stats
+    # (pre-compaction truth; the combiner drops superseded events so
+    # group-level mins undercount).  Per-segment granularity keeps the
+    # event-level dedup filter exact when segments arrive out of order.
+    seg_ranges: list[tuple[int, int]] = []
     for s in chunk:
         md = pq.read_metadata(s)
         ci = md.schema.to_arrow_schema().get_field_index("lsn")
+        lo, hi = None, None
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(ci).statistics
             if st is not None and st.has_min_max:
-                lsn_lo = st.min if lsn_lo is None else min(lsn_lo, st.min)
-                lsn_hi = st.max if lsn_hi is None else max(lsn_hi, st.max)
-    lsn_lo = lsn_lo or 0
-    lsn_hi = lsn_hi or 0
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        seg_ranges.append((int(lo or 0), int(hi or 0)))
+
+    exec_opts = _DC.get_current().execution_options
+    prev_limits = exec_opts.resource_limits
+    try:
+        if ncpu > 16:
+            exec_opts.resource_limits = ExecutionResources(cpu=max(16, int(ncpu * 0.75)))
+        ds = ray.data.read_parquet(chunk, schema=unified_wal, override_num_blocks=n_blocks)
+        ds = ds.map_batches(
+            _make_combiner(
+                num_partitions, eff_salt, unified_wal, combine, spec,
+                applied_ranges=_merged_lsn_ranges(manifest["applied_lsn_ranges"]),
+            ),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+        if use_salt:
+            ds = ds.groupby(["pid", "salt"]).map_groups(
+                _make_salted_reduce(spec), batch_format="pyarrow"
+            )
+            ds = ds.drop_columns(["salt"])
+        merge = MergePartition(
+            lake.root, txid, target_schema, manifest["partitions"],
+            key=spec.key, ts_col=spec.ts_col, derive_text=spec.derive_text,
+        )
+        # retry application exceptions too: a merge task is side-effect-safe
+        # (deterministic staging path, overwrite on retry), so transient I/O
+        # failures mid-write must not kill the transaction
+        lineage_ds = ds.groupby("pid").map_groups(
+            merge, batch_format="pyarrow", max_retries=3, retry_exceptions=True
+        )
+        lineage = lineage_ds.take_all()  # tiny: <= num_partitions rows
+    finally:
+        # an exception mid-transaction must not leak the reduced CPU cap
+        # into subsequent Ray Data work in this process
+        exec_opts.resource_limits = prev_limits
+
     tx_seconds = _time.perf_counter() - t_start
     lake.commit(
         manifest,
         txid,
         lineage,
         applied_segments=[os.path.basename(s) for s in chunk],
-        applied_lsn_range=(int(lsn_lo), int(lsn_hi)),
+        applied_lsn_range=seg_ranges,
         new_schema=target_schema,
         extras={
             "wal_events": int(n_events_est),
@@ -345,7 +394,6 @@ def _replay_one_tx(
     # per-partition lineage keeps the post-compaction merge counts
     stats.events_applied += int(n_events_est)
     stats.segments_applied += len(chunk)
-    exec_opts.resource_limits = prev_limits
 
 
 # ---------------------------------------------------------------------------

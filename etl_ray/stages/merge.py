@@ -97,19 +97,19 @@ class MergePartition:
         changes = lww_compact(changes, self.key, order_by=(self.ts_col, "lsn"))
 
         ops = changes.column("op")
-        n = changes.num_rows
         deleted = pc.equal(ops, pa.scalar("delete"))
         body = changes
         if self.derive_text and "html" in changes.column_names:
             # text extraction ONLY for merge winners (insert/update) —
-            # superseded events never pay the extraction cost
-            html_col = changes.column("html")
-            texts = []
-            for i in range(n):
-                if deleted[i].as_py():
-                    texts.append(None)
-                else:
-                    texts.append(extract_text(html_col[i].as_py()))
+            # superseded events never pay the extraction cost.  One
+            # to_pylist() conversion up front (per-element as_py() in this
+            # loop measurably dominated); extraction itself is legitimately
+            # per-row Python (regex pipeline over bytes).
+            htmls = changes.column("html").to_pylist()
+            dels = deleted.to_numpy(zero_copy_only=False)
+            texts = [
+                None if d else extract_text(h) for d, h in zip(dels, htmls)
+            ]
             body = body.append_column("text", pa.array(texts, pa.string()))
         body = conform(body, self.schema)  # fills lang etc. with nulls if absent
         body = body.append_column("_lsn", changes.column("lsn").cast(pa.int64()))

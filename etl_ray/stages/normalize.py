@@ -220,17 +220,20 @@ def add_provenance(tbl: pa.Table, source_path: str) -> pa.Table:
 
 
 def add_surrogate_id(tbl: pa.Table, cols: list[str], name: str = "id") -> pa.Table:
-    """Deterministic surrogate id = crc32 of the concatenated key columns —
+    """Deterministic 64-bit surrogate id from the concatenated key columns —
     replaces Spark ``monotonically_increasing_id`` (`src/pipeline/core/
     spark.py:425,568`), which is nondeterministic across retries (SURVEY.md
-    M7: ids must derive from content, e.g. (segment, lsn), not task order)."""
+    M7: ids must derive from content, e.g. (segment, lsn), not task order).
+    Two differently-salted crc32s are packed into 64 bits: a single crc32
+    reaches ~50% collision odds at only ~77k distinct keys, far below the
+    10^10-event design point."""
     parts = [tbl.column(c).cast(pa.string()).to_pylist() for c in cols]
+
+    def h64(row) -> int:
+        key = "|".join(x if x is not None else "" for x in row).encode()
+        return (zlib.crc32(key) << 32) | zlib.crc32(key + b"\x00s2")
+
     ids = np.fromiter(
-        (
-            zlib.crc32("|".join(x if x is not None else "" for x in row).encode())
-            for row in zip(*parts)
-        ),
-        dtype=np.uint64,
-        count=tbl.num_rows,
+        (h64(row) for row in zip(*parts)), dtype=np.uint64, count=tbl.num_rows
     )
     return tbl.append_column(name, pa.array(ids, pa.uint64()))

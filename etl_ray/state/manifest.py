@@ -114,7 +114,7 @@ class LakeTable:
         txid: str,
         partition_results: list[dict],
         applied_segments: list[str],
-        applied_lsn_range: tuple[int, int] | None,
+        applied_lsn_range: tuple[int, int] | list[tuple[int, int]] | None,
         new_schema: pa.Schema | None = None,
         extras: dict | None = None,
     ) -> dict:
@@ -145,10 +145,23 @@ class LakeTable:
             }
             promoted.append(rel)
 
+        # normalize: a single (lo, hi) pair or a list of per-segment pairs
+        # (per-segment granularity keeps event-level dedup exact when a
+        # chunk spans a gap in segment arrival order)
+        if applied_lsn_range and isinstance(applied_lsn_range[0], (list, tuple)):
+            lsn_ranges = [list(r) for r in applied_lsn_range]
+        elif applied_lsn_range:
+            lsn_ranges = [list(applied_lsn_range)]
+        else:
+            lsn_ranges = []
         tx_record = {
             "txid": txid,
             "applied_segments": list(applied_segments),
-            "applied_lsn_range": list(applied_lsn_range) if applied_lsn_range else None,
+            "applied_lsn_range": (
+                [min(r[0] for r in lsn_ranges), max(r[1] for r in lsn_ranges)]
+                if lsn_ranges
+                else None
+            ),
             "partitions": [
                 {k: int(v) if isinstance(v, (int, float)) else v for k, v in r.items()}
                 for r in partition_results
@@ -166,10 +179,8 @@ class LakeTable:
         m["tx_seq"] = manifest["tx_seq"] + 1
         m["partitions"] = partitions
         m["applied_segments"] = list(manifest["applied_segments"]) + list(applied_segments)
-        if applied_lsn_range:
-            m["applied_lsn_ranges"] = list(manifest["applied_lsn_ranges"]) + [
-                list(applied_lsn_range)
-            ]
+        if lsn_ranges:
+            m["applied_lsn_ranges"] = list(manifest["applied_lsn_ranges"]) + lsn_ranges
         if new_schema is not None and not new_schema.equals(self.schema(manifest)):
             m["schema"] = _schema_to_json(new_schema)
             m["schema_version"] = manifest["schema_version"] + 1

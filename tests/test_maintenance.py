@@ -44,16 +44,73 @@ def test_compact_drops_tombstones_preserves_live(ray_session, small_wal, tmp_pat
     assert read_table_arrow(root).equals(before)
 
 
-def test_vacuum_removes_crash_staging(ray_session, small_wal, tmp_path):
+def test_vacuum_removes_crash_staging_keeps_inflight(ray_session, small_wal, tmp_path):
     from etl_ray.pipelines.maintenance import vacuum
     from etl_ray.pipelines.replay import bootstrap_lake, replay
+    from etl_ray.state.manifest import LakeTable
 
     root = str(tmp_path / "lake2" / "pages")
     bootstrap_lake(root, small_wal["base"], num_partitions=8)
     replay(root, small_wal["wal_dir"])
-    # simulate crash leftovers
-    os.makedirs(os.path.join(root, "staging", "tx_dead"), exist_ok=True)
-    open(os.path.join(root, "staging", "tx_dead", "part-00000.parquet"), "wb").write(b"junk")
+    seq = LakeTable(root).read_manifest()["tx_seq"]
+    staging = os.path.join(root, "staging")
+    # crash leftover from a superseded transaction -> removed
+    dead = os.path.join(staging, f"tx{seq:06d}")
+    os.makedirs(dead, exist_ok=True)
+    open(os.path.join(dead, "part-00000.parquet"), "wb").write(b"junk")
+    # concurrently in-flight transaction (tx_seq + 1) -> must survive
+    inflight = os.path.join(staging, f"tx{seq + 1:06d}")
+    os.makedirs(inflight, exist_ok=True)
+    open(os.path.join(inflight, "part-00000.parquet"), "wb").write(b"wip")
     res = vacuum(root)
-    assert res["removed_staging_dirs"] >= 1
-    assert not os.listdir(os.path.join(root, "staging"))
+    assert res["removed_staging_dirs"] == 1
+    assert not os.path.exists(dead)
+    assert os.path.exists(os.path.join(inflight, "part-00000.parquet"))
+
+
+def test_compact_between_ordered_and_redelivered_segments(ray_session, small_wal, tmp_path):
+    """Tombstone compaction must not let a redelivered (already-applied)
+    segment resurrect deleted rows: the replay combiner drops events whose
+    lsn is inside a committed range (event-level exactly-once)."""
+    from etl_ray.pipelines.maintenance import compact
+    from etl_ray.pipelines.replay import bootstrap_lake, read_table_arrow, replay
+
+    segs = small_wal["segments"]
+    ordered = [s for s in segs if "redelivered" not in s]
+    redelivered = [s for s in segs if "redelivered" in s]
+    assert redelivered, "fixture must include a redelivered segment"
+
+    root = str(tmp_path / "lake3" / "pages")
+    bootstrap_lake(root, small_wal["base"], num_partitions=8)
+    replay(root, small_wal["wal_dir"], segments=ordered)
+    compact(root)  # drops tombstones up to the contiguous applied prefix
+    replay(root, small_wal["wal_dir"], segments=redelivered)
+
+    oracle = replay_oracle(small_wal["base"], small_wal["segments"])
+    assert read_table_arrow(root).equals(oracle)
+
+
+def test_compact_watermark_stops_at_gap(ray_session, small_wal, tmp_path):
+    """Out-of-order segment application leaves a gap in the applied LSN
+    ranges; default compaction must then drop NOTHING — the pending
+    segment may carry late (old-warc_ts) events for deleted keys, and
+    only the tombstones guard those under event-time LWW."""
+    from etl_ray.pipelines.maintenance import compact, contiguous_applied_prefix
+    from etl_ray.pipelines.replay import bootstrap_lake, read_table_arrow, replay
+    from etl_ray.state.manifest import LakeTable
+
+    segs = [s for s in small_wal["segments"] if "redelivered" not in s]
+    skipped, later = segs[2], segs[:2] + segs[3:]
+
+    root = str(tmp_path / "lake4" / "pages")
+    bootstrap_lake(root, small_wal["base"], num_partitions=8)
+    replay(root, small_wal["wal_dir"], segments=later)
+    m = LakeTable(root).read_manifest()
+    his = [hi for _, hi in m["applied_lsn_ranges"]]
+    assert contiguous_applied_prefix(m) < max(his)  # gap detected
+    lineage = compact(root)
+    assert lineage["tombstones_dropped"] == 0  # gap -> drop nothing
+    replay(root, small_wal["wal_dir"], segments=[skipped])
+
+    oracle = replay_oracle(small_wal["base"], small_wal["segments"][:-1])
+    assert read_table_arrow(root).equals(oracle)
