@@ -73,6 +73,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--lake", required=True)
     c.add_argument("--watermark-lsn", type=int, default=None)
 
+    st = sub.add_parser("stats", help="operational metrics: per-tx lineage + throughput")
+    st.add_argument("--lake", required=True)
+
     args = p.parse_args(argv)
 
     if args.cmd == "gen":
@@ -139,6 +142,45 @@ def main(argv: list[str] | None = None) -> int:
         lineage = compact(args.lake, args.watermark_lsn)
         gc = vacuum(args.lake)
         print(json.dumps({**lineage, **gc}))
+        return 0
+
+    if args.cmd == "stats":
+        # the metrics surface (SURVEY.md §3.4 "metrics emit"; reference
+        # exposes liveness/metrics via observe_services.py): everything is
+        # derived from the committed manifest, so it needs no Ray session
+        from ..state.manifest import LakeTable
+
+        m = LakeTable(args.lake).read_manifest()
+        lin = m["lineage"]
+        total_events = sum(tx.get("events_applied") or 0 for tx in lin)
+        total_secs = sum(tx.get("seconds") or 0 for tx in lin)
+        print(
+            json.dumps(
+                {
+                    "transactions": len(lin),
+                    "rows_live": sum(p["rows"] for p in m["partitions"].values()),
+                    "schema_version": m["schema_version"],
+                    "segments_applied": len(m["applied_segments"]),
+                    "events_applied_total": total_events,
+                    "replay_seconds_total": round(total_secs, 3),
+                    "events_per_sec_avg": (
+                        round(total_events / total_secs, 1) if total_secs else None
+                    ),
+                    "per_tx": [
+                        {
+                            k: tx.get(k)
+                            for k in (
+                                "txid", "events_applied", "rows_total", "seconds",
+                                "events_per_sec", "salted", "compaction",
+                                "partitions_rewritten",
+                            )
+                            if k in tx
+                        }
+                        for tx in lin
+                    ],
+                }
+            )
+        )
         return 0
 
     if args.cmd == "show":

@@ -18,7 +18,9 @@ tiny lineage table (<= num_partitions rows).
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+import threading
+from contextlib import contextmanager
+from dataclasses import dataclass, field
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -43,6 +45,43 @@ class ReplayStats:
     segments_applied: int = 0
     rows_live: int = 0
     schema_version: int = 0
+
+
+# ---------------------------------------------------------------------------
+# shared CPU-headroom cap (thread-safe: concurrent replay_many streams all
+# mutate ONE global DataContext, so the cap is refcounted)
+# ---------------------------------------------------------------------------
+
+_limits_lock = threading.Lock()
+_limits_depth = 0
+_limits_prev = None
+_limits_set = False
+
+
+@contextmanager
+def _cpu_headroom(ncpu: int):
+    """Leave ~25% CPU headroom on wide sessions (raylet/object-store/driver
+    threads starve at full width — measured 25.7s vs 10.4s on 32 cores, see
+    BASELINE.md).  Reentrant: first enter sets the cap, last exit restores."""
+    global _limits_depth, _limits_prev, _limits_set
+    from ray.data import DataContext, ExecutionResources
+
+    exec_opts = DataContext.get_current().execution_options
+    with _limits_lock:
+        _limits_depth += 1
+        if _limits_depth == 1 and ncpu > 16:
+            _limits_prev = exec_opts.resource_limits
+            _limits_set = True
+            exec_opts.resource_limits = ExecutionResources(cpu=max(16, int(ncpu * 0.75)))
+    try:
+        yield
+    finally:
+        with _limits_lock:
+            _limits_depth -= 1
+            if _limits_depth == 0 and _limits_set:
+                exec_opts.resource_limits = _limits_prev
+                _limits_prev = None
+                _limits_set = False
 
 
 def list_segments(wal_dir: str) -> list[str]:
@@ -273,6 +312,43 @@ def follow(
     return total
 
 
+@dataclass
+class StreamSpec:
+    """One table stream for ``replay_many``: where its lake lives, where
+    its WAL arrives, and the TableSpec governing its upsert semantics."""
+
+    lake_root: str
+    wal_dir: str
+    spec: TableSpec = PAGES
+    replay_kwargs: dict = field(default_factory=dict)
+
+
+def replay_many(streams: dict[str, StreamSpec], max_workers: int | None = None) -> dict[str, ReplayStats]:
+    """Replay N table streams CONCURRENTLY in one Ray session — the
+    reference runs 18 topic consumers simultaneously
+    (`src/pipeline/core/kafka_multi_consumer.py:100-129` in
+    /root/reference); here each stream is a driver thread issuing its own
+    manifest transactions while Ray Data interleaves all streams' tasks
+    on the shared cluster.  Per-table manifests keep commits independent:
+    one stream failing does not roll back the others (matching the
+    per-topic isolation of the reference's consumer threads)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = list(streams)
+    with ThreadPoolExecutor(max_workers=max_workers or min(8, len(names))) as ex:
+        futs = {
+            n: ex.submit(
+                replay,
+                s.lake_root,
+                s.wal_dir,
+                spec=s.spec,
+                **s.replay_kwargs,
+            )
+            for n, s in streams.items()
+        }
+        return {n: f.result() for n, f in futs.items()}
+
+
 def _replay_one_tx(
     lake: LakeTable,
     manifest: dict,
@@ -318,11 +394,8 @@ def _replay_one_tx(
     n_blocks = min(256, max(16, ncpu, len(chunk)))
     # concurrency headroom: at full width every CPU runs a worker and the
     # raylet/object-store/driver threads get starved — measured on this
-    # workload: 32-wide 25.7s vs 24-wide 10.4s on a 32-core box.  Leave
-    # 25% headroom on wide sessions (real clusters size per-node the same
-    # way); restored after the transaction.
-    from ray.data import ExecutionResources
-    from ray.data import DataContext as _DC
+    # workload: 32-wide 25.7s vs 24-wide 10.4s on a 32-core box.  The
+    # shared refcounted _cpu_headroom cap leaves 25% on wide sessions.
 
     # applied LSN range PER SEGMENT from parquet footer stats
     # (pre-compaction truth; the combiner drops superseded events so
@@ -340,11 +413,7 @@ def _replay_one_tx(
                 hi = st.max if hi is None else max(hi, st.max)
         seg_ranges.append((int(lo or 0), int(hi or 0)))
 
-    exec_opts = _DC.get_current().execution_options
-    prev_limits = exec_opts.resource_limits
-    try:
-        if ncpu > 16:
-            exec_opts.resource_limits = ExecutionResources(cpu=max(16, int(ncpu * 0.75)))
+    with _cpu_headroom(ncpu):
         ds = ray.data.read_parquet(chunk, schema=unified_wal, override_num_blocks=n_blocks)
         ds = ds.map_batches(
             _make_combiner(
@@ -370,10 +439,6 @@ def _replay_one_tx(
             merge, batch_format="pyarrow", max_retries=3, retry_exceptions=True
         )
         lineage = lineage_ds.take_all()  # tiny: <= num_partitions rows
-    finally:
-        # an exception mid-transaction must not leak the reduced CPU cap
-        # into subsequent Ray Data work in this process
-        exec_opts.resource_limits = prev_limits
 
     tx_seconds = _time.perf_counter() - t_start
     lake.commit(

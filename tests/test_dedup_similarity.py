@@ -157,3 +157,46 @@ def test_knn_ivf_recall_and_determinism(ray_session):
     out2 = knn_ivf(ray.data.from_arrow(tbl), vecs, k=5, n_lists=8, nprobe=3).take_all()
     key = lambda rs: sorted((r["query_id"], r["vec_id"]) for r in rs)
     assert key(out) == key(out2)
+
+
+def test_knn_lsh_full_probe_equals_brute(ray_session):
+    """probe_radius == bits probes every bucket; buckets partition the
+    corpus, so the merged top-k must EQUAL brute force exactly (this is
+    the invariant the driver oracle checks via the brute SQL)."""
+    import ray.data
+
+    from etl_ray.stages.similarity import knn_brute, knn_lsh
+
+    tbl = pq.read_table(EMB)
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], np.float32)
+        for r in tbl.slice(0, 4).to_pylist()
+    }
+    brute = knn_brute(ray.data.from_arrow(tbl), vecs, k=5).take_all()
+    full = knn_lsh(ray.data.from_arrow(tbl), vecs, k=5, bits=4, probe_radius=4).take_all()
+    key = lambda rs: sorted((r["query_id"], r["vec_id"]) for r in rs)
+    assert key(full) == key(brute)
+
+    # partial-radius recall: radius 1 must recall a reasonable fraction
+    # and never exceed brute
+    part = knn_lsh(ray.data.from_arrow(tbl), vecs, k=5, bits=4, probe_radius=1).take_all()
+    bset, pset = set(key(brute)), set(key(part))
+    recall = len(bset & pset) / len(bset)
+    assert 0.3 <= recall <= 1.0
+
+
+def test_knn_ivf_full_scan_equals_brute(ray_session):
+    """nprobe == n_lists scans every cell -> exactly brute force."""
+    import ray.data
+
+    from etl_ray.stages.similarity import knn_brute, knn_ivf
+
+    tbl = pq.read_table(EMB)
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], np.float32)
+        for r in tbl.slice(0, 4).to_pylist()
+    }
+    brute = knn_brute(ray.data.from_arrow(tbl), vecs, k=5).take_all()
+    full = knn_ivf(ray.data.from_arrow(tbl), vecs, k=5, n_lists=8, nprobe=8).take_all()
+    key = lambda rs: sorted((r["query_id"], r["vec_id"]) for r in rs)
+    assert key(full) == key(brute)

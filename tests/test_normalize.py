@@ -116,3 +116,31 @@ def test_derived_columns():
     t = pa.table({"txCount": pa.array([10], pa.int64())})
     out = N.add_derived(t, "tps_avg", lambda b: pc.cast(b.column("txCount"), pa.float32()))
     assert out.column("tps_avg").type == pa.float32()
+
+
+def test_project_decimal_casts():
+    """Decimal cast path (SURVEY §1.2): the reference casts amounts to
+    decimal(38,0) (`src/pipeline/core/spark.py:431`) and DDLs UInt256
+    (`src/pipeline/sql/create_tables.sql:47,63`) — decimal128/256
+    projections cover both."""
+    import pyarrow as pa
+
+    from etl_ray.stages.normalize import project
+
+    tbl = pa.table(
+        {
+            "amount": pa.array([10**18, 25, 0], pa.int64()),
+            "price": pa.array([1.25, 2.5, 0.0], pa.float64()),
+        }
+    )
+    out = project(
+        tbl,
+        [
+            ("amount", "amount_dec", pa.decimal128(38, 0)),
+            ("amount", "amount_wide", pa.decimal256(76, 0)),
+            ("price", "price_dec", pa.decimal128(18, 2)),
+        ],
+    )
+    assert out.schema.types == [pa.decimal128(38, 0), pa.decimal256(76, 0), pa.decimal128(18, 2)]
+    assert out.column("amount_dec").to_pylist()[0] == 10**18
+    assert str(out.column("price_dec").to_pylist()[0]) == "1.25"

@@ -42,15 +42,15 @@ def _mk_segment(path, rows):
     pq.write_table(tbl, path)
 
 
-def test_replay_custom_tablespec(ray_session, tmp_path):
-    from etl_ray.pipelines.replay import bootstrap_lake, read_table, replay
-
-    def normalize(batch: pa.Table) -> pa.Table:
+def _users_spec() -> TableSpec:
+    # nested so cloudpickle ships it by VALUE: the tests module itself is
+    # not importable on Ray workers
+    def _users_normalize(batch: pa.Table) -> pa.Table:
         # uppercase segment — a per-table normalize hook (§2.11)
         seg = pc.utf8_upper(batch.column("segment"))
         return batch.set_column(batch.column_names.index("segment"), "segment", seg)
 
-    spec = TableSpec(
+    return TableSpec(
         name="users",
         key="user_id",
         ts_col="ts",
@@ -62,12 +62,12 @@ def test_replay_custom_tablespec(ray_session, tmp_path):
                 ("segment", pa.string()),
             ]
         ),
-        normalize=normalize,
+        normalize=_users_normalize,
         derive_text=False,
     )
 
-    wal = tmp_path / "wal"
-    wal.mkdir()
+
+def _write_users_wal(wal) -> None:
     _mk_segment(
         str(wal / "seg-00000.parquet"),
         [
@@ -86,6 +86,16 @@ def test_replay_custom_tablespec(ray_session, tmp_path):
         ],
     )
 
+
+def test_replay_custom_tablespec(ray_session, tmp_path):
+    from etl_ray.pipelines.replay import bootstrap_lake, read_table, replay
+
+    spec = _users_spec()
+
+    wal = tmp_path / "wal"
+    wal.mkdir()
+    _write_users_wal(wal)
+
     root = str(tmp_path / "lake" / "users")
     bootstrap_lake(root, None, num_partitions=4, schema=spec.schema_v0)
     stats = replay(root, str(wal), spec=spec)
@@ -100,3 +110,42 @@ def test_replay_custom_tablespec(ray_session, tmp_path):
     # incremental idempotence holds for custom specs too
     stats2 = replay(root, str(wal), spec=spec)
     assert stats2.transactions == 0
+
+
+def test_replay_many_concurrent_tables(ray_session, small_wal, tmp_path):
+    """The reference consumes 18 topic streams simultaneously
+    (`src/pipeline/core/kafka_multi_consumer.py:100-129`); replay_many is
+    the Ray restatement — N independent table streams interleaving their
+    transactions in ONE Ray session, each matching its own oracle."""
+    from etl_ray.oracle import replay_oracle
+    from etl_ray.pipelines.replay import (
+        StreamSpec,
+        bootstrap_lake,
+        read_table,
+        read_table_arrow,
+        replay_many,
+    )
+
+    users_spec = _users_spec()
+    users_wal = tmp_path / "users_wal"
+    users_wal.mkdir()
+    _write_users_wal(users_wal)
+
+    pages_root = str(tmp_path / "lake" / "pages")
+    users_root = str(tmp_path / "lake" / "users")
+    bootstrap_lake(pages_root, small_wal["base"], num_partitions=8)
+    bootstrap_lake(users_root, None, num_partitions=4, schema=users_spec.schema_v0)
+
+    stats = replay_many(
+        {
+            "pages": StreamSpec(pages_root, small_wal["wal_dir"]),
+            "users": StreamSpec(users_root, str(users_wal), spec=users_spec),
+        }
+    )
+    assert stats["pages"].transactions == 1 and stats["users"].transactions == 1
+
+    oracle = replay_oracle(small_wal["base"], small_wal["segments"])
+    assert read_table_arrow(pages_root).equals(oracle)
+    rows = sorted(read_table(users_root).take_all(), key=lambda r: r["user_id"])
+    assert [r["user_id"] for r in rows] == ["u1", "u3"]
+    assert rows[0]["score"] == 1.5 and rows[0]["segment"] == "GOLD"
