@@ -107,11 +107,20 @@ def _unique_pairs_sum(
     return uniq["a"].astype(np.int64), uniq["b"].astype(np.int64), sums
 
 
+_SHINGLE_C = np.uint64(0x9E3779B97F4A7C15)  # odd multiplier, wraps mod 2^64
+
+
 class MinHasher:
     """Per-batch minhash signatures over word n-gram shingles.
 
     k permutations ``(a_i * x + b_i) mod p`` with params from a fixed
     seed; emits ``sig`` as a fixed-size list<uint64> column.
+
+    Vectorized end-to-end: shingle hashes are a multiply-combine of
+    per-word crc32s (sliced numpy windows — no per-shingle string joins),
+    and the k-permutation min runs as chunked ``np.minimum.reduceat``
+    over the concatenated shingles of many docs (one (k, m) kernel per
+    ~200k shingles instead of one small kernel per doc).
     """
 
     def __init__(self, text_col: str = "text", k: int = 64, ngram: int = 3, seed: int = 42):
@@ -122,19 +131,56 @@ class MinHasher:
         self.a = rng.integers(1, _MERSENNE, size=k, dtype=np.uint64)
         self.b = rng.integers(0, _MERSENNE, size=k, dtype=np.uint64)
 
+    def doc_shingles(self, text: str) -> np.ndarray:
+        """Distinct shingle hashes: windows of word crc32s combined with a
+        wrapping multiply-add chain (order-sensitive, vectorized)."""
+        words = _word_tokens(text)
+        if not words:
+            return np.array([], np.uint64)
+        wh = np.fromiter(
+            (zlib.crc32(w.encode()) for w in words), np.uint64, len(words)
+        )
+        n = self.ngram
+        if len(wh) < n:
+            acc = np.uint64(0)
+            for h in wh:
+                acc = acc * _SHINGLE_C + h
+            return np.array([acc], np.uint64)
+        m = len(wh) - n + 1
+        acc = np.zeros(m, np.uint64)
+        for j in range(n):
+            acc = acc * _SHINGLE_C + wh[j : j + m]
+        return np.unique(acc)
+
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(_word_tokens(text), self.ngram)
+        sh = self.doc_shingles(text)
         if len(sh) == 0:
             return np.zeros(self.k, np.uint64)
-        # (k, |sh|) affine transforms mod p, min over shingles
-        v = (
-            self.a[:, None] * sh[None, :].astype(np.uint64) + self.b[:, None]
-        ) % np.uint64(_MERSENNE)
+        v = (self.a[:, None] * sh[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
         return v.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
-        sigs = np.stack([self.signature(t) for t in texts]) if texts else np.zeros((0, self.k), np.uint64)
+        n_docs = len(texts)
+        sigs = np.zeros((n_docs, self.k), np.uint64)
+        hs = [self.doc_shingles(t) for t in texts]
+        budget = 200_000  # shingles per kernel: k x budget x 8B ~ 100 MB peak
+        i = 0
+        while i < n_docs:
+            j, total = i, 0
+            while j < n_docs and (total == 0 or total + len(hs[j]) <= budget):
+                total += len(hs[j])
+                j += 1
+            idx = [d for d in range(i, j) if len(hs[d])]
+            if idx:
+                concat = np.concatenate([hs[d] for d in idx])
+                v = (self.a[:, None] * concat[None, :] + self.b[:, None]) % np.uint64(
+                    _MERSENNE
+                )
+                counts = np.fromiter((len(hs[d]) for d in idx), np.int64, len(idx))
+                starts = np.concatenate(([0], np.cumsum(counts[:-1])))
+                sigs[idx, :] = np.minimum.reduceat(v, starts, axis=1).T
+            i = j
         sig_arr = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.reshape(-1), pa.uint64()), self.k
         )
@@ -159,9 +205,12 @@ class BandEmitter:
         out_band, out_hash, out_id = [], [], []
         for b in range(self.bands):
             seg = sig[:, b * self.rpb : (b + 1) * self.rpb]
-            hs = np.fromiter(
-                (zlib.crc32(row.tobytes()) for row in seg), np.uint64, len(ids)
-            )
+            # band hash = wrapping multiply-add over the band's rows,
+            # vectorized across docs (no per-row crc32 of byte buffers);
+            # band index is salted in so band b and band b' collide freely
+            hs = np.full(len(ids), np.uint64(b + 1), np.uint64)
+            for c in range(self.rpb):
+                hs = hs * _SHINGLE_C + seg[:, c]
             out_band.append(np.full(len(ids), b, np.int32))
             out_hash.append(hs)
             out_id.append(ids)
@@ -213,10 +262,12 @@ def minhash_lsh_pairs(
         # one call per hash bucket (512 total), vectorized inside — NOT one
         # Python call per (band, band_hash) group, which is ~bands*n_docs
         # groups and dominated wall time at 50k docs
-        band = g.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
         bh = g.column("band_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
         docs = g.column(id_col).to_numpy(zero_copy_only=False)
-        codes = (bh * np.uint64(64) + band.astype(np.uint64)).astype(np.int64)
+        # the band index is already salted into the 64-bit band hash
+        # (BandEmitter seeds each band's chain with b+1), so the hash
+        # alone is the group key
+        codes = bh.astype(np.int64)
         order = np.lexsort((docs, codes))
         a, b = _pairs_from_sorted_groups(
             codes[order], docs[order], max_bucket, emit_markers=False

@@ -200,3 +200,31 @@ def test_knn_ivf_full_scan_equals_brute(ray_session):
     full = knn_ivf(ray.data.from_arrow(tbl), vecs, k=5, n_lists=8, nprobe=8).take_all()
     key = lambda rs: sorted((r["query_id"], r["vec_id"]) for r in rs)
     assert key(full) == key(brute)
+
+
+def test_minhash_pipeline_equals_signature_ground_truth(ray_session):
+    """The full distributed LSH pipeline (band -> bucket pairs -> dedup ->
+    signature joins -> verify) must reproduce the brute-force set of
+    pairs with signature agreement >= threshold."""
+    import ray.data
+
+    from etl_ray.stages.dedup import MinHasher, minhash_lsh_pairs
+
+    tbl = pq.read_table(DOCS, columns=["doc_id", "text"])
+    out = minhash_lsh_pairs(
+        ray.data.from_arrow(tbl), threshold=0.6
+    ).take_all()
+    got = {(min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"])) for r in out}
+
+    mh = MinHasher("text", 64, 3, 42)
+    sig = np.asarray(mh(tbl).column("sig").combine_chunks().flatten()).reshape(
+        tbl.num_rows, 64
+    )
+    ids = np.array(tbl.column("doc_id").to_pylist())
+    truth = set()
+    for i in range(len(ids)):
+        eq = (sig[i + 1 :] == sig[i]).mean(axis=1)
+        for j in np.nonzero(eq >= 0.6)[0]:
+            a, b = int(ids[i]), int(ids[i + 1 + j])
+            truth.add((min(a, b), max(a, b)))
+    assert got == truth and len(truth) > 0
