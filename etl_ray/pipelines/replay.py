@@ -58,21 +58,42 @@ _limits_prev = None
 _limits_set = False
 
 
+def _default_cpu_cap() -> int:
+    """Per-NODE worker-width cap, summed across nodes: on a wide node the
+    merge stage is memory-bandwidth-bound, and >20 concurrent heavy
+    workers saturate one bus (measured on the 4M-event fixture at a
+    32-CPU node: width 20 = 381k events/s vs width 24 = 240k).  Each
+    cluster node brings its own bus, so the cap scales with node count,
+    not total CPUs."""
+    import ray as _ray
+
+    total = 0
+    for node in _ray.nodes():
+        if not node.get("Alive"):
+            continue
+        node_cpus = int(node.get("Resources", {}).get("CPU", 0))
+        total += node_cpus if node_cpus <= 16 else min(20, max(16, int(node_cpus * 0.75)))
+    return total
+
+
 @contextmanager
 def _cpu_headroom(ncpu: int):
-    """Leave ~25% CPU headroom on wide sessions (raylet/object-store/driver
-    threads starve at full width — measured 25.7s vs 10.4s on 32 cores, see
-    BASELINE.md).  Reentrant: first enter sets the cap, last exit restores."""
+    """Cap executor width on wide sessions (raylet/object-store/driver
+    threads starve at full width, and memory bandwidth saturates — see
+    _default_cpu_cap / BASELINE.md).  ``ETLRAY_CPU_CAP`` overrides.
+    Reentrant: first enter sets the cap, last exit restores."""
     global _limits_depth, _limits_prev, _limits_set
     from ray.data import DataContext, ExecutionResources
 
     exec_opts = DataContext.get_current().execution_options
+    cap_env = os.environ.get("ETLRAY_CPU_CAP")
     with _limits_lock:
         _limits_depth += 1
         if _limits_depth == 1 and ncpu > 16:
             _limits_prev = exec_opts.resource_limits
             _limits_set = True
-            exec_opts.resource_limits = ExecutionResources(cpu=max(16, int(ncpu * 0.75)))
+            cap = int(cap_env) if cap_env else _default_cpu_cap()
+            exec_opts.resource_limits = ExecutionResources(cpu=cap)
     try:
         yield
     finally:
