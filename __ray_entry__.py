@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh_embeddings": Q.knn_lsh_embeddings,
         "knn_ivf_embeddings": Q.knn_ivf_embeddings,
         "multimodal_features": Q.multimodal_features,
+        "multimodal_frames": Q.multimodal_frames,
         "cdc_replay_pages": Q.cdc_replay_pages,
         # rows-only (no SQL-expressible oracle: crc32-based signatures)
         "minhash_pairs_docs": Q.minhash_pairs_docs,
@@ -264,6 +265,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(64 + 16 * h3 + h4 AS INTEGER) AS dec_width,
                    CAST(3 AS INTEGER) AS dec_channels
             FROM m
+        """,
+        # frame sampling is pure byte arithmetic over the payload size
+        "multimodal_frames": """
+            WITH m AS (
+              SELECT media_id, octet_length(payload) AS size
+              FROM read_parquet('/tmp/etlray_media_256.parquet')
+            )
+            SELECT media_id, i AS frame_idx,
+                   i * greatest(size // 4, 1) AS "offset",
+                   least(greatest(size // 4, 1), size - i * greatest(size // 4, 1)) AS length
+            FROM m, (SELECT unnest(range(4)) AS i)
+            WHERE i < least(4, size)
         """,
         # replay semantics as SQL: LWW by (warc_ts DESC, lsn DESC) per url,
         # latest-delete wins, v0-segment rows carry NULL lang (additive

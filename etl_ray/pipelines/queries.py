@@ -374,8 +374,9 @@ def dedup_docs_exact(sf_dir: str):
     from ..stages.dedup import exact_dedup
 
     ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    out = exact_dedup(ds)
-    return out.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+    # return_rows=False: downstream only needs the keep-set, so nothing
+    # but (id, digest) ever shuffles
+    return exact_dedup(ds, return_rows=False)
 
 
 def shingle_jaccard_docs(sf_dir: str):
@@ -499,6 +500,35 @@ def multimodal_features(sf_dir: str):
         lambda t: t.select(["media_id", "dec_height", "dec_width", "dec_channels"]),
         batch_format="pyarrow",
     )
+
+
+def multimodal_frames(sf_dir: str):
+    """FrameSampler plumbing: deterministic frame byte-ranges per media
+    row, exploded to (media_id, frame_idx, offset, length) rows so the
+    DuckDB oracle can reproduce them from octet_length(payload)."""
+    from ..stages.multimodal import FrameSampler
+
+    ds = ray.data.read_parquet(_media_fixture_path())
+    sampled = ds.map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=64, concurrency=(1, 2)
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        frames = t.column("frames").combine_chunks()
+        counts = np.diff(frames.offsets.to_numpy(zero_copy_only=False))
+        mids = np.repeat(t.column("media_id").to_numpy(zero_copy_only=False), counts)
+        idx = np.concatenate([np.arange(c) for c in counts]) if len(counts) else np.array([], np.int64)
+        vals = frames.flatten()
+        return pa.table(
+            {
+                "media_id": pa.array(mids, pa.int64()),
+                "frame_idx": pa.array(idx, pa.int64()),
+                "offset": pc.struct_field(vals, "offset"),
+                "length": pc.struct_field(vals, "length"),
+            }
+        )
+
+    return sampled.map_batches(explode, batch_format="pyarrow")
 
 
 def cdc_replay_pages(sf_dir: str):

@@ -362,27 +362,32 @@ def minhash_lsh_pairs(
     return joined.map_batches(verify, batch_format="pyarrow")
 
 
-def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id", return_rows: bool = True):
     """Exact dedup: keep the min-id row per normalized-content digest.
 
-    Scale shape: ONE shuffle keyed by the digest's first byte (256
-    bounded groups — per-distinct-digest groupby dispatch costs ~100us
-    per group, hours at 10^9 docs), then a vectorized keep-first inside
-    each bucket (dictionary-encode digests, lexsort by (digest, id),
-    take group heads).  The shuffle moves digests + rows, never re-reads
-    text.  Reference analogue: file-level ledger dedup D1 + key upsert
-    D2 (`src/pipeline/core/client_clickhouse.py:181,193`)."""
+    Scale shape: the shuffle moves ONLY (id, 16-byte digest) — never the
+    documents — keyed by the digest's first byte (256 bounded groups;
+    per-distinct-digest groupby dispatch costs ~100us per group, hours at
+    10^9 docs).  Inside a bucket the keep-first is vectorized
+    (dictionary-encode digests, lexsort by (digest, id), take group
+    heads).  With ``return_rows`` the winner ids are hash-joined back to
+    the corpus (distributed ``Dataset.join``); ``return_rows=False``
+    returns just the winner-id Dataset — the cheap form when downstream
+    only needs the keep-set.  Reference analogue: file-level ledger dedup
+    D1 + key upsert D2 (`src/pipeline/core/client_clickhouse.py:181,193`)."""
     from .text import Fingerprinter
 
     fp = Fingerprinter(text_col)
 
-    def add_fp(batch: pa.Table) -> pa.Table:
+    def fp_only(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
         fps = [fp.md5_norm(t) for t in texts]
-        batch = batch.append_column("fp_md5", pa.array(fps, pa.string()))
-        return batch.append_column(
-            "fp_bucket",
-            pa.array([int(h[:2], 16) for h in fps], pa.int32()),
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "fp_md5": pa.array(fps, pa.string()),
+                "fp_bucket": pa.array([int(h[:2], 16) for h in fps], pa.int32()),
+            }
         )
 
     def keep_min_id_bucket(g: pa.Table) -> pa.Table:
@@ -391,13 +396,22 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id"):
         ids = g.column(id_col).to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, codes))
         heads = order[np.concatenate(([True], np.diff(codes[order]) != 0))]
-        return g.take(pa.array(np.sort(heads))).drop_columns(["fp_md5", "fp_bucket"])
+        # take (not rebuild) so the id dtype passes through unchanged
+        return pa.table({id_col: pc.take(g.column(id_col), pa.array(np.sort(heads)))})
 
-    return (
-        ds.map_batches(add_fp, batch_format="pyarrow")
+    winners = (
+        ds.map_batches(fp_only, batch_format="pyarrow")
         .groupby("fp_bucket")
         .map_groups(keep_min_id_bucket, batch_format="pyarrow")
     )
+    if not return_rows:
+        return winners
+
+    import ray as _ray
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    npart = max(2, min(64, ncpu // 2))
+    return winners.join(ds, "inner", num_partitions=npart, on=(id_col,))
 
 
 def shingle_jaccard_pairs(
