@@ -572,7 +572,13 @@ def shingle_jaccard_pairs(
 
 
 class SimHasher:
-    """64-bit SimHash over word hashes; near-dups share most bits."""
+    """64-bit SimHash over word hashes; near-dups share most bits.
+
+    Vectorized: per doc, the word-hash array expands to a (words, 64)
+    sign matrix in one shift-and-mask kernel (no per-word Python loop);
+    the per-bit sums reduce in one pass."""
+
+    _SHIFTS = np.arange(64, dtype=np.uint64)
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
@@ -581,16 +587,18 @@ class SimHasher:
         words = _word_tokens(text)
         if not words:
             return 0
-        acc = np.zeros(64, np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
-        for w in words:
-            h = np.uint64(
+        wh = np.fromiter(
+            (
                 zlib.crc32(w.encode()) | (zlib.crc32(w[::-1].encode()) << 32)
-            )
-            bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-            acc += 2 * bits - 1
+                for w in words
+            ),
+            np.uint64,
+            len(words),
+        )
+        bits = ((wh[:, None] >> self._SHIFTS[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = (2 * bits - 1).sum(axis=0)
         return int(
-            np.bitwise_or.reduce((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64))
+            np.bitwise_or.reduce((acc > 0).astype(np.uint64) << self._SHIFTS)
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -98,20 +98,11 @@ class MergePartition:
 
         ops = changes.column("op")
         deleted = pc.equal(ops, pa.scalar("delete"))
-        body = changes
-        if self.derive_text and "html" in changes.column_names:
-            # text extraction ONLY for merge winners (insert/update) —
-            # superseded events never pay the extraction cost.  One
-            # to_pylist() conversion up front (per-element as_py() in this
-            # loop measurably dominated); extraction itself is legitimately
-            # per-row Python (regex pipeline over bytes).
-            htmls = changes.column("html").to_pylist()
-            dels = deleted.to_numpy(zero_copy_only=False)
-            texts = [
-                None if d else extract_text(h) for d, h in zip(dels, htmls)
-            ]
-            body = body.append_column("text", pa.array(texts, pa.string()))
-        body = conform(body, self.schema)  # fills lang etc. with nulls if absent
+        # text is NOT extracted here: conform null-fills the column, and
+        # extraction runs post-merge on FINAL winners only — a change row
+        # that loses to the stored row (or to a later change) never pays
+        # the extraction cost (ds.stats: extraction dominates merge CPU)
+        body = conform(changes, self.schema)  # fills text/lang with nulls if absent
         body = body.append_column("_lsn", changes.column("lsn").cast(pa.int64()))
         body = body.append_column("_deleted", deleted)
 
@@ -126,6 +117,22 @@ class MergePartition:
 
         # final exact reduce: max (ts_col, _lsn) per key over base ∪ changes
         merged = self._lww_stored(merged)
+
+        if self.derive_text and "html" in merged.column_names and "text" in merged.column_names:
+            # extract for surviving change rows only (text still null,
+            # not deleted); stored rows already carry their text
+            txt = merged.column("text")
+            need = pc.and_(pc.invert(merged.column("_deleted")), pc.is_null(txt))
+            need_np = need.to_numpy(zero_copy_only=False)
+            if need_np.any():
+                idxs = np.flatnonzero(need_np)
+                htmls = pc.take(merged.column("html"), pa.array(idxs)).to_pylist()
+                vals = txt.to_pylist()
+                for i, h in zip(idxs.tolist(), htmls):
+                    vals[i] = extract_text(h)
+                merged = merged.set_column(
+                    merged.column_names.index("text"), "text", pa.array(vals, pa.string())
+                )
 
         out_path = os.path.join(
             self.lake_root, "staging", self.txid, f"part-{pid:05d}.parquet"

@@ -112,3 +112,44 @@ def test_schema_evolve_is_additive_and_stable(cur_cols, new_cols):
     ct = conform(t, out)
     for c in set(new_cols) - set(cur_cols):
         assert ct.column(c).null_count == 1
+
+
+def test_unique_pairs_sum_wide_ids_match_packed_path():
+    """The structured-key fallback for wide (>=2^31) or negative ids must
+    agree with the packed fast path on inputs both can handle, and must
+    not collide wide ids (hypothesis over random pair multisets)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_ray.stages.dedup import _unique_pairs_sum
+
+    small = st.integers(min_value=0, max_value=2**20)
+    wide = st.integers(min_value=-(2**40), max_value=2**40)
+
+    def ref(a, b, n):
+        acc = {}
+        for x, y, c in zip(a, b, n):
+            acc[(x, y)] = acc.get((x, y), 0) + c
+        return sorted((k[0], k[1], v) for k, v in acc.items())
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.tuples(small, small, st.integers(1, 5)), max_size=30))
+    def check_small(pairs):
+        a = np.array([p[0] for p in pairs], np.int64)
+        b = np.array([p[1] for p in pairs], np.int64)
+        n = np.array([p[2] for p in pairs], np.int64)
+        ua, ub, s = _unique_pairs_sum(a, b, n)
+        assert sorted(zip(ua.tolist(), ub.tolist(), s.tolist())) == ref(a, b, n)
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.tuples(wide, wide, st.integers(1, 5)), max_size=30))
+    def check_wide(pairs):
+        a = np.array([p[0] for p in pairs], np.int64)
+        b = np.array([p[1] for p in pairs], np.int64)
+        n = np.array([p[2] for p in pairs], np.int64)
+        ua, ub, s = _unique_pairs_sum(a, b, n)
+        assert sorted(zip(ua.tolist(), ub.tolist(), s.tolist())) == ref(a, b, n)
+
+    check_small()
+    check_wide()
