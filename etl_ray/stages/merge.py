@@ -40,16 +40,29 @@ def lww_compact(
 
     Associative & commutative, so it is safe as a per-batch combiner, a
     salted pre-reduce, and the final per-partition reduce (SURVEY.md A4).
+
+    One ``take`` of winner rows (argmax via dictionary-encode + lexsort +
+    group tails): the wide payload columns (html/text) are copied exactly
+    once, vs twice for the previous sort-take + hash-aggregate("last")
+    form.  Schema and column order pass through unchanged.
     """
     if tbl.num_rows == 0:
         return tbl
-    idx = pc.sort_indices(tbl, sort_keys=[(c, "ascending") for c in order_by])
-    tbl = tbl.take(idx)
-    others = [c for c in tbl.column_names if c != key]
-    agg = tbl.group_by(key, use_threads=False).aggregate(
-        [(c, "last", pc.ScalarAggregateOptions(skip_nulls=False)) for c in others]
+    codes = (
+        pc.dictionary_encode(tbl.column(key).combine_chunks())
+        .indices.to_numpy(zero_copy_only=False)
+        .astype(np.int64)
     )
-    return agg.rename_columns([key] + others)
+    sort_keys = []
+    for c in reversed(order_by):  # np.lexsort: LAST key is primary
+        arr = tbl.column(c).combine_chunks()
+        if pa.types.is_timestamp(arr.type):
+            arr = arr.cast(pa.int64())
+        sort_keys.append(arr.to_numpy(zero_copy_only=False))
+    order = np.lexsort(tuple(sort_keys) + (codes,))
+    oc = codes[order]
+    tails = order[np.concatenate((np.diff(oc) != 0, [True]))]
+    return tbl.take(pa.array(np.sort(tails)))
 
 
 def _checksum(urls: list[str], ts_us: np.ndarray, lsn: np.ndarray) -> int:
@@ -189,12 +202,4 @@ class MergePartition:
         return body
 
     def _lww_stored(self, tbl: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            tbl, sort_keys=[(self.ts_col, "ascending"), ("_lsn", "ascending")]
-        )
-        tbl = tbl.take(idx)
-        others = [c for c in tbl.column_names if c != self.key]
-        agg = tbl.group_by(self.key, use_threads=False).aggregate(
-            [(c, "last", pc.ScalarAggregateOptions(skip_nulls=False)) for c in others]
-        )
-        return agg.rename_columns([self.key] + others)
+        return lww_compact(tbl, self.key, order_by=(self.ts_col, "_lsn"))
