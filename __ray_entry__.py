@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_docs_exact": Q.dedup_docs_exact,
         "shingle_jaccard_docs": Q.shingle_jaccard_docs,
         "knn_brute_embeddings": Q.knn_brute_embeddings,
+        "training_prep_docs": Q.training_prep_docs,
         # oracle-checked via fixture-backed SQL (see oracle_sql notes)
         "text_profile_docs": Q.text_profile_docs,
         "knn_lsh_embeddings": Q.knn_lsh_embeddings,
@@ -242,6 +243,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
         """,
         "knn_brute_embeddings": _KNN_EXACT_SQL,
+        # composite training-data prep: quality gate -> exact dedup -> tokens
+        "training_prep_docs": r"""
+            WITH scored AS (
+              SELECT doc_id, text,
+                     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+                     CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+                       / greatest(length(text), 1) AS alpha_ratio
+              FROM documents
+            ),
+            gated AS (
+              SELECT doc_id, text, n_tokens FROM scored
+              WHERE alpha_ratio >= 0.5 AND n_tokens >= 10
+            ),
+            winners AS (
+              SELECT min(doc_id) AS doc_id FROM gated
+              GROUP BY md5(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))))
+            )
+            SELECT g.doc_id, g.n_tokens FROM gated g JOIN winners USING (doc_id)
+        """,
         # full-probe LSH (probe_radius == bits) and full-scan IVF
         # (nprobe == n_lists) are exactly brute force: the bucket/cell
         # shuffle partitions the corpus, so the per-query top-k merge is

@@ -502,6 +502,49 @@ def multimodal_features(sf_dir: str):
     )
 
 
+def training_prep_docs(sf_dir: str):
+    """Composite training-data prep pipeline (the shape a 100 TB corpus
+    job runs end-to-end): quality gate -> exact near-dup removal -> token
+    accounting.  Stages chain as one streaming Dataset — no driver-side
+    materialization; the dedup shuffle moves only (id, digest)."""
+    from ..stages.dedup import exact_dedup
+    from ..stages.text import QualityScorer, TokenCounter
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    scored = ds.map_batches(TokenCounter, batch_format="pyarrow", concurrency=(1, 2)).map_batches(
+        QualityScorer, batch_format="pyarrow", concurrency=(1, 2)
+    )
+
+    def gate(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t["alpha_ratio"], pa.scalar(0.5)),
+            pc.greater_equal(t["n_tokens"], pa.scalar(10, pa.int64())),
+        )
+        return t.filter(keep).select(["doc_id", "text", "n_tokens"])
+
+    # materialize the gated intermediate: BOTH the dedup branch and the
+    # keep-set join read it — without this the streaming plan would
+    # instantiate the scoring actor pools twice (re-executing the Python
+    # scoring AND deadlocking small sessions on actor reservations)
+    gated = scored.map_batches(gate, batch_format="pyarrow").materialize()
+    winners = exact_dedup(gated, return_rows=False)
+
+    # keep-set is a Dataset of winner ids; join back to carry n_tokens
+    import ray as _ray
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    npart = max(2, min(64, ncpu // 2))
+    kept = winners.join(
+        gated.map_batches(
+            lambda t: t.select(["doc_id", "n_tokens"]), batch_format="pyarrow"
+        ),
+        "inner",
+        num_partitions=npart,
+        on=("doc_id",),
+    )
+    return kept
+
+
 def multimodal_frames(sf_dir: str):
     """FrameSampler plumbing: deterministic frame byte-ranges per media
     row, exploded to (media_id, frame_idx, offset, length) rows so the
