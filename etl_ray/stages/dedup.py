@@ -34,17 +34,6 @@ def _word_tokens(text: str) -> list[str]:
     return _WORD_RE.findall((text or "").lower())
 
 
-def _shingle_hashes(words: list[str], n: int) -> np.ndarray:
-    """crc32 of each n-word shingle; distinct, sorted."""
-    if len(words) < n:
-        joined = [" ".join(words)] if words else []
-    else:
-        joined = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
-    hs = {zlib.crc32(s.encode()) for s in joined}
-    return np.fromiter(hs, np.uint64, len(hs))
-
-
-
 def _pairs_from_sorted_groups(
     codes: np.ndarray, docs: np.ndarray, max_df: int, emit_markers: bool = True
 ) -> tuple[np.ndarray, np.ndarray]:
