@@ -125,7 +125,11 @@ def vacuum(lake_root: str) -> dict:
     removed: a concurrently in-flight transaction stages under
     ``tx_seq + 1`` and must not have its files deleted before commit.
     (A crashed transaction's staging dir is reclaimed after the next
-    successful commit advances ``tx_seq`` past it.)"""
+    successful commit advances ``tx_seq`` past it.)
+
+    Note: vacuum reclaims the part files that historical snapshots
+    reference — time-travel reads (``read_table(at_txid=...)``) are only
+    valid for transactions newer than the last vacuum."""
     import shutil
 
     lake = LakeTable(lake_root)

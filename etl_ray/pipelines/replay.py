@@ -487,11 +487,15 @@ def _replay_one_tx(
 # ---------------------------------------------------------------------------
 
 
-def read_table(lake_root: str) -> ray.data.Dataset:
+def read_table(lake_root: str, at_txid: str | None = None) -> ray.data.Dataset:
     """Stream the live rows of the lake table (manifest-resolved files,
-    tombstones filtered, internal columns dropped)."""
+    tombstones filtered, internal columns dropped).
+
+    ``at_txid`` time-travels to the committed state as of that
+    transaction (resolved from its immutable per-tx snapshot; valid until
+    ``vacuum()`` reclaims superseded part files)."""
     lake = LakeTable(lake_root)
-    m = lake.read_manifest()
+    m = lake.manifest_at(at_txid) if at_txid is not None else lake.read_manifest()
     files = lake.data_files(m)
     if not files:
         return ray.data.from_arrow(lake.schema(m).empty_table())
@@ -505,13 +509,13 @@ def read_table(lake_root: str) -> ray.data.Dataset:
     return ds.map_batches(live, batch_format="pyarrow")
 
 
-def read_table_arrow(lake_root: str) -> pa.Table:
+def read_table_arrow(lake_root: str, at_txid: str | None = None) -> pa.Table:
     """Materialized, url-sorted snapshot — for tests/small results only."""
     lake = LakeTable(lake_root)
-    schema = lake.schema()
+    schema = lake.schema(lake.manifest_at(at_txid)) if at_txid is not None else lake.schema()
     batches = [
         b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        for b in read_table(lake_root).iter_batches(batch_format="pyarrow")
+        for b in read_table(lake_root, at_txid).iter_batches(batch_format="pyarrow")
     ]
     if not batches:
         return schema.empty_table()

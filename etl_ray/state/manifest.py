@@ -171,6 +171,19 @@ class LakeTable:
         }
         if extras:
             tx_record.update(extras)
+        # snapshot the FULL post-tx state into the immutable per-tx record:
+        # time-travel reads (`read_table(at_txid=...)`) resolve files and
+        # schema from this snapshot alone (valid until vacuum() reclaims
+        # the superseded part files)
+        tx_record["snapshot"] = {
+            "partitions": partitions,
+            "schema": (
+                _schema_to_json(new_schema)
+                if new_schema is not None
+                else dict(m["schema"])
+            ),
+            "num_partitions": m["num_partitions"],
+        }
         os.makedirs(self.manifests_dir, exist_ok=True)
         with open(os.path.join(self.manifests_dir, f"{txid}.json"), "w") as f:
             json.dump(tx_record, f, indent=1)
@@ -198,6 +211,20 @@ class LakeTable:
         # post-commit GC of this tx's staging dir (safe: manifest is durable)
         shutil.rmtree(os.path.join(self.staging_root, txid), ignore_errors=True)
         return m
+
+    def manifest_at(self, txid: str) -> dict:
+        """Reconstruct the committed state as of ``txid`` from its
+        immutable per-tx snapshot (time travel).  Raises FileNotFoundError
+        for unknown txids and KeyError for pre-snapshot-era records."""
+        with open(os.path.join(self.manifests_dir, f"{txid}.json")) as f:
+            rec = json.load(f)
+        snap = rec["snapshot"]
+        return {
+            "txid": txid,
+            "num_partitions": snap["num_partitions"],
+            "schema": snap["schema"],
+            "partitions": snap["partitions"],
+        }
 
     def pending_segments(self, all_segments: list[str], manifest: dict | None = None) -> list[str]:
         """Ledger diff — the reference's new-file predicate

@@ -108,3 +108,37 @@ def test_lineage_recorded(ray_session, small_wal, lake_root):
     assert max(hi for _, hi in m["applied_lsn_ranges"]) == small_wal["spec"].n_events
     assert all("checksum" in p for p in m["partitions"].values())
     assert m["lineage"][-1]["events_applied"] > 0
+
+
+def test_time_travel_read(ray_session, small_wal, tmp_path):
+    """read_table(at_txid=...) reconstructs any committed snapshot from
+    the immutable per-tx manifest — each intermediate state must equal
+    the oracle over exactly the segments applied by then."""
+    import json
+    import os
+
+    from etl_ray.pipelines.replay import bootstrap_lake, read_table_arrow, replay
+    from etl_ray.state.manifest import LakeTable
+
+    root = str(tmp_path / "lake_tt" / "pages")
+    bootstrap_lake(root, small_wal["base"], num_partitions=8)
+    replay(root, small_wal["wal_dir"], max_segments_per_tx=2)
+
+    lake = LakeTable(root)
+    m = lake.read_manifest()
+    seg_by_name = {os.path.basename(s): s for s in small_wal["segments"]}
+    applied_so_far: list[str] = []
+    checked = 0
+    for entry in m["lineage"]:
+        txid = entry["txid"]
+        rec = json.load(open(os.path.join(root, "manifests", f"{txid}.json")))
+        applied_so_far += [
+            seg_by_name[s] for s in rec["applied_segments"] if s in seg_by_name
+        ]
+        snap = read_table_arrow(root, at_txid=txid)
+        oracle = replay_oracle(small_wal["base"], applied_so_far)
+        assert snap.equals(oracle), f"time-travel mismatch at {txid}"
+        checked += 1
+    assert checked >= 3  # bootstrap + >=2 replay txs
+    # the newest snapshot equals the current read
+    assert read_table_arrow(root, at_txid=m["txid"]).equals(read_table_arrow(root))
