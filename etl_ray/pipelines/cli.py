@@ -76,6 +76,11 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("stats", help="operational metrics: per-tx lineage + throughput")
     st.add_argument("--lake", required=True)
 
+    ex = sub.add_parser("export", help="write live rows to partitioned parquet")
+    ex.add_argument("--lake", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--at-txid", default=None, help="time-travel snapshot")
+
     args = p.parse_args(argv)
 
     if args.cmd == "gen":
@@ -142,6 +147,23 @@ def main(argv: list[str] | None = None) -> int:
         lineage = compact(args.lake, args.watermark_lsn)
         gc = vacuum(args.lake)
         print(json.dumps({**lineage, **gc}))
+        return 0
+
+    if args.cmd == "export":
+        _init_ray()
+        from .replay import read_table
+
+        from ..state.manifest import LakeTable
+
+        ds = read_table(args.lake, at_txid=args.at_txid)
+        # streaming partitioned-parquet sink: one file per block; consumers
+        # read the directory.  Row count comes from the manifest (no
+        # second scan).
+        ds.write_parquet(args.out)
+        lake = LakeTable(args.lake)
+        m = lake.manifest_at(args.at_txid) if args.at_txid else lake.read_manifest()
+        rows = sum(p["rows"] for p in m["partitions"].values())
+        print(json.dumps({"out": args.out, "rows": rows}))
         return 0
 
     if args.cmd == "stats":

@@ -225,28 +225,23 @@ def union_distinct_ids(sf_dir: str):
 
 def hourly_event_stats(sf_dir: str):
     """Streaming-shaped tumbling window: 1h tumble per event_type
-    (SURVEY §2.10 — no watermarks; event-time bucketing)."""
+    (SURVEY §2.10 — no watermarks; event-time bucketing) via the
+    reusable `stages.windows.tumbling` operator."""
+    from ..stages.windows import tumbling
+
     ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["ts", "event_type", "value"])
 
     def prep(t: pa.Table) -> pa.Table:
-        hour = pc.floor_temporal(t["ts"], unit="hour")
         return pa.table(
-            {"hour": hour, "event_type": t["event_type"], "value_cents": _cents(t["value"])}
+            {"ts": t["ts"], "event_type": t["event_type"], "value_cents": _cents(t["value"])}
         )
 
-    return (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["hour", "event_type"])
-        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents"))
-        # Ray's groupby carries the timestamp key at second resolution;
-        # restore timestamp[us] to match date_trunc's output type
-        .map_batches(
-            lambda t: t.set_column(
-                t.column_names.index("hour"), "hour",
-                t.column("hour").cast(pa.timestamp("us")),
-            ),
-            batch_format="pyarrow",
-        )
+    return tumbling(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ts_col="ts",
+        by=["event_type"],
+        value_col="value_cents",
+        out_col="hour",
     )
 
 
@@ -704,86 +699,35 @@ def embedding_neardup_pairs(sf_dir: str):
 
 
 def sliding_window_events(sf_dir: str):
-    """Sliding window (2h size, 1h step): each event lands in 2 windows —
-    flat-map into (window_start, event_type) rows then aggregate."""
+    """Sliding window (2h size, 1h step) via the reusable
+    `stages.windows.sliding` operator: each event lands in width/step
+    windows via a per-batch flat-map, then one bounded groupby."""
+    from ..stages.windows import sliding
+
     ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["ts", "event_type", "value"])
 
-    def explode(t: pa.Table) -> pa.Table:
-        hour = pc.floor_temporal(t["ts"], unit="hour")
-        prev = pc.subtract(hour, pa.scalar(3_600_000_000, pa.duration("us")))
-        cents = _cents(t["value"])
-        w0 = pa.table(
-            {"window_start": hour, "event_type": t["event_type"], "value_cents": cents}
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"ts": t["ts"], "event_type": t["event_type"], "value_cents": _cents(t["value"])}
         )
-        w1 = pa.table(
-            {"window_start": prev, "event_type": t["event_type"], "value_cents": cents}
-        )
-        return pa.concat_tables([w0, w1])
 
-    return (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby(["window_start", "event_type"])
-        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents"))
-        .map_batches(
-            lambda t: t.set_column(
-                t.column_names.index("window_start"), "window_start",
-                t.column("window_start").cast(pa.timestamp("us")),
-            ),
-            batch_format="pyarrow",
-        )
+    return sliding(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ts_col="ts",
+        by=["event_type"],
+        value_col="value_cents",
     )
 
 
 def session_windows_events(sf_dir: str):
-    """Session windows (30 min inactivity gap) per user (SURVEY §2.10).
+    """Session windows (30 min inactivity gap) per user (SURVEY §2.10)
+    via the reusable `stages.windows.sessionize` operator (bucketed
+    shuffle + vectorized in-bucket sessionization; the DuckDB oracle
+    reproduces it with lag() + cumulative sum)."""
+    from ..stages.windows import sessionize
 
-    Scale shape: ONE shuffle keyed by hash(user) % 256 buckets (bounded
-    group count, not one Python dispatch per user), then fully vectorized
-    numpy sessionization inside each bucket: sort by (user, ts, event_id),
-    session boundary = user change OR gap > 30 min, cumsum -> session ids,
-    reduce via boundary indices.  The DuckDB oracle reproduces it with
-    lag() + cumulative sum."""
     ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        b = pc.bit_wise_and(pc.cast(t["user_id"], pa.uint64()), pa.scalar(255, pa.uint64()))
-        return t.append_column("bucket", pc.cast(b, pa.int32()))
-
-    def sessions_bucket(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            g, sort_keys=[("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
-        )
-        g = g.take(idx)
-        uid = g.column("user_id").to_numpy(zero_copy_only=False)
-        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)  # us
-        n = len(uid)
-        if n == 0:
-            return pa.table(
-                {
-                    "user_id": pa.array([], pa.int64()),
-                    "session_start": pa.array([], pa.timestamp("us")),
-                    "session_end": pa.array([], pa.timestamp("us")),
-                    "n_events": pa.array([], pa.int64()),
-                }
-            )
-        new_sess = np.ones(n, bool)
-        new_sess[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > 1_800_000_000)
-        starts = np.flatnonzero(new_sess)
-        ends = np.append(starts[1:], n) - 1  # rows are ts-sorted per user
-        return pa.table(
-            {
-                "user_id": pa.array(uid[starts], pa.int64()),
-                "session_start": pa.array(ts[starts], pa.timestamp("us")),
-                "session_end": pa.array(ts[ends], pa.timestamp("us")),
-                "n_events": pa.array(np.append(starts[1:], n) - starts, pa.int64()),
-            }
-        )
-
-    return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(sessions_bucket, batch_format="pyarrow")
-    )
+    return sessionize(ds, key_col="user_id", ts_col="ts", order_cols=("event_id",))
 
 
 def knn_ivf_embeddings(sf_dir: str):
