@@ -67,6 +67,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # two oracles read fixture parquet from /tmp; materialize those
+    # fixtures NOW (cheap, cached, no Ray needed) so the SQL is runnable
+    # regardless of whether the driver executes the query or the oracle
+    # first
+    Q._media_fixture_path()
+    Q._cdc_fixture(*Q._CDC_SIZES["sf0.01"])
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -569,26 +569,22 @@ def multimodal_frames(sf_dir: str):
     return sampled.map_batches(explode, batch_format="pyarrow")
 
 
-def cdc_replay_pages(sf_dir: str):
-    """The flagship CDC pipeline itself, scaled by sf_dir.  The driver
-    oracle is real SQL over a flattened event table written next to the
-    fixture: the LWW/delete/schema-evolution semantics live in the SQL
-    window query (`__ray_entry__.oracle_sql`); per-event ``text`` comes
-    from the shared pure ``extract_text`` (byte-identity is additionally
-    pinned by the pytest differential suite)."""
+_CDC_SIZES = {"sf0.001": (300, 1500), "sf0.01": (1000, 8000), "sf0.1": (4000, 40000)}
+
+
+def _cdc_fixture(n_urls: int, n_events: int) -> str:
+    """Deterministic cached CDC fixture (base + WAL + flattened oracle
+    event table) under /tmp; atomic publish; no Ray needed.  Returns the
+    fixture root dir.  Callable from both the query and ``oracle_sql()``
+    (the driver may run either side first)."""
     import tempfile
 
     import pyarrow.parquet as pq
 
     from ..gen import WalSpec, generate_dataset
     from ..oracle import flat_events_table
-    from .replay import bootstrap_lake, read_table_arrow, replay
 
-    sizes = {"sf0.001": (300, 1500), "sf0.01": (1000, 8000), "sf0.1": (4000, 40000)}
-    n_urls, n_events = sizes.get(os.path.basename(sf_dir.rstrip("/")), (300, 1500))
-    root = os.path.join(
-        tempfile.gettempdir(), f"etlray_cdc_{n_urls}_{n_events}"
-    )
+    root = os.path.join(tempfile.gettempdir(), f"etlray_cdc_{n_urls}_{n_events}")
     data_dir = os.path.join(root, "data")
     if not os.path.exists(os.path.join(data_dir, "wal")):
         # generate into a private dir, publish with one atomic rename —
@@ -620,6 +616,21 @@ def cdc_replay_pages(sf_dir: str):
             tmp,
         )
         os.replace(tmp, os.path.join(data_dir, "oracle_events.parquet"))
+    return root
+
+
+def cdc_replay_pages(sf_dir: str):
+    """The flagship CDC pipeline itself, scaled by sf_dir.  The driver
+    oracle is real SQL over a flattened event table written next to the
+    fixture: the LWW/delete/schema-evolution semantics live in the SQL
+    window query (`__ray_entry__.oracle_sql`); per-event ``text`` comes
+    from the shared pure ``extract_text`` (byte-identity is additionally
+    pinned by the pytest differential suite)."""
+    from .replay import bootstrap_lake, read_table_arrow, replay
+
+    n_urls, n_events = _CDC_SIZES.get(os.path.basename(sf_dir.rstrip("/")), (300, 1500))
+    root = _cdc_fixture(n_urls, n_events)
+    data_dir = os.path.join(root, "data")
     lake_root = os.path.join(root, "lake", str(os.getpid()), "pages")
     bootstrap_lake(lake_root, os.path.join(data_dir, "base", "pages.parquet"), num_partitions=16)
     replay(lake_root, os.path.join(data_dir, "wal"))
