@@ -333,7 +333,7 @@ def token_count_docs(sf_dir: str):
     from ..stages.text import TokenCounter
 
     ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    return ds.map_batches(TokenCounter, batch_format="pyarrow", concurrency=(1, 2)).map_batches(
+    return ds.map_batches(TokenCounter, batch_format="pyarrow", concurrency=(1, 8)).map_batches(
         lambda t: t.select(["doc_id", "n_tokens"]), batch_format="pyarrow"
     )
 
@@ -342,7 +342,7 @@ def quality_docs(sf_dir: str):
     from ..stages.text import QualityScorer
 
     ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    return ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 2)).map_batches(
+    return ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 8)).map_batches(
         lambda t: t.select(["doc_id", "n_chars_counted", "n_alpha", "n_punct", "alpha_ratio"]),
         batch_format="pyarrow",
     )
@@ -418,8 +418,8 @@ def text_profile_docs(sf_dir: str):
 
     ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     out = (
-        ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 2))
-        .map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2))
+        ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 8))
+        .map_batches(LangId, batch_format="pyarrow", concurrency=(1, 8))
     )
     return out.map_batches(
         lambda t: t.select(["doc_id", "lang_pred", "stop_ratio_en"]),
@@ -489,8 +489,8 @@ def multimodal_features(sf_dir: str):
 
     ds = ray.data.read_parquet(_media_fixture_path())
     out = ds.map_batches(
-        ImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=(1, 2)
-    ).map_batches(FeatureExtractor, batch_format="pyarrow", batch_size=64, concurrency=(1, 2))
+        ImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=(1, 8)
+    ).map_batches(FeatureExtractor, batch_format="pyarrow", batch_size=64, concurrency=(1, 8))
     return out.map_batches(
         lambda t: t.select(["media_id", "dec_height", "dec_width", "dec_channels"]),
         batch_format="pyarrow",
@@ -506,8 +506,8 @@ def training_prep_docs(sf_dir: str):
     from ..stages.text import QualityScorer, TokenCounter
 
     ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    scored = ds.map_batches(TokenCounter, batch_format="pyarrow", concurrency=(1, 2)).map_batches(
-        QualityScorer, batch_format="pyarrow", concurrency=(1, 2)
+    scored = ds.map_batches(TokenCounter, batch_format="pyarrow", concurrency=(1, 8)).map_batches(
+        QualityScorer, batch_format="pyarrow", concurrency=(1, 8)
     )
 
     def gate(t: pa.Table) -> pa.Table:
@@ -548,7 +548,7 @@ def multimodal_frames(sf_dir: str):
 
     ds = ray.data.read_parquet(_media_fixture_path())
     sampled = ds.map_batches(
-        FrameSampler, batch_format="pyarrow", batch_size=64, concurrency=(1, 2)
+        FrameSampler, batch_format="pyarrow", batch_size=64, concurrency=(1, 8)
     )
 
     def explode(t: pa.Table) -> pa.Table:
