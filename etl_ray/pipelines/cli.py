@@ -174,7 +174,11 @@ def main(argv: list[str] | None = None) -> int:
 
         m = LakeTable(args.lake).read_manifest()
         lin = m["lineage"]
-        total_events = sum(tx.get("events_applied") or 0 for tx in lin)
+        # raw WAL events per tx when recorded (pre-compaction denominator);
+        # lineage events_applied counts post-combiner merge inputs
+        total_events = sum(
+            tx.get("wal_events") or tx.get("events_applied") or 0 for tx in lin
+        )
         total_secs = sum(tx.get("seconds") or 0 for tx in lin)
         print(
             json.dumps(
@@ -192,8 +196,8 @@ def main(argv: list[str] | None = None) -> int:
                         {
                             k: tx.get(k)
                             for k in (
-                                "txid", "events_applied", "rows_total", "seconds",
-                                "events_per_sec", "salted", "compaction",
+                                "txid", "wal_events", "events_applied", "rows_total",
+                                "seconds", "events_per_sec", "salted", "compaction",
                                 "partitions_rewritten",
                             )
                             if k in tx

@@ -1,0 +1,51 @@
+"""CLI surface: gen -> bootstrap -> replay -> show/stats -> export -> compact.
+
+Drives `etl_ray.pipelines.cli.main(argv)` in-process (the ray_session
+fixture owns the Ray session; _init_ray is a no-op re-init)."""
+
+import json
+
+import pyarrow.parquet as pq
+
+
+def _run(capsys, *argv) -> dict:
+    from etl_ray.pipelines.cli import main
+
+    assert main(list(argv)) == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(out)
+
+
+def test_cli_end_to_end(ray_session, tmp_path, capsys):
+    data = str(tmp_path / "cdc")
+    lake = str(tmp_path / "lake" / "pages")
+    out = str(tmp_path / "export")
+
+    r = _run(capsys, "gen", "--out", data, "--urls", "200", "--events", "1000",
+             "--segments", "4")
+    assert r["segments"] == 5  # 4 + redelivered
+
+    _run(capsys, "bootstrap", "--lake", lake, "--base", f"{data}/base/pages.parquet",
+         "--partitions", "8")
+    rep = _run(capsys, "replay", "--lake", lake, "--wal", f"{data}/wal")
+    assert rep["transactions"] == 1 and rep["rows_live"] > 0
+
+    show = _run(capsys, "show", "--lake", lake)
+    assert show["rows_live"] == rep["rows_live"]
+
+    stats = _run(capsys, "stats", "--lake", lake)
+    assert stats["transactions"] == 2  # bootstrap + replay
+    assert stats["events_applied_total"] == rep["events_applied"]
+    assert stats["per_tx"][-1]["events_per_sec"] > 0
+
+    exp = _run(capsys, "export", "--lake", lake, "--out", out)
+    assert exp["rows"] == rep["rows_live"]
+    exported = pq.read_table(out)
+    assert exported.num_rows == rep["rows_live"]
+    assert "_deleted" not in exported.column_names  # internal cols dropped
+
+    comp = _run(capsys, "compact", "--lake", lake)
+    assert comp["compaction"] is True
+    # state unchanged for readers after compaction + vacuum
+    show2 = _run(capsys, "show", "--lake", lake)
+    assert show2["rows_live"] == rep["rows_live"]
