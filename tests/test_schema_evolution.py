@@ -65,3 +65,33 @@ def test_replay_schema_evolution_mid_stream(ray_session, small_wal, tmp_path):
     langs = engine.column("lang")
     assert langs.null_count > 0
     assert langs.null_count < engine.num_rows
+
+
+def test_time_travel_across_schema_evolution(ray_session, small_wal, tmp_path):
+    """A snapshot taken BEFORE the schema widened must read back with the
+    old (lang-less) schema; the current read carries the widened one."""
+    from etl_ray.pipelines.replay import bootstrap_lake, read_table_arrow, replay
+    from etl_ray.state.manifest import LakeTable
+
+    spec = small_wal["spec"]
+    v1 = spec.resolved_v1_start()
+    segs = small_wal["segments"][: spec.n_segments]  # drop redelivered tail
+
+    root = str(tmp_path / "lake_se_tt" / "pages")
+    bootstrap_lake(root, None, num_partitions=4, schema=SCHEMA_NO_LANG)
+    replay(root, small_wal["wal_dir"], segments=segs[:v1])  # v0-only tx
+    lake = LakeTable(root)
+    pre_tx = lake.read_manifest()["txid"]
+    assert lake.read_manifest()["schema_version"] == 0
+
+    replay(root, small_wal["wal_dir"], segments=segs[v1:])  # brings `lang`
+    assert lake.read_manifest()["schema_version"] == 1
+
+    old = read_table_arrow(root, at_txid=pre_tx)
+    assert "lang" not in old.column_names
+    assert old.num_rows > 0
+    now = read_table_arrow(root)
+    assert "lang" in now.column_names
+    # old snapshot rows equal the oracle over the v0 prefix (minus lang)
+    oracle_v0 = replay_oracle(None, segs[:v1]).drop_columns(["lang"])
+    assert old.equals(oracle_v0)
