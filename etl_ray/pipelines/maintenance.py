@@ -45,7 +45,7 @@ def _compact_partition(
     live = out.filter(pc.invert(out.column("_deleted")))
     lsn_np = out.column("_lsn").to_numpy(zero_copy_only=False)
     ck = _checksum(
-        live.column("url").to_pylist(),
+        live.column("url"),
         live.column("warc_ts").cast(pa.int64()).to_numpy(zero_copy_only=False),
         live.column("_lsn").to_numpy(zero_copy_only=False),
     )

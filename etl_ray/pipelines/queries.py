@@ -24,6 +24,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Sum
 
+from ..stages.hashutil import hash_bucket
 from ..stages.merge import lww_compact
 
 
@@ -181,8 +182,7 @@ def upsert_lww_events(sf_dir: str):
     # vectorized per-key WITHIN a bucket (bucket is a function of the key).
     def combine(t: pa.Table) -> pa.Table:
         t = lww_compact(t, key="user_id", order_by=("ts", "event_id"))
-        b = pc.bit_wise_and(pc.cast(t["user_id"], pa.uint64()), pa.scalar(255, pa.uint64()))
-        return t.append_column("bucket", pc.cast(b, pa.int32()))
+        return t.append_column("bucket", hash_bucket(t["user_id"], 256))
 
     def reduce_bucket(g: pa.Table) -> pa.Table:
         return lww_compact(g.drop_columns(["bucket"]), key="user_id", order_by=("ts", "event_id"))

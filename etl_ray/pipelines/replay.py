@@ -141,7 +141,7 @@ class _BootstrapPartition:
         os.makedirs(os.path.dirname(out), exist_ok=True)
         pq.write_table(body, out)
         ck = _checksum(
-            body.column("url").to_pylist(),
+            body.column("url"),
             body.column("warc_ts").cast(pa.int64()).to_numpy(zero_copy_only=False),
             body.column("_lsn").to_numpy(zero_copy_only=False),
         )

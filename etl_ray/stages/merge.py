@@ -18,7 +18,6 @@ max-by over all events.
 from __future__ import annotations
 
 import os
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -26,6 +25,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..extract import extract_text
+from .hashutil import hash64, mix64
 
 # internal columns persisted in part files, never served to readers
 INTERNAL_COLS = ("_lsn", "_deleted")
@@ -65,12 +65,20 @@ def lww_compact(
     return tbl.take(pa.array(np.sort(tails)))
 
 
-def _checksum(urls: list[str], ts_us: np.ndarray, lsn: np.ndarray) -> int:
-    """Order-insensitive per-partition content checksum (lineage)."""
-    acc = 0
-    for u, t, l in zip(urls, ts_us.tolist(), lsn.tolist()):
-        acc = (acc + zlib.crc32(f"{u}|{t}|{l}".encode())) & 0xFFFFFFFFFFFFFFFF
-    return acc
+def _checksum(key_col: pa.Array | pa.ChunkedArray, ts_us: np.ndarray, lsn: np.ndarray) -> int:
+    """Order-insensitive per-partition content checksum (lineage).
+
+    Vectorized (round-2 verdict item 3): per-row mix64 of (key hash,
+    warc_ts, lsn), summed mod 2^64 — this runs on every live row of
+    every rewritten partition inside the flagship replay, so no per-row
+    Python is allowed here.  ``hash64`` handles string or integer keys.
+    """
+    row = mix64(
+        hash64(key_col) * np.uint64(0xC2B2AE3D27D4EB4F)
+        + ts_us.astype(np.int64).view(np.uint64) * np.uint64(0x165667B19E3779F9)
+        + lsn.astype(np.int64).view(np.uint64)
+    )
+    return int(row.sum(dtype=np.uint64))
 
 
 class MergePartition:
@@ -159,7 +167,7 @@ class MergePartition:
         live = merged.filter(pc.invert(merged.column("_deleted")))
         lsn_np = merged.column("_lsn").to_numpy(zero_copy_only=False)
         ck = _checksum(
-            live.column(self.key).to_pylist(),
+            live.column(self.key),
             live.column(self.ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False),
             live.column("_lsn").to_numpy(zero_copy_only=False),
         )

@@ -21,6 +21,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data.aggregate import Count, Sum
 
+from .hashutil import hash_bucket
+
 _US_PER_HOUR = 3_600_000_000
 
 
@@ -140,10 +142,8 @@ def sessionize(
     """
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        b = pc.bit_wise_and(
-            pc.cast(t[key_col], pa.uint64()), pa.scalar(n_buckets - 1, pa.uint64())
-        )
-        return t.append_column("bucket", pc.cast(b, pa.int32()))
+        # hash_bucket handles integer AND string/uuid session keys
+        return t.append_column("bucket", hash_bucket(t[key_col], n_buckets))
 
     def sessions_bucket(g: pa.Table) -> pa.Table:
         sort_keys = [(key_col, "ascending"), (ts_col, "ascending")] + [

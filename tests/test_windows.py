@@ -68,3 +68,39 @@ def test_sessionize_gap_semantics(ray_session):
         for r in out
     )
     assert sess == [(7, 0, 2), (7, 2 * gap + 1, 1), (8, 5, 1)]
+
+
+def test_sessionize_string_keys(ray_session):
+    # a url/uuid-keyed stream must sessionize identically to int keys:
+    # hash_bucket hashes string keys instead of requiring a uint64 cast
+    import ray.data
+
+    from etl_ray.stages.windows import sessionize
+
+    gap = 1_800_000_000
+    rows = [
+        ("https://a.example/x", 0),
+        ("https://a.example/x", gap),
+        ("https://a.example/x", 2 * gap + 1),
+        ("https://b.example/y", 5),
+    ]
+    tbl = pa.table(
+        {
+            "sess_key": pa.array([r[0] for r in rows], pa.string()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_id": pa.array(list(range(len(rows))), pa.int64()),
+        }
+    )
+    out = sessionize(
+        ray.data.from_arrow(tbl), key_col="sess_key", ts_col="ts",
+        order_cols=("event_id",), gap_us=gap,
+    ).take_all()
+    sess = sorted(
+        (r["sess_key"], int(r["session_start"].timestamp() * 1e6), r["n_events"])
+        for r in out
+    )
+    assert sess == [
+        ("https://a.example/x", 0, 2),
+        ("https://a.example/x", 2 * gap + 1, 1),
+        ("https://b.example/y", 5, 1),
+    ]
