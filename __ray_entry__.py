@@ -60,19 +60,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": Q.multimodal_features,
         "multimodal_frames": Q.multimodal_frames,
         "cdc_replay_pages": Q.cdc_replay_pages,
-        # rows-only (no SQL-expressible oracle: crc32-based signatures)
+        # oracle-checked against fixture-carried per-doc signatures (the
+        # crc32 basis is not SQL-expressible; plain-python reference
+        # signatures are written at fixture build and DuckDB joins them)
         "minhash_pairs_docs": Q.minhash_pairs_docs,
         "simhash_groups_docs": Q.simhash_groups_docs,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    # two oracles read fixture parquet from /tmp; materialize those
+    # Several oracles read fixture parquet from /tmp; materialize those
     # fixtures NOW (cheap, cached, no Ray needed) so the SQL is runnable
     # regardless of whether the driver executes the query or the oracle
-    # first
+    # first.
+    #
+    # CONTRACT: fixture-backed oracle SQL strings (cdc_replay_pages,
+    # minhash_pairs_docs, simhash_groups_docs, multimodal_*) hardcode the
+    # sf0.01 fixture paths because SQL is static while queries() scale
+    # with sf_dir — the driver's correctness harness compares at sf0.01
+    # only.  Run those queries at another sf via queries() directly; their
+    # SQL here would compare against the wrong fixture.
     Q._media_fixture_path()
     Q._cdc_fixture(*Q._CDC_SIZES["sf0.01"])
+    truth = Q._dedup_truth_fixture("/root/testdata/sf0.01")
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -318,6 +328,47 @@ def oracle_sql() -> dict[str, str]:
               FROM read_parquet('/tmp/etlray_cdc_1000_8000/data/oracle_events.parquet')
             )
             SELECT url, warc_ts, text, lang FROM w WHERE rn = 1 AND op <> 'delete'
+        """,
+        # LSH candidate pairs verified by signature agreement, reproduced
+        # from the fixture-carried reference signatures: candidates = docs
+        # sharing a band hash (bucket cap 64, matching max_bucket), est
+        # Jaccard = agreeing components / 64, kept at >= 0.6 (same IEEE
+        # double compare as the engine's numpy mean)
+        "minhash_pairs_docs": f"""
+            WITH bands AS (
+              SELECT doc_id, band_hash
+              FROM read_parquet('{truth}/minhash_bands.parquet')
+            ),
+            sigs AS (
+              SELECT doc_id, sig FROM read_parquet('{truth}/minhash_sigs.parquet')
+            ),
+            ok AS (
+              SELECT band_hash FROM bands GROUP BY band_hash HAVING count(*) <= 64
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a
+              JOIN bands b USING (band_hash)
+              JOIN ok USING (band_hash)
+              WHERE a.doc_id < b.doc_id
+            ),
+            scored AS (
+              SELECT id_a, id_b,
+                     CAST(len(list_filter(range(1, 65),
+                                          i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 64
+                       AS est_jaccard
+              FROM cand
+              JOIN sigs sa ON sa.doc_id = cand.id_a
+              JOIN sigs sb ON sb.doc_id = cand.id_b
+            )
+            SELECT id_a, id_b, est_jaccard FROM scored WHERE est_jaccard >= 0.6
+        """,
+        # exact-simhash duplicate groups over the fixture-carried reference
+        # simhash values (query() projects the group key + size)
+        "simhash_groups_docs": f"""
+            SELECT simhash, count(*) AS n
+            FROM read_parquet('{truth}/simhash.parquet')
+            GROUP BY simhash HAVING count(*) >= 2
         """,
         "text_profile_docs": r"""
             WITH base AS (

@@ -5,10 +5,12 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
    "events_per_sec": ..., "rows_live": ...}
 
-``--scaling`` re-runs this script in two fresh processes
-(RAY_GRAFT_CPUS=8 and 32) on the same input and reports both
-throughputs + scaling efficiency (the sandbox stand-in for the north
-rule's N vs 4N node criterion; see BASELINE.md).
+``--scaling`` re-runs this script in fresh processes at SCALE_LO and
+SCALE_HI CPUs (default 4 and 16; SCALE_TRIALS per width, median) on the
+same input and reports both throughputs + scaling efficiency (the
+sandbox stand-in for the north rule's N vs 4N node criterion; see
+BASELINE.md).  Estimator is the MEDIAN on both sides and for the
+headline; every trial value is also emitted.
 """
 
 from __future__ import annotations
@@ -57,6 +59,8 @@ def _consume(res) -> int:
 
 
 def run_bench() -> dict:
+    import logging
+
     import ray
 
     ray.init(
@@ -70,6 +74,15 @@ def run_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # Silence the one benign WARNING Ray Data logs when a task yields zero
+    # output batches (tiny aggregate results leave most partitions empty;
+    # the empty RefBundle carries no schema).  Every UDF in this repo
+    # returns schema-typed empty tables; the schema-less bundles come from
+    # Ray's own aggregate/map_groups internals, which never invoke the UDF
+    # for empty input blocks.
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).setLevel(logging.ERROR)
 
     from etl_ray.gen import WalSpec, generate_dataset
     from etl_ray.pipelines import queries as Q
@@ -100,11 +113,12 @@ def run_bench() -> dict:
                 fh.read()
 
     # headline: bootstrap excluded; timed = full WAL replay -> committed
-    # lake.  Best of BENCH_REPLAY_TRIALS (default 2) fresh lakes in this
+    # lake.  MEDIAN of BENCH_REPLAY_TRIALS (default 3) fresh lakes in this
     # session: single-box wall times vary 2-3x with page-cache/object-store
-    # state (see BASELINE.md), and the max throughput is the engine's
-    # capability.  All trial times are reported alongside the headline.
-    trials = int(os.environ.get("BENCH_REPLAY_TRIALS", "2"))
+    # state (see BASELINE.md); the median is robust to one outlier in
+    # either direction, where best-of-N biased the headline upward
+    # (round-2 advice).  All trial times are reported alongside.
+    trials = int(os.environ.get("BENCH_REPLAY_TRIALS", "3"))
     runs = []
     stats = None
     for trial in range(trials):
@@ -118,19 +132,22 @@ def run_bench() -> dict:
         st = replay(lake_root, os.path.join(data_dir, "wal"))
         dt = time.perf_counter() - t0
         runs.append(round(dt, 3))
-        if stats is None or dt <= min(runs):
+        if stats is None:
             stats = st
         # remove ONLY this run's lake dir, never the shared scratch root
         # with the cached WAL
         shutil.rmtree(os.path.dirname(lake_root), ignore_errors=True)
-    headline = min(runs)
+    headline = sorted(runs)[len(runs) // 2] if len(runs) % 2 else round(
+        sum(sorted(runs)[len(runs) // 2 - 1 : len(runs) // 2 + 1]) / 2, 3
+    )
 
     qtimes = {}
-    for name in QUERY_SUBSET:
-        fn = getattr(Q, name)
-        t0 = time.perf_counter()
-        _consume(fn(SF_DIR))
-        qtimes[name] = round(time.perf_counter() - t0, 3)
+    if not os.environ.get("ETLRAY_SKIP_QUERIES"):
+        for name in QUERY_SUBSET:
+            fn = getattr(Q, name)
+            t0 = time.perf_counter()
+            _consume(fn(SF_DIR))
+            qtimes[name] = round(time.perf_counter() - t0, 3)
 
     result = {
         "metric": "cdc replay seconds (WAL -> committed lake), plus query suite",
@@ -151,7 +168,14 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run_once(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # scaling children skip the query suite: only the replay headline
+        # feeds the N-vs-4N ratio
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            ETLRAY_SKIP_QUERIES="1",
+            BENCH_REPLAY_TRIALS=os.environ.get("BENCH_REPLAY_TRIALS", "1"),
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -161,25 +185,28 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def run(ncpu: int) -> dict:
-        # best of N fresh processes: single-box wall times vary 2-3x
-        # run-to-run (VM noise / page-cache / object-store residue, see
-        # BASELINE.md); the max throughput is the engine's capability at
-        # that width, which is what the N-vs-4N criterion compares
-        trials = int(os.environ.get("SCALE_TRIALS", "2"))
+    def run(ncpu: int) -> tuple[dict, list]:
+        # MEDIAN of N fresh processes per width (same estimator on both
+        # sides of the ratio — round-2 advice; best-of-N biased the ratio
+        # upward).  Single-box wall times vary 2-3x run-to-run (VM noise /
+        # page-cache / object-store residue, see BASELINE.md), so all
+        # trial values are reported.
+        trials = int(os.environ.get("SCALE_TRIALS", "3"))
         results = [run_once(ncpu) for _ in range(trials)]
-        return max(results, key=lambda r: r["events_per_sec"])
+        results.sort(key=lambda r: r["events_per_sec"])
+        med = results[len(results) // 2]
+        return med, [r["events_per_sec"] for r in results]
 
     # default N=4 vs 4N=16: on this single box, >16-wide execution hits the
     # shared memory-bandwidth ceiling (see BASELINE.md), which a real
     # N- vs 4N-NODE comparison would not — nodes add bandwidth linearly.
     lo = int(os.environ.get("SCALE_LO", "4"))
     hi = int(os.environ.get("SCALE_HI", "16"))
-    r_lo, r_hi = run(lo), run(hi)
+    (r_lo, all_lo), (r_hi, all_hi) = run(lo), run(hi)
     tp_lo, tp_hi = r_lo["events_per_sec"], r_hi["events_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
     return {
-        "metric": f"scaling efficiency (events/s at {lo} vs {hi} cpus, fresh processes)",
+        "metric": f"scaling efficiency (median events/s at {lo} vs {hi} cpus, fresh processes)",
         "value": round(eff, 3),
         "unit": "efficiency",
         "cpus_lo": lo,
@@ -188,6 +215,8 @@ def run_scaling() -> dict:
         "sec_hi": r_hi["value"],
         "events_per_sec_lo": tp_lo,
         "events_per_sec_hi": tp_hi,
+        "trials_events_per_sec_lo": all_lo,
+        "trials_events_per_sec_hi": all_hi,
         "scaling_efficiency": round(eff, 3),
         "sf": r_hi["sf"],
     }

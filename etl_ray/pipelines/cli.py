@@ -72,6 +72,12 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact", help="drop tombstones <= watermark, then vacuum orphans")
     c.add_argument("--lake", required=True)
     c.add_argument("--watermark-lsn", type=int, default=None)
+    c.add_argument(
+        "--assume-caught-up",
+        action="store_true",
+        help="WAL has ended: derive the watermark from the gap-free applied "
+        "prefix (default drops nothing unless --watermark-lsn is given)",
+    )
 
     st = sub.add_parser("stats", help="operational metrics: per-tx lineage + throughput")
     st.add_argument("--lake", required=True)
@@ -144,7 +150,9 @@ def main(argv: list[str] | None = None) -> int:
         _init_ray()
         from .maintenance import compact, vacuum
 
-        lineage = compact(args.lake, args.watermark_lsn)
+        lineage = compact(
+            args.lake, args.watermark_lsn, assume_caught_up=args.assume_caught_up
+        )
         gc = vacuum(args.lake)
         print(json.dumps({**lineage, **gc}))
         return 0

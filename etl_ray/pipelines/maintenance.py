@@ -72,7 +72,12 @@ def contiguous_applied_prefix(manifest: dict) -> int:
     return cur
 
 
-def compact(lake_root: str, watermark_lsn: int | None = None) -> dict:
+def compact(
+    lake_root: str,
+    watermark_lsn: int | None = None,
+    *,
+    assume_caught_up: bool = False,
+) -> dict:
     """Drop tombstones at or below ``watermark_lsn``.
 
     Safety analysis (LWW order is EVENT TIME ``(warc_ts, lsn)``, so an
@@ -84,17 +89,26 @@ def compact(lake_root: str, watermark_lsn: int | None = None) -> dict:
     * a still-PENDING segment may carry arbitrarily late (old-warc_ts)
       events for a deleted key, and only the tombstone guards those.
 
-    Default watermark therefore: the full applied range when the committed
-    LSN ranges are gap-free (caller asserts the stream is caught up), and
-    0 — drop nothing — when a gap shows older segments are still pending.
-    Pass ``watermark_lsn`` explicitly to encode a stronger WAL lateness
-    contract (e.g. an event-time bound).  Returns the tx lineage."""
+    Gap-free committed LSN ranges prove only that every PUBLISHED segment
+    was applied — in a tailing deployment a FUTURE segment (not yet
+    visible) can still carry an older-warc_ts event for a deleted key, so
+    "ranges are gap-free" does not imply "stream is caught up".  The
+    default watermark is therefore 0 (drop nothing).  Opt in to the
+    aggressive rule with ``assume_caught_up=True`` — the caller asserts
+    the WAL has ended — which uses the full applied range when the
+    committed ranges are gap-free (and still 0 when a gap shows older
+    segments pending).  Or pass ``watermark_lsn`` explicitly to encode a
+    stronger WAL lateness contract (e.g. an event-time bound).  Returns
+    the tx lineage."""
     lake = LakeTable(lake_root)
     manifest = lake.read_manifest()
     if watermark_lsn is None:
-        prefix = contiguous_applied_prefix(manifest)
-        mx = max((hi for _, hi in manifest["applied_lsn_ranges"]), default=0)
-        watermark_lsn = prefix if prefix >= mx else 0
+        if assume_caught_up:
+            prefix = contiguous_applied_prefix(manifest)
+            mx = max((hi for _, hi in manifest["applied_lsn_ranges"]), default=0)
+            watermark_lsn = prefix if prefix >= mx else 0
+        else:
+            watermark_lsn = 0
     txid = lake.next_txid(manifest)
     futs = [
         _compact_partition.remote(

@@ -118,53 +118,36 @@ def filter_click_events(sf_dir: str):
 
 
 def anti_join_customers_without_orders(sf_dir: str):
-    """Broadcast anti join (J1; reference `spark.py:139`): the key set is
-    ray.put once and read per task — no shuffle.  At 100 TB the small
-    side would be a bloom filter; same plumbing."""
-    okeys = pa.concat_tables(
-        ray.get(
-            ray.data.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"])
-            .map_batches(
-                lambda t: t.filter(
-                    pc.less(t["o_orderdate"], pa.scalar(np.datetime64("1996-01-01", "us")))
-                ).select(["o_custkey"]),
-                batch_format="pyarrow",
-            )
-            .to_arrow_refs()
-        )
+    """Anti join (J1; reference's driver-collected key list,
+    `spark.py:135-140`), via the broadcast/shuffle switch: key side is
+    ray.put + per-batch ``pc.is_in`` when it fits, native hash-partitioned
+    ``left_anti`` Dataset.join when it does not (stages/joins.py)."""
+    from ..stages.joins import key_filter_join
+
+    okeys = ray.data.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.less(t["o_orderdate"], pa.scalar(np.datetime64("1996-01-01", "us")))
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
     )
-    keys_ref = ray.put(pc.unique(okeys["o_custkey"].combine_chunks()))
-
-    def anti(t: pa.Table) -> pa.Table:
-        ks = ray.get(keys_ref)
-        return t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=ks)))
-
-    return ray.data.read_parquet(
-        _p(sf_dir, "customer"), columns=["c_custkey", "c_name"]
-    ).map_batches(anti, batch_format="pyarrow")
+    left = ray.data.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    return key_filter_join(left, okeys, left_on="c_custkey", right_on="o_custkey", anti=True)
 
 
 def semi_join_customers_with_open_orders(sf_dir: str):
-    """Broadcast semi join (J2; reference `spark.py:140`)."""
-    open_orders = pa.concat_tables(
-        ray.get(
-            ray.data.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_orderstatus"])
-            .map_batches(
-                lambda t: t.filter(pc.equal(t["o_orderstatus"], pa.scalar("O"))).select(["o_custkey"]),
-                batch_format="pyarrow",
-            )
-            .to_arrow_refs()
-        )
+    """Semi join (J2; reference `spark.py:140`), same switched operator."""
+    from ..stages.joins import key_filter_join
+
+    open_orders = ray.data.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_custkey", "o_orderstatus"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], pa.scalar("O"))).select(["o_custkey"]),
+        batch_format="pyarrow",
     )
-    keys_ref = ray.put(pc.unique(open_orders["o_custkey"].combine_chunks()))
-
-    def semi(t: pa.Table) -> pa.Table:
-        ks = ray.get(keys_ref)
-        return t.filter(pc.is_in(t["c_custkey"], value_set=ks))
-
-    return ray.data.read_parquet(
-        _p(sf_dir, "customer"), columns=["c_custkey", "c_name"]
-    ).map_batches(semi, batch_format="pyarrow")
+    left = ray.data.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    return key_filter_join(left, open_orders, left_on="c_custkey", right_on="o_custkey")
 
 
 def upsert_lww_events(sf_dir: str):
@@ -427,6 +410,124 @@ def text_profile_docs(sf_dir: str):
     )
 
 
+def _dedup_truth_fixture(sf_dir: str) -> str:
+    """Fixture-carried ground truth for the signature-based dedup oracles
+    (the `payload_md5` pattern): per-doc minhash signatures, band hashes
+    and simhash values computed by PLAIN-PYTHON reference loops — not the
+    pipeline's chunked/vectorized kernels — written once next to /tmp and
+    joined by the DuckDB oracles.  The engine still computes everything
+    itself; the oracle checks the distributed banding/bucketing/join
+    machinery against the per-doc definition.  Atomic publish (tmp dir +
+    rename); cached across processes."""
+    import tempfile
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    from ..stages.dedup import _MERSENNE, _SHINGLE_C, MinHasher, _word_tokens
+
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(tempfile.gettempdir(), f"etlray_dedup_truth_{sf_name}")
+    if os.path.exists(os.path.join(root, "simhash.parquet")):
+        return root
+
+    k, bands, ngram, seed = 64, 16, 3, 42
+    rpb = k // bands
+    C = int(_SHINGLE_C)
+    M64 = 1 << 64
+    hp = MinHasher(k=k, ngram=ngram, seed=seed)  # only for the (a, b) params
+    a_par = [int(x) for x in hp.a]
+    b_par = [int(x) for x in hp.b]
+
+    tbl = pq.read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    doc_ids = tbl.column("doc_id").to_pylist()
+    texts = tbl.column("text").to_pylist()
+
+    sig_rows, band_rows, sim_rows = [], [], []
+    for did, text in zip(doc_ids, texts):
+        words = _word_tokens(text)
+        wh = [zlib.crc32(w.encode()) for w in words]
+        # shingle hashes: wrapping multiply-add chains, plain ints
+        if not wh:
+            shingles = []
+        elif len(wh) < ngram:
+            acc = 0
+            for h in wh:
+                acc = (acc * C + h) % M64
+            shingles = [acc]
+        else:
+            ss = set()
+            for j in range(len(wh) - ngram + 1):
+                acc = 0
+                for h in wh[j : j + ngram]:
+                    acc = (acc * C + h) % M64
+                ss.add(acc)
+            shingles = sorted(ss)
+        # the permutation is DEFINED in uint64 arithmetic (numpy wraps the
+        # product mod 2^64 before the Mersenne mod) — reproduce that wrap
+        sig = [
+            min(
+                ((((ai * s) % M64 + bi) % M64) % _MERSENNE for s in shingles),
+                default=0,
+            )
+            for ai, bi in zip(a_par, b_par)
+        ]
+        sig_rows.append(sig)
+        for b in range(bands):
+            hs = b + 1
+            for c in sig[b * rpb : (b + 1) * rpb]:
+                hs = (hs * C + c) % M64
+            band_rows.append((did, hs))
+        # simhash: per-bit majority of word-hash bits, plain ints
+        swh = [
+            (zlib.crc32(w.encode()) | (zlib.crc32(w[::-1].encode()) << 32))
+            for w in words
+        ]
+        sh = 0
+        for bit in range(64):
+            c = sum((h >> bit) & 1 for h in swh)
+            if 2 * c - len(swh) > 0:
+                sh |= 1 << bit
+        sim_rows.append(sh if sh < (1 << 63) else sh - M64)  # two's-complement int64
+
+    tmp = f"{root}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "sig": pa.array(sig_rows, pa.list_(pa.uint64())),
+            }
+        ),
+        os.path.join(tmp, "minhash_sigs.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in band_rows], pa.int64()),
+                "band_hash": pa.array([r[1] for r in band_rows], pa.uint64()),
+            }
+        ),
+        os.path.join(tmp, "minhash_bands.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "simhash": pa.array(sim_rows, pa.int64()),
+            }
+        ),
+        os.path.join(tmp, "simhash.parquet"),
+    )
+    try:
+        os.rename(tmp, root)
+    except OSError:  # concurrent builder won the race
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return root
+
+
 def minhash_pairs_docs(sf_dir: str):
     from ..stages.dedup import minhash_lsh_pairs
 
@@ -500,29 +601,39 @@ def multimodal_features(sf_dir: str):
 def training_prep_docs(sf_dir: str):
     """Composite training-data prep pipeline (the shape a 100 TB corpus
     job runs end-to-end): quality gate -> exact near-dup removal -> token
-    accounting.  Stages chain as one streaming Dataset — no driver-side
-    materialization; the dedup shuffle moves only (id, digest)."""
+    accounting.  The only pinned intermediate is NARROW — (doc_id,
+    fp_md5, n_tokens), ~50 bytes/doc: the content digest is computed in
+    the streaming gate stage while the text flows past, so the full-width
+    corpus is never materialized (round-2 verdict item 5).  Both
+    consumers (dedup keep-set + token join) read the narrow table."""
     from ..stages.dedup import exact_dedup
-    from ..stages.text import QualityScorer, TokenCounter
+    from ..stages.text import Fingerprinter, QualityScorer, TokenCounter
 
     ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     scored = ds.map_batches(TokenCounter, batch_format="pyarrow", concurrency=(1, 8)).map_batches(
         QualityScorer, batch_format="pyarrow", concurrency=(1, 8)
     )
+    fp = Fingerprinter()
 
     def gate(t: pa.Table) -> pa.Table:
         keep = pc.and_(
             pc.greater_equal(t["alpha_ratio"], pa.scalar(0.5)),
             pc.greater_equal(t["n_tokens"], pa.scalar(10, pa.int64())),
         )
-        return t.filter(keep).select(["doc_id", "text", "n_tokens"])
+        kept = t.filter(keep)
+        digests = pa.array(
+            [fp.md5_norm(x) for x in kept["text"].to_pylist()], pa.string()
+        )
+        return pa.table(
+            {"doc_id": kept["doc_id"], "fp_md5": digests, "n_tokens": kept["n_tokens"]}
+        )
 
-    # materialize the gated intermediate: BOTH the dedup branch and the
-    # keep-set join read it — without this the streaming plan would
+    # materialize the narrow gated intermediate: BOTH the dedup branch and
+    # the keep-set join read it — without this the streaming plan would
     # instantiate the scoring actor pools twice (re-executing the Python
     # scoring AND deadlocking small sessions on actor reservations)
     gated = scored.map_batches(gate, batch_format="pyarrow").materialize()
-    winners = exact_dedup(gated, return_rows=False)
+    winners = exact_dedup(gated, return_rows=False, digest_col="fp_md5")
 
     # keep-set is a Dataset of winner ids; join back to carry n_tokens
     import ray as _ray

@@ -351,7 +351,14 @@ def minhash_lsh_pairs(
     return joined.map_batches(verify, batch_format="pyarrow")
 
 
-def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id", return_rows: bool = True):
+def exact_dedup(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    return_rows: bool = True,
+    digest_col: str | None = None,
+):
     """Exact dedup: keep the min-id row per normalized-content digest.
 
     Scale shape: the shuffle moves ONLY (id, 16-byte digest) — never the
@@ -362,19 +369,27 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id", return_ro
     heads).  With ``return_rows`` the winner ids are hash-joined back to
     the corpus (distributed ``Dataset.join``); ``return_rows=False``
     returns just the winner-id Dataset — the cheap form when downstream
-    only needs the keep-set.  Reference analogue: file-level ledger dedup
-    D1 + key upsert D2 (`src/pipeline/core/client_clickhouse.py:181,193`)."""
+    only needs the keep-set.  When the caller already carries a content
+    digest column (``digest_col``), no text is read here at all — the
+    input can be a narrow (id, digest, ...) table.  Reference analogue:
+    file-level ledger dedup D1 + key upsert D2
+    (`src/pipeline/core/client_clickhouse.py:181,193`)."""
     from .text import Fingerprinter
 
     fp = Fingerprinter(text_col)
 
     def fp_only(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        fps = [fp.md5_norm(t) for t in texts]
+        if digest_col is None:
+            texts = batch.column(text_col).to_pylist()
+            fps = [fp.md5_norm(t) for t in texts]
+            fp_arr = pa.array(fps, pa.string())
+        else:
+            fp_arr = batch.column(digest_col).combine_chunks()
+            fps = fp_arr.to_pylist()
         return pa.table(
             {
                 id_col: batch.column(id_col),
-                "fp_md5": pa.array(fps, pa.string()),
+                "fp_md5": fp_arr,
                 "fp_bucket": pa.array([int(h[:2], 16) for h in fps], pa.int32()),
             }
         )
@@ -524,25 +539,41 @@ def shingle_jaccard_pairs(
         .map_groups(reduce_pairs, batch_format="pyarrow")
         .materialize()
     )
-    sizes = {
-        r["id_a"]: r["count()"]
-        for r in reduced.filter(expr="id_b == -1").take_all()
-    }  # one row per doc — small
-    sizes_ref = ray.put(sizes)
-    inter = reduced.filter(expr="id_b >= 0")
+    # per-doc shingle-set sizes ride along as marker rows (id_b == -1);
+    # join them back onto the pair stream TWICE (on id_a, on id_b) —
+    # hash-partitioned Dataset.joins, the same shape as the MinHash
+    # signature verify.  One row per document never touches the driver
+    # (the round-2 form collected a python dict: driver OOM at 10^10 docs).
+    inter = reduced.filter(expr="id_b >= 0").map_batches(
+        lambda t: pa.table(
+            {"id_a": t["id_a"], "id_b": t["id_b"], "inter": t["count()"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _size_side(side: str):
+        def conv(t: pa.Table) -> pa.Table:
+            return pa.table({f"id_{side}": t["id_a"], f"n_{side}": t["count()"]})
+
+        return conv
+
+    sizes = reduced.filter(expr="id_b == -1")
+    sz_a = sizes.map_batches(_size_side("a"), batch_format="pyarrow")
+    sz_b = sizes.map_batches(_size_side("b"), batch_format="pyarrow")
+    # both joins run in one streaming plan: size partitions to the session
+    # (2x num_partitions aggregator actors must fit) — see minhash verify
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    npart = max(2, min(64, ncpu // 4))
+    joined = inter.join(sz_a, "inner", num_partitions=npart, on=("id_a",)).join(
+        sz_b, "inner", num_partitions=npart, on=("id_b",)
+    )
 
     def score(batch: pa.Table) -> pa.Table:
-        sz = ray.get(sizes_ref)
         ia = batch.column("id_a").to_numpy(zero_copy_only=False)
         ib = batch.column("id_b").to_numpy(zero_copy_only=False)
-        it = batch.column("count()").to_numpy(zero_copy_only=False)
-        # vectorized size lookup via sorted key array + searchsorted
-        keys = np.fromiter(sz.keys(), np.int64, len(sz))
-        vals = np.fromiter(sz.values(), np.int64, len(sz))
-        order = np.argsort(keys)
-        keys, vals = keys[order], vals[order]
-        na = vals[np.searchsorted(keys, ia)]
-        nb = vals[np.searchsorted(keys, ib)]
+        it = batch.column("inter").to_numpy(zero_copy_only=False)
+        na = batch.column("n_a").to_numpy(zero_copy_only=False)
+        nb = batch.column("n_b").to_numpy(zero_copy_only=False)
         denom = na + nb - it
         jac = np.where(denom > 0, it / np.maximum(denom, 1), 0.0)
         keep = jac >= threshold
@@ -557,7 +588,7 @@ def shingle_jaccard_pairs(
             }
         )
 
-    return inter.map_batches(score, batch_format="pyarrow")
+    return joined.map_batches(score, batch_format="pyarrow")
 
 
 class SimHasher:

@@ -1,0 +1,79 @@
+"""Semi/anti join with a broadcast-vs-shuffle switch.
+
+The reference's only anti/semi machinery is a driver-collected key list
+(`src/pipeline/core/spark.py:135-140`) — fine when the key side is tiny,
+a driver OOM when it is not.  Here one logical operator carries BOTH
+physical plans:
+
+* **broadcast** (key side at or below ``broadcast_limit`` rows): the
+  unique key array is ``ray.put`` once and every left batch filters with
+  ``pc.is_in`` — zero shuffle, the left side streams.
+* **shuffle** (key side larger): native hash-partitioned
+  ``Dataset.join`` with ``left_semi`` / ``left_anti`` — both sides
+  exchange once, nothing corpus-sized touches the driver.
+
+The switch is decided from real data, not a guess: the key side is
+materialized (it stays SHARDED in the object store — only the broadcast
+path ever concatenates it), and ``count()`` on a materialized Dataset is
+a metadata read.  The key side is typically the output of a filter the
+caller wants computed exactly once anyway.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+# ~4M int64 keys = 32 MB per task heap — comfortably broadcastable; set
+# ETLRAY_BROADCAST_LIMIT=0 to force the shuffle path everywhere.
+_DEFAULT_LIMIT = 4_000_000
+
+
+def key_filter_join(
+    left,
+    keys,
+    *,
+    left_on: str,
+    right_on: str,
+    anti: bool = False,
+    broadcast_limit: int | None = None,
+):
+    """Return rows of ``left`` whose ``left_on`` is (semi) / is not (anti)
+    in ``keys[right_on]``.  Output schema = left schema, order-free.
+
+    ``keys`` may carry extra columns; only ``right_on`` is consulted and
+    duplicates are harmless (semi/anti semantics never duplicate left
+    rows).
+    """
+    if broadcast_limit is None:
+        broadcast_limit = int(
+            os.environ.get("ETLRAY_BROADCAST_LIMIT", str(_DEFAULT_LIMIT))
+        )
+
+    keyed = keys.select_columns([right_on]).materialize()
+    if keyed.count() <= broadcast_limit:
+        key_tbl = pa.concat_tables(ray.get(keyed.to_arrow_refs()))
+        keys_ref = ray.put(pc.unique(key_tbl[right_on].combine_chunks()))
+
+        def flt(t: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            mask = pc.is_in(t[left_on], value_set=ks)
+            return t.filter(pc.invert(mask) if anti else mask)
+
+        return left.map_batches(flt, batch_format="pyarrow")
+
+    # shuffle path: each JoinOperator spawns num_partitions aggregator
+    # actors — size to the session so they schedule (see dedup.py joins)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    npart = max(2, min(200, ncpu // 2))
+    return left.join(
+        keyed,
+        "left_anti" if anti else "left_semi",
+        num_partitions=npart,
+        on=(left_on,),
+        right_on=(right_on,),
+    )

@@ -40,7 +40,9 @@ class TokenCounter:
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.ws = re.compile(r"\S+")
+        # ASCII whitespace class, NOT \S: Python \S is Unicode-aware while
+        # DuckDB's RE2 \S is ASCII-only — U+00A0 etc. would diverge
+        self.ws = re.compile(r"[^ \t\n\r\f\v]+")
         # public GPT-2 pre-tokenizer shape (contractions, words, numbers, other)
         self.bpe = re.compile(r"'s|'t|'re|'ve|'m|'ll|'d| ?\w+| ?[^\s\w]+|\s+(?!\S)")
 
@@ -137,7 +139,11 @@ class Fingerprinter:
         self.window = window
 
     def md5_norm(self, text: str) -> str:
-        return hashlib.md5((text or "").strip().lower().encode("utf-8")).hexdigest()
+        # ASCII trim set matches the DuckDB oracle's trim(' \t\n\r\v\f');
+        # bare .strip() would also remove Unicode whitespace
+        return hashlib.md5(
+            (text or "").strip(" \t\n\r\v\f").lower().encode("utf-8")
+        ).hexdigest()
 
     def rolling_min(self, text: str) -> int:
         """Min rolling hash over all windows (a 1-perm minhash on byte

@@ -44,7 +44,7 @@ def test_cli_end_to_end(ray_session, tmp_path, capsys):
     assert exported.num_rows == rep["rows_live"]
     assert "_deleted" not in exported.column_names  # internal cols dropped
 
-    comp = _run(capsys, "compact", "--lake", lake)
+    comp = _run(capsys, "compact", "--lake", lake, "--assume-caught-up")
     assert comp["compaction"] is True
     # state unchanged for readers after compaction + vacuum
     show2 = _run(capsys, "show", "--lake", lake)

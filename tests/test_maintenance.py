@@ -28,7 +28,11 @@ def test_compact_drops_tombstones_preserves_live(ray_session, small_wal, tmp_pat
         n_tomb += pc.sum(t.column("_deleted")).as_py() or 0
     assert n_tomb > 0
 
+    # default is conservative: drop nothing (the WAL may still be tailed)
     lineage = compact(root)
+    assert lineage["tombstones_dropped"] == 0
+    # caller asserts the WAL has ended -> gap-free prefix rule applies
+    lineage = compact(root, assume_caught_up=True)
     assert lineage["compaction"] is True
     assert lineage["tombstones_dropped"] == n_tomb
 
@@ -83,7 +87,8 @@ def test_compact_between_ordered_and_redelivered_segments(ray_session, small_wal
     root = str(tmp_path / "lake3" / "pages")
     bootstrap_lake(root, small_wal["base"], num_partitions=8)
     replay(root, small_wal["wal_dir"], segments=ordered)
-    compact(root)  # drops tombstones up to the contiguous applied prefix
+    # drops tombstones up to the contiguous applied prefix
+    compact(root, assume_caught_up=True)
     replay(root, small_wal["wal_dir"], segments=redelivered)
 
     oracle = replay_oracle(small_wal["base"], small_wal["segments"])
@@ -92,9 +97,10 @@ def test_compact_between_ordered_and_redelivered_segments(ray_session, small_wal
 
 def test_compact_watermark_stops_at_gap(ray_session, small_wal, tmp_path):
     """Out-of-order segment application leaves a gap in the applied LSN
-    ranges; default compaction must then drop NOTHING — the pending
-    segment may carry late (old-warc_ts) events for deleted keys, and
-    only the tombstones guard those under event-time LWW."""
+    ranges; even under ``assume_caught_up=True`` compaction must then drop
+    NOTHING — the pending segment may carry late (old-warc_ts) events for
+    deleted keys, and only the tombstones guard those under event-time
+    LWW."""
     from etl_ray.pipelines.maintenance import compact, contiguous_applied_prefix
     from etl_ray.pipelines.replay import bootstrap_lake, read_table_arrow, replay
     from etl_ray.state.manifest import LakeTable
@@ -108,7 +114,7 @@ def test_compact_watermark_stops_at_gap(ray_session, small_wal, tmp_path):
     m = LakeTable(root).read_manifest()
     his = [hi for _, hi in m["applied_lsn_ranges"]]
     assert contiguous_applied_prefix(m) < max(his)  # gap detected
-    lineage = compact(root)
+    lineage = compact(root, assume_caught_up=True)
     assert lineage["tombstones_dropped"] == 0  # gap -> drop nothing
     replay(root, small_wal["wal_dir"], segments=[skipped])
 

@@ -47,9 +47,14 @@ def test_oracle_queries_match_duckdb(entrymod, con):
     assert set(sqls) <= set(qs)
     failures = []
     for name, sql in sqls.items():
-        # the cdc oracle SQL reads the flattened-event fixture at the
-        # driver's comparison scale (sf0.01) — compare at that scale
-        sf = "/root/testdata/sf0.01" if name == "cdc_replay_pages" else SF
+        # fixture-backed oracle SQL is pinned to the driver's comparison
+        # scale (sf0.01) — the SQL string can't scale with sf_dir, so
+        # compare those queries at that scale (see oracle_sql() contract)
+        sf = (
+            "/root/testdata/sf0.01"
+            if name in ("cdc_replay_pages", "minhash_pairs_docs", "simhash_groups_docs")
+            else SF
+        )
         df = _canon(_to_df(qs[name](sf)))
         odf = _canon(con.execute(sql).fetchdf())
         if list(df.columns) != list(odf.columns):
@@ -73,3 +78,18 @@ def test_rows_only_queries_run(entrymod):
     for name in sorted(rows_only):
         df = _to_df(qs[name](SF))
         assert len(df) >= 0 and len(df.columns) > 0, name
+
+
+def test_semi_anti_join_shuffle_path_matches_broadcast(entrymod, monkeypatch):
+    """The key_filter_join broadcast/shuffle switch: forcing the
+    Dataset.join (left_semi/left_anti) path via ETLRAY_BROADCAST_LIMIT=0
+    must produce exactly the broadcast path's rows."""
+    import etl_ray.pipelines.queries as Q
+
+    base_anti = _canon(_to_df(Q.anti_join_customers_without_orders(SF)))
+    base_semi = _canon(_to_df(Q.semi_join_customers_with_open_orders(SF)))
+    monkeypatch.setenv("ETLRAY_BROADCAST_LIMIT", "0")
+    anti2 = _canon(_to_df(Q.anti_join_customers_without_orders(SF)))
+    semi2 = _canon(_to_df(Q.semi_join_customers_with_open_orders(SF)))
+    pd.testing.assert_frame_equal(base_anti, anti2)
+    pd.testing.assert_frame_equal(base_semi, semi2)

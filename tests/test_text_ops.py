@@ -91,3 +91,38 @@ def test_real_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         ImageDecoder(fake=False)
+
+
+def test_unicode_whitespace_matches_duckdb_dialect():
+    """Python regexes here are pinned to ASCII semantics so the DuckDB
+    (RE2) oracles agree on documents containing Unicode whitespace
+    (U+00A0 etc.) — Python \\S and bare .strip() are Unicode-aware."""
+    import duckdb
+    import pyarrow as pa
+
+    from etl_ray.stages.text import Fingerprinter, TokenCounter
+
+    texts = [
+        "plain ascii words",
+        "nbsp\u00a0joined\u00a0words",  # U+00A0 is NOT a token break in RE2 \S
+        "\u00a0leading nbsp kept",  # trim must not remove U+00A0
+        "ideographic　space",
+        " \t mixed   ws \n",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    con = duckdb.connect()
+    con.register("docs", tbl)
+    odf = con.execute(r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\S+')) AS n_tokens,
+               md5(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)))) AS fp_md5
+        FROM docs ORDER BY doc_id
+    """).fetchdf()
+
+    tc = TokenCounter()
+    got_tokens = tc(tbl).column("n_tokens").to_pylist()
+    fp = Fingerprinter()
+    got_md5 = [fp.md5_norm(t) for t in texts]
+    assert got_tokens == odf["n_tokens"].astype(int).tolist()
+    assert got_md5 == odf["fp_md5"].tolist()
