@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_per_region": Q.customers_per_region,
         "json_extract_props": Q.json_extract_props,
         "join_orders_lineitem_native": Q.join_orders_lineitem_native,
+        "asof_join_events_orders": Q.asof_join_events_orders,
         "embedding_neardup_pairs": Q.embedding_neardup_pairs,
         "sliding_window_events": Q.sliding_window_events,
         "session_windows_events": Q.session_windows_events,
@@ -166,6 +167,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_lineitems
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY o_orderpriority
+        """,
+        # backward as-of join: per event, the user's latest order at or
+        # before the event time; date ties break to the max o_orderkey —
+        # same deterministic rule as stages/asof.py
+        "asof_join_events_orders": """
+            WITH j AS (
+              SELECT e.event_id, e.ts, e.user_id, o.o_orderkey, o.o_totalprice,
+                     row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                     ) AS rn
+              FROM events e
+              JOIN orders o
+                ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            )
+            SELECT event_id, ts, user_id, o_orderkey, o_totalprice
+            FROM j WHERE rn = 1
         """,
         "embedding_neardup_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -380,6 +380,36 @@ def _query_vectors(sf_dir: str, upper: int) -> dict[int, np.ndarray]:
     return {int(i): m[j] for j, i in enumerate(tbl.column("vec_id").to_pylist())}
 
 
+def asof_join_events_orders(sf_dir: str):
+    """Point-in-time enrichment via the distributed as-of join (a custom
+    operator Ray Data lacks; stages/asof.py): each event picks the user's
+    LATEST order at or before the event time; ties on order date resolve
+    to the greatest o_orderkey.  One hash-bucket shuffle, vectorized
+    searchsorted merge per bucket."""
+    from ..stages.asof import asof_join
+
+    left = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "ts", "user_id"]
+    )
+    right = ray.data.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"],
+    ).map_batches(
+        lambda t: t.rename_columns(
+            ["user_id", "o_orderdate", "o_orderkey", "o_totalprice"]
+        ),
+        batch_format="pyarrow",
+    )
+    return asof_join(
+        left,
+        right,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        tiebreak="o_orderkey",
+    )
+
+
 def knn_brute_embeddings(sf_dir: str):
     from ..stages.similarity import knn_brute
 
