@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_extract_props": Q.json_extract_props,
         "join_orders_lineitem_native": Q.join_orders_lineitem_native,
         "asof_join_events_orders": Q.asof_join_events_orders,
+        "topk_events_per_user": Q.topk_events_per_user,
         "embedding_neardup_pairs": Q.embedding_neardup_pairs,
         "sliding_window_events": Q.sliding_window_events,
         "session_windows_events": Q.session_windows_events,
@@ -167,6 +168,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_lineitems
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY o_orderpriority
+        """,
+        "topk_events_per_user": """
+            SELECT event_id, user_id, value, rk FROM (
+              SELECT event_id, user_id, value,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY value DESC, event_id DESC
+                     ) AS rk
+              FROM events
+            ) WHERE rk <= 3
         """,
         # backward as-of join: per event, the user's latest order at or
         # before the event time; date ties break to the max o_orderkey —

@@ -380,6 +380,24 @@ def _query_vectors(sf_dir: str, upper: int) -> dict[int, np.ndarray]:
     return {int(i): m[j] for j, i in enumerate(tbl.column("vec_id").to_pylist())}
 
 
+def topk_events_per_user(sf_dir: str):
+    """Grouped top-k (stages/topk.py): each user's 3 highest-value events,
+    ranked; ties break on event_id.  Bounded-bucket shuffle + vectorized
+    in-bucket ranking — no per-distinct-user dispatch (~100us/group in
+    Ray groupby would be ruinous at 10^8 users)."""
+    from ..stages.topk import grouped_topk
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "value"]
+    )
+    return grouped_topk(
+        ds,
+        group_col="user_id",
+        order_by=[("value", "desc"), ("event_id", "desc")],
+        k=3,
+    )
+
+
 def asof_join_events_orders(sf_dir: str):
     """Point-in-time enrichment via the distributed as-of join (a custom
     operator Ray Data lacks; stages/asof.py): each event picks the user's

@@ -37,6 +37,16 @@ from ..state.schema_registry import conform, evolve
 # WAL envelope columns that are not lake payload
 _WAL_META = ("lsn", "op")
 
+# Serializes Dataset PLAN CONSTRUCTION across replay_many threads.  Ray's
+# path resolution probes `from fsspec.implementations.http import
+# HTTPFileSystem` on every read_parquet; with aiohttp absent that import
+# fails every time (failed imports are not cached), and two threads
+# failing the SAME import concurrently can observe a partially
+# initialized module — a plain ImportError("cannot import name ...")
+# that Ray's `except ModuleNotFoundError` does not catch.  Plan
+# construction is milliseconds; execution still interleaves freely.
+_plan_lock = threading.Lock()
+
 
 @dataclass
 class ReplayStats:
@@ -59,12 +69,20 @@ _limits_set = False
 
 
 def _default_cpu_cap() -> int:
-    """Per-NODE worker-width cap, summed across nodes: on a wide node the
-    merge stage is memory-bandwidth-bound, and >20 concurrent heavy
-    workers saturate one bus (measured on the 4M-event fixture at a
-    32-CPU node: width 20 = 381k events/s vs width 24 = 240k).  Each
-    cluster node brings its own bus, so the cap scales with node count,
-    not total CPUs."""
+    """Per-NODE worker-width cap, summed across nodes.  Two measured
+    ceilings on wide nodes (4M-event fixture):
+
+    * the raylet + object-store data plane needs ~2 dedicated cores
+      during shuffle-heavy phases — at a 16-CPU node, width 14 ran
+      372-468k events/s vs 241-386k at full width 16 (fresh-process
+      trials, same day);
+    * memory bandwidth saturates beyond ~16-20 concurrent heavy workers
+      (width 20 = 381k vs width 24 = 240k, round-2 sweep).
+
+    Rule: full width on small nodes (<= 8 CPUs, where reserving cores
+    measurably LOSES throughput), else ``min(16, node_cpus - 2)``.  Each
+    cluster node brings its own bus and its own raylet, so the cap scales
+    with node count, not total CPUs."""
     import ray as _ray
 
     total = 0
@@ -72,7 +90,7 @@ def _default_cpu_cap() -> int:
         if not node.get("Alive"):
             continue
         node_cpus = int(node.get("Resources", {}).get("CPU", 0))
-        total += node_cpus if node_cpus <= 16 else min(20, max(16, int(node_cpus * 0.75)))
+        total += node_cpus if node_cpus <= 8 else min(16, node_cpus - 2)
     return total
 
 
@@ -89,11 +107,12 @@ def _cpu_headroom(ncpu: int):
     cap_env = os.environ.get("ETLRAY_CPU_CAP")
     with _limits_lock:
         _limits_depth += 1
-        if _limits_depth == 1 and ncpu > 16:
-            _limits_prev = exec_opts.resource_limits
-            _limits_set = True
+        if _limits_depth == 1:
             cap = int(cap_env) if cap_env else _default_cpu_cap()
-            exec_opts.resource_limits = ExecutionResources(cpu=cap)
+            if cap < ncpu:
+                _limits_prev = exec_opts.resource_limits
+                _limits_set = True
+                exec_opts.resource_limits = ExecutionResources(cpu=cap)
     try:
         yield
     finally:
@@ -387,15 +406,18 @@ def _replay_one_tx(
     txid = lake.next_txid(manifest)
     t_start = _time.perf_counter()
 
-    # schema evolution: widen lake schema with any new WAL payload columns
-    seg_schemas = [pq.read_schema(s) for s in chunk]
+    # ONE footer read per segment (schema + row count + lsn range all come
+    # from the same parquet metadata; three separate reads here were ~1s of
+    # pure serial driver time per transaction at 32 segments)
+    seg_md = [pq.read_metadata(s) for s in chunk]
+    seg_schemas = [md.schema.to_arrow_schema() for md in seg_md]
     unified_wal = seg_schemas[0]
     for s in seg_schemas[1:]:
         unified_wal = evolve(unified_wal, s)
     current_schema = lake.schema(manifest)
     target_schema = evolve(current_schema, _wal_payload_schema(unified_wal))
 
-    n_events_est = sum(pq.read_metadata(s).num_rows for s in chunk)
+    n_events_est = sum(md.num_rows for md in seg_md)
     # auto rule: the per-batch combiner already caps any key's post-shuffle
     # rows at the number of batches, so the extra salted pre-reduce shuffle
     # only pays once that cap itself is large (10^10-event territory, where
@@ -423,9 +445,8 @@ def _replay_one_tx(
     # group-level mins undercount).  Per-segment granularity keeps the
     # event-level dedup filter exact when segments arrive out of order.
     seg_ranges: list[tuple[int, int]] = []
-    for s in chunk:
-        md = pq.read_metadata(s)
-        ci = md.schema.to_arrow_schema().get_field_index("lsn")
+    for md, schema in zip(seg_md, seg_schemas):
+        ci = schema.get_field_index("lsn")
         lo, hi = None, None
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(ci).statistics
@@ -435,7 +456,10 @@ def _replay_one_tx(
         seg_ranges.append((int(lo or 0), int(hi or 0)))
 
     with _cpu_headroom(ncpu):
-        ds = ray.data.read_parquet(chunk, schema=unified_wal, override_num_blocks=n_blocks)
+        with _plan_lock:
+            ds = ray.data.read_parquet(
+                chunk, schema=unified_wal, override_num_blocks=n_blocks
+            )
         ds = ds.map_batches(
             _make_combiner(
                 num_partitions, eff_salt, unified_wal, combine, spec,
@@ -460,6 +484,10 @@ def _replay_one_tx(
             merge, batch_format="pyarrow", max_retries=3, retry_exceptions=True
         )
         lineage = lineage_ds.take_all()  # tiny: <= num_partitions rows
+        if os.environ.get("ETLRAY_DUMP_STATS"):
+            import sys as _sys
+
+            print(lineage_ds.stats(), file=_sys.stderr)
 
     tx_seconds = _time.perf_counter() - t_start
     lake.commit(
