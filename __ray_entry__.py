@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_lineitem_native": Q.join_orders_lineitem_native,
         "asof_join_events_orders": Q.asof_join_events_orders,
         "topk_events_per_user": Q.topk_events_per_user,
+        "range_join_events_sessions": Q.range_join_events_sessions,
         "embedding_neardup_pairs": Q.embedding_neardup_pairs,
         "sliding_window_events": Q.sliding_window_events,
         "session_windows_events": Q.session_windows_events,
@@ -168,6 +169,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_lineitems
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY o_orderpriority
+        """,
+        # interval self-join: the same user's events in the 2 days up to
+        # each event, inclusive both ends (engine offsets are
+        # microseconds; BETWEEN is inclusive); self-pairs included
+        "range_join_events_sessions": """
+            SELECT e.event_id, e.ts, e.user_id,
+                   p.ts AS prior_ts, p.event_id AS prior_event_id
+            FROM events e
+            JOIN events p
+              ON p.user_id = e.user_id
+             AND p.ts BETWEEN e.ts - INTERVAL 2 DAY AND e.ts
         """,
         "topk_events_per_user": """
             SELECT event_id, user_id, value, rk FROM (

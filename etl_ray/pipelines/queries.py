@@ -380,6 +380,38 @@ def _query_vectors(sf_dir: str, upper: int) -> dict[int, np.ndarray]:
     return {int(i): m[j] for j, i in enumerate(tbl.column("vec_id").to_pylist())}
 
 
+def range_join_events_sessions(sf_dir: str):
+    """Distributed interval join (stages/asof.py interval_join): each
+    event paired with ALL of the same user's events in the 2 days up to
+    it, inclusive (self-pairs included — a session-context expansion, the
+    shape of "recent history per example" feature joins).  Same
+    co-partition + vectorized searchsorted machinery as the as-of join,
+    plus segment expansion for the one-to-many window."""
+    from ..stages.asof import interval_join
+
+    left = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "ts", "user_id"]
+    )
+    right = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "ts", "user_id"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"user_id": t["user_id"], "prior_ts": t["ts"], "prior_event_id": t["event_id"]}
+        ),
+        batch_format="pyarrow",
+    )
+    day_us = 86_400_000_000
+    return interval_join(
+        left,
+        right,
+        on="user_id",
+        left_ts="ts",
+        right_ts="prior_ts",
+        lo_offset=-2 * day_us,
+        hi_offset=0,
+    )
+
+
 def topk_events_per_user(sf_dir: str):
     """Grouped top-k (stages/topk.py): each user's 3 highest-value events,
     ranked; ties break on event_id.  Bounded-bucket shuffle + vectorized
