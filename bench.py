@@ -48,6 +48,9 @@ QUERY_SUBSET = [
     "shingle_jaccard_docs",
     "minhash_pairs_docs",
     "knn_brute_embeddings",
+    "asof_join_events_orders",
+    "range_join_events_sessions",
+    "topk_events_per_user",
 ]
 
 
