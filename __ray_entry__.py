@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": Q.fingerprint_docs,
         "dedup_docs_exact": Q.dedup_docs_exact,
         "shingle_jaccard_docs": Q.shingle_jaccard_docs,
+        "dup_clusters_docs": Q.dup_clusters_docs,
         "knn_brute_embeddings": Q.knn_brute_embeddings,
         "training_prep_docs": Q.training_prep_docs,
         # oracle-checked via fixture-backed SQL (see oracle_sql notes)
@@ -266,31 +267,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY md5(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))))
         """,
-        "shingle_jaccard_docs": r"""
-            WITH words AS (
-              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS w
-              FROM documents
-            ),
-            sh AS (
-              SELECT doc_id, unnest(list_distinct(
-                CASE WHEN len(w) < 3 THEN
-                       CASE WHEN len(w) = 0 THEN [] ELSE [array_to_string(w, ' ')] END
-                     ELSE list_transform(range(1, len(w) - 1),
-                                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-                END)) AS shingle
-              FROM words
-            ),
-            rare AS (
-              SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64
-            ),
-            rs AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
-            sizes AS (SELECT doc_id, count(*) AS n FROM rs GROUP BY doc_id),
-            inter AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-              FROM rs a JOIN rs b USING (shingle)
-              WHERE a.doc_id < b.doc_id
-              GROUP BY 1, 2
-            )
+        "shingle_jaccard_docs": f"""
+            WITH {_SHINGLE_CTES}
             SELECT id_a, id_b, inter,
                    sa.n AS n_a, sb.n AS n_b,
                    CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
@@ -298,6 +276,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+        """,
+        # transitive closure over the same pair predicate: recursive CTE
+        # reachability, cluster id = min reachable doc id
+        "dup_clusters_docs": f"""
+            WITH RECURSIVE {_SHINGLE_CTES},
+            pairs AS (
+              SELECT id_a, id_b
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+            ),
+            e AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach(n, m) AS (
+              SELECT a, a FROM e
+              UNION
+              SELECT reach.n, e.b FROM reach JOIN e ON reach.m = e.a
+            )
+            SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
         """,
         "knn_brute_embeddings": _KNN_EXACT_SQL,
         # composite training-data prep: quality gate -> exact dedup -> tokens
@@ -441,6 +441,34 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
 
+
+# shingle-Jaccard pair CTE chain, shared by shingle_jaccard_docs and the
+# dup_clusters_docs transitive-closure oracle (kept byte-identical so the
+# two oracles agree on the pair predicate)
+_SHINGLE_CTES = r"""words AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS w
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(w) < 3 THEN
+                       CASE WHEN len(w) = 0 THEN [] ELSE [array_to_string(w, ' ')] END
+                     ELSE list_transform(range(1, len(w) - 1),
+                                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                END)) AS shingle
+              FROM words
+            ),
+            rare AS (
+              SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64
+            ),
+            rs AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM rs GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM rs a JOIN rs b USING (shingle)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )"""
 
 _KNN_EXACT_SQL = """
     WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4),

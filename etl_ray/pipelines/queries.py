@@ -364,6 +364,19 @@ def shingle_jaccard_docs(sf_dir: str):
     return shingle_jaccard_pairs(ds, ngram=3, max_df=64, threshold=0.5)
 
 
+def dup_clusters_docs(sf_dir: str):
+    """Transitive near-dup clusters: shingle-Jaccard pairs -> distributed
+    connected components (min-label propagation + pointer jumping).  One
+    row per doc touched by a pair: (doc_id, cluster_id = min doc id of
+    the component).  Oracle: DuckDB recursive CTE over the same pair
+    predicate."""
+    from ..stages.dedup import dup_clusters, shingle_jaccard_pairs
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    pairs = shingle_jaccard_pairs(ds, ngram=3, max_df=64, threshold=0.5)
+    return dup_clusters(pairs)
+
+
 def _query_vectors(sf_dir: str, upper: int) -> dict[int, np.ndarray]:
     """Pruned driver-side read of the query sample: only the two needed
     columns and only vec_id < upper row groups leave storage."""

@@ -676,3 +676,161 @@ def simhash_dup_groups(ds, *, text_col: str = "text", id_col: str = "doc_id"):
         .groupby("bucket")
         .map_groups(bucket_groups, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# connected components over a near-dup pair graph (transitive closure)
+# ---------------------------------------------------------------------------
+
+
+def dup_clusters(
+    pairs,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+    num_buckets: int = 256,
+):
+    """Duplicate-cluster assignment: connected components over an
+    undirected near-duplicate pair graph (output of
+    ``shingle_jaccard_pairs`` / ``minhash_lsh_pairs``).
+
+    Returns one row per node touched by an edge: ``(doc_id,
+    cluster_id)`` with ``cluster_id`` = the minimum doc id of the
+    component — the canonical representative a training-data dedup
+    keeps.  Pairwise near-dup predicates are not transitive, so real
+    corpus dedup needs this closure step after pair generation
+    (reference has no analogue; target-added operator).
+
+    Shape (100 TB design point): distributed min-label propagation.
+    Per iteration: ONE hash-partitioned ``Dataset.join`` (edges x
+    labels on the source node) + one bucketed vectorized min-reduce
+    (``num_buckets`` groups, numpy lexsort inside — never one Ray
+    group per node).  Labels and edges stay sharded in the object
+    store; the driver sees only a per-iteration changed-count scalar.
+    Converges in O(component diameter) rounds — near-dup graphs are
+    shallow (single-digit) — each round shuffling E + N narrow int64
+    rows, the canonical distributed-CC cost.
+    """
+    import ray as _ray
+
+    from .hashutil import hash_bucket
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t.column(id_a).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(id_b).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return _ray.data.from_arrow(out_schema.empty_table())
+
+    def bucket_by(col: str):
+        def add(t: pa.Table) -> pa.Table:
+            return t.append_column("bucket", hash_bucket(t.column(col), num_buckets))
+
+        return add
+
+    def init_bucket(g: pa.Table) -> pa.Table:
+        n = np.unique(g.column("src").to_numpy(zero_copy_only=False))
+        arr = pa.array(n, pa.int64())
+        return pa.table({"node": arr, "label": arr})
+
+    labels = (
+        edges.map_batches(bucket_by("src"), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(init_bucket, batch_format="pyarrow")
+        .materialize()
+    )
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    npart = max(2, min(64, ncpu // 2))
+    int64_max = np.iinfo(np.int64).max
+
+    def cand_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t["dst"],
+                "label": t["label"],
+                "is_old": pa.array(np.zeros(t.num_rows, bool)),
+            }
+        )
+
+    def jump_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t["node"],
+                "label": t["label"],
+                "is_old": pa.array(np.zeros(t.num_rows, bool)),
+            }
+        )
+
+    def old_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t["node"],
+                "label": t["label"],
+                "is_old": pa.array(np.ones(t.num_rows, bool)),
+            }
+        )
+
+    def reduce_min(g: pa.Table) -> pa.Table:
+        node = g.column("node").to_numpy(zero_copy_only=False)
+        lab = g.column("label").to_numpy(zero_copy_only=False)
+        old = g.column("is_old").to_numpy(zero_copy_only=False)
+        order = np.lexsort((lab, node))
+        ns, ls, osel = node[order], lab[order], old[order]
+        heads = np.r_[True, ns[1:] != ns[:-1]]
+        gidx = np.cumsum(heads) - 1
+        starts = np.flatnonzero(heads)
+        newl = ls[starts]  # min label per node: sorted by (node, label)
+        oldl = np.full(len(starts), int64_max, np.int64)
+        oldl[gidx[osel]] = ls[osel]  # exactly one old row per node
+        changed = (newl < oldl).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(ns[starts], pa.int64()),
+                "label": pa.array(newl, pa.int64()),
+                "changed": pa.array(changed, pa.int64()),
+            }
+        )
+
+    for _ in range(max_iters):
+        lab_src = labels.map_batches(
+            lambda t: pa.table({"src": t["node"], "label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        cand = edges.join(lab_src, "inner", num_partitions=npart, on=("src",))
+        # pointer jumping: label[label[n]] is also a candidate for n.
+        # Plain neighbor propagation needs O(diameter) rounds (a 10^6-row
+        # boilerplate chain would never converge); the jump halves the
+        # remaining pointer depth each round -> O(log diameter) total.
+        ptr_in = labels.map_batches(
+            lambda t: pa.table({"src": t["label"], "node": t["node"]}),
+            batch_format="pyarrow",
+        )
+        jump = ptr_in.join(lab_src, "inner", num_partitions=npart, on=("src",))
+        merged = (
+            cand.map_batches(cand_rows, batch_format="pyarrow")
+            .union(jump.map_batches(jump_rows, batch_format="pyarrow"))
+            .union(labels.map_batches(old_rows, batch_format="pyarrow"))
+            .map_batches(bucket_by("node"), batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(reduce_min, batch_format="pyarrow")
+            .materialize()
+        )
+        n_changed = merged.sum("changed") or 0
+        labels = merged
+        if n_changed == 0:
+            break
+
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "cluster_id": t["label"]}),
+        batch_format="pyarrow",
+    ).sort("doc_id")

@@ -228,3 +228,56 @@ def test_minhash_pipeline_equals_signature_ground_truth(ray_session):
             a, b = int(ids[i]), int(ids[i + 1 + j])
             truth.add((min(a, b), max(a, b)))
     assert got == truth and len(truth) > 0
+
+
+def test_dup_clusters_matches_union_find(ray_session):
+    """Distributed CC (min-label + pointer jumping) == union-find truth,
+    including a 120-node chain that defeats plain neighbor propagation
+    within the iteration budget."""
+    import ray
+
+    from etl_ray.stages.dedup import dup_clusters
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 800, 600).astype(np.int64)
+    b = rng.integers(0, 800, 600).astype(np.int64)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    chain = np.arange(2000, 2120, dtype=np.int64)
+    a = np.concatenate([a, chain[:-1]])
+    b = np.concatenate([b, chain[1:]])
+    pairs = ray.data.from_arrow(
+        pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
+    )
+    res = dup_clusters(pairs).to_pandas()
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    truth = {n: find(n) for n in parent}
+    got = dict(zip(res.doc_id, res.cluster_id))
+    assert got == truth
+    # the chain collapses to one cluster labelled by its min node
+    assert all(got[int(n)] == 2000 for n in chain)
+
+
+def test_dup_clusters_empty_pairs(ray_session):
+    import ray
+
+    from etl_ray.stages.dedup import dup_clusters
+
+    empty = ray.data.from_arrow(
+        pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+    )
+    out = dup_clusters(empty)
+    assert out.count() == 0
+    assert out.schema().names == ["doc_id", "cluster_id"]
