@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": Q.multimodal_features,
         "multimodal_frames": Q.multimodal_frames,
         "cdc_replay_pages": Q.cdc_replay_pages,
+        "pages_per_domain": Q.pages_per_domain,
         # oracle-checked against fixture-carried per-doc signatures (the
         # crc32 basis is not SQL-expressible; plain-python reference
         # signatures are written at fixture build and DuckDB joins them)
@@ -361,6 +362,23 @@ def oracle_sql() -> dict[str, str]:
         # extracted text — regex+entity unescape, not SQL-expressible) is
         # written next to the generated fixture; path is the sf0.01 shape
         # the driver compares at.
+        # top hosts by live page count over the same LWW-replayed state
+        # (host regex mirrors stages/urlops._URL_RE's host group)
+        "pages_per_domain": """
+            WITH w AS (
+              SELECT url, op,
+                     row_number() OVER (
+                       PARTITION BY url ORDER BY warc_ts DESC, lsn DESC) AS rn
+              FROM read_parquet('/tmp/etlray_cdc_1000_8000/data/oracle_events.parquet')
+            ),
+            live AS (SELECT url FROM w WHERE rn = 1 AND op <> 'delete')
+            SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS domain,
+                   count(*) AS n_pages
+            FROM live
+            GROUP BY 1
+            ORDER BY n_pages DESC, domain ASC
+            LIMIT 10
+        """,
         "cdc_replay_pages": """
             WITH w AS (
               SELECT url, warc_ts, lsn, op, text, lang,

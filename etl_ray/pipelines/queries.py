@@ -842,6 +842,24 @@ def cdc_replay_pages(sf_dir: str):
     return out.select(["url", "warc_ts", "text", "lang"])
 
 
+def pages_per_domain(sf_dir: str):
+    """Webtext rollup over the replayed CDC lake: top-10 hosts by live
+    page count (deterministic tie-break on host).  Exercises the
+    vectorized URL parser + bucketed domain reduce (stages/urlops.py)
+    over the streaming lake read — pages never concentrate anywhere,
+    only (bucket, host) pairs shuffle."""
+    from ..stages.urlops import top_domains
+    from .replay import bootstrap_lake, read_table, replay
+
+    n_urls, n_events = _CDC_SIZES.get(os.path.basename(sf_dir.rstrip("/")), (300, 1500))
+    root = _cdc_fixture(n_urls, n_events)
+    data_dir = os.path.join(root, "data")
+    lake_root = os.path.join(root, "lake", f"dom{os.getpid()}", "pages")
+    bootstrap_lake(lake_root, os.path.join(data_dir, "base", "pages.parquet"), num_partitions=16)
+    replay(lake_root, os.path.join(data_dir, "wal"))
+    return top_domains(read_table(lake_root), k=10, key="host")
+
+
 def join_orders_lineitem_native(sf_dir: str):
     """Large-side equi join via Ray's native hash-partitioned Dataset.join
     (both sides stream; num_partitions bounds per-partition memory).

@@ -126,3 +126,35 @@ def test_unicode_whitespace_matches_duckdb_dialect():
     got_md5 = [fp.md5_norm(t) for t in texts]
     assert got_tokens == odf["n_tokens"].astype(int).tolist()
     assert got_md5 == odf["fp_md5"].tolist()
+
+
+def test_url_parts_and_top_domains(ray_session):
+    import ray
+
+    from etl_ray.stages.urlops import add_url_parts, top_domains
+
+    urls = [
+        "https://a.example.com/p/1",
+        "https://a.example.com/p/2?q=3",
+        "http://b.example.org",          # no path
+        "https://c.sub.example.net/#frag",
+        "not-a-url",                     # malformed -> nulls
+        None,
+    ]
+    t = pa.table({"url": pa.array(urls, pa.string())})
+    p = add_url_parts(t)
+    assert p.column("host").to_pylist() == [
+        "a.example.com", "a.example.com", "b.example.org",
+        "c.sub.example.net", None, None,
+    ]
+    assert p.column("reg_domain").to_pylist() == [
+        "example.com", "example.com", "example.org", "example.net", None, None,
+    ]
+    # optional RE2 group: absent path extracts as "" (not null)
+    assert p.column("path").to_pylist() == [
+        "/p/1", "/p/2?q=3", "", "/#frag", None, None,
+    ]
+    ds = ray.data.from_arrow(t)
+    top = top_domains(ds, k=2, key="host").to_pandas()
+    assert list(top.domain) == ["a.example.com", "b.example.org"]
+    assert list(top.n_pages) == [2, 1]
