@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frames": Q.multimodal_frames,
         "cdc_replay_pages": Q.cdc_replay_pages,
         "pages_per_domain": Q.pages_per_domain,
+        "cdc_table_diff": Q.cdc_table_diff,
         # oracle-checked against fixture-carried per-doc signatures (the
         # crc32 basis is not SQL-expressible; plain-python reference
         # signatures are written at fixture build and DuckDB joins them)
@@ -362,6 +363,32 @@ def oracle_sql() -> dict[str, str]:
         # extracted text — regex+entity unescape, not SQL-expressible) is
         # written next to the generated fixture; path is the sf0.01 shape
         # the driver compares at.
+        # reverse CDC between bootstrap and head: LWW winner state vs the
+        # base table, classified insert/update/delete (winner lsn > 0 <=>
+        # an event produced the live row; mirrors pipelines/diff.py)
+        "cdc_table_diff": """
+            WITH w AS (
+              SELECT url, warc_ts, lsn, op,
+                     row_number() OVER (
+                       PARTITION BY url ORDER BY warc_ts DESC, lsn DESC) AS rn
+              FROM read_parquet('/tmp/etlray_cdc_1000_8000/data/oracle_events.parquet')
+            ),
+            win AS (SELECT url, warc_ts, lsn, op FROM w WHERE rn = 1),
+            b AS (
+              SELECT url, warc_ts
+              FROM read_parquet('/tmp/etlray_cdc_1000_8000/data/base/pages.parquet')
+            )
+            SELECT 'insert' AS op, win.url, win.warc_ts
+            FROM win LEFT JOIN b USING (url)
+            WHERE b.url IS NULL AND win.op <> 'delete'
+            UNION ALL
+            SELECT 'delete' AS op, b.url, b.warc_ts
+            FROM b JOIN win USING (url) WHERE win.op = 'delete'
+            UNION ALL
+            SELECT 'update' AS op, win.url, win.warc_ts
+            FROM win JOIN b USING (url)
+            WHERE win.op <> 'delete' AND win.lsn > 0
+        """,
         # top hosts by live page count over the same LWW-replayed state
         # (host regex mirrors stages/urlops._URL_RE's host group)
         "pages_per_domain": """

@@ -860,6 +860,26 @@ def pages_per_domain(sf_dir: str):
     return top_domains(read_table(lake_root), k=10, key="host")
 
 
+def cdc_table_diff(sf_dir: str):
+    """Reverse CDC: net change stream (op, url, warc_ts) between the
+    bootstrap snapshot and the fully-replayed head, via manifest-pruned,
+    shuffle-free per-partition diff (pipelines/diff.py).  Oracle: LWW
+    winner state vs the base table, classified in SQL."""
+    from ..state.manifest import LakeTable
+    from .diff import table_diff
+    from .replay import bootstrap_lake, replay
+
+    n_urls, n_events = _CDC_SIZES.get(os.path.basename(sf_dir.rstrip("/")), (300, 1500))
+    root = _cdc_fixture(n_urls, n_events)
+    data_dir = os.path.join(root, "data")
+    lake_root = os.path.join(root, "lake", f"diff{os.getpid()}", "pages")
+    bootstrap_lake(lake_root, os.path.join(data_dir, "base", "pages.parquet"), num_partitions=16)
+    tx_boot = LakeTable(lake_root).read_manifest()["txid"]
+    replay(lake_root, os.path.join(data_dir, "wal"))
+    tx_head = LakeTable(lake_root).read_manifest()["txid"]
+    return table_diff(lake_root, tx_boot, tx_head).drop_columns(["pid"])
+
+
 def join_orders_lineitem_native(sf_dir: str):
     """Large-side equi join via Ray's native hash-partitioned Dataset.join
     (both sides stream; num_partitions bounds per-partition memory).
