@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay_pages": Q.cdc_replay_pages,
         "pages_per_domain": Q.pages_per_domain,
         "cdc_table_diff": Q.cdc_table_diff,
+        "quantiles_events": Q.quantiles_events,
         # oracle-checked against fixture-carried per-doc signatures (the
         # crc32 basis is not SQL-expressible; plain-python reference
         # signatures are written at fixture build and DuckDB joins them)
@@ -363,6 +364,20 @@ def oracle_sql() -> dict[str, str]:
         # extracted text — regex+entity unescape, not SQL-expressible) is
         # written next to the generated fixture; path is the sf0.01 shape
         # the driver compares at.
+        # exact quantiles, "lower" interpolation at floor(q*(n-1)) —
+        # row_number predicate mirrors stages/quantiles.py's position rule
+        "quantiles_events": """
+            WITH r AS (
+              SELECT value AS v, row_number() OVER (ORDER BY value) AS rn
+              FROM events WHERE value IS NOT NULL
+            ),
+            n AS (SELECT count(*) AS c FROM r)
+            SELECT CAST(q AS DOUBLE) AS q, r.v AS value
+            FROM (VALUES (0.25), (0.50), (0.90), (0.99)) AS qs(q)
+            CROSS JOIN n
+            JOIN r ON r.rn = CAST(floor(q * (c - 1)) AS BIGINT) + 1
+            ORDER BY q
+        """,
         # reverse CDC between bootstrap and head: LWW winner state vs the
         # base table, classified insert/update/delete (winner lsn > 0 <=>
         # an event produced the live row; mirrors pipelines/diff.py)

@@ -860,6 +860,15 @@ def pages_per_domain(sf_dir: str):
     return top_domains(read_table(lake_root), k=10, key="host")
 
 
+def quantiles_events(sf_dir: str):
+    """Distributed exact quantiles of the events value column (sort +
+    metadata split selection; stages/quantiles.py)."""
+    from ..stages.quantiles import exact_quantiles
+
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["value"])
+    return exact_quantiles(ds, "value", [0.25, 0.5, 0.9, 0.99])
+
+
 def cdc_table_diff(sf_dir: str):
     """Reverse CDC: net change stream (op, url, warc_ts) between the
     bootstrap snapshot and the fully-replayed head, via manifest-pruned,

@@ -93,3 +93,26 @@ def test_semi_anti_join_shuffle_path_matches_broadcast(entrymod, monkeypatch):
     semi2 = _canon(_to_df(Q.semi_join_customers_with_open_orders(SF)))
     pd.testing.assert_frame_equal(base_anti, anti2)
     pd.testing.assert_frame_equal(base_semi, semi2)
+
+
+def test_exact_quantiles_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from etl_ray.stages.quantiles import exact_quantiles
+
+    rng = np.random.default_rng(3)
+    vals = rng.normal(size=5001)
+    withnull = pa.array(list(vals[:4000]) + [None] * 7 + list(vals[4000:]))
+    ds = ray.data.from_arrow(pa.table({"x": withnull}))
+    qs = [0.0, 0.1, 0.5, 0.999, 1.0]
+    out = exact_quantiles(ds, "x", qs).to_pydict()
+    srt = np.sort(vals)
+    exp = [srt[min(len(srt) - 1, int(np.floor(q * (len(srt) - 1))))] for q in qs]
+    assert out["q"] == qs
+    assert out["value"] == pytest.approx(exp)
+
+    empty = ray.data.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
+    eout = exact_quantiles(empty, "x", [0.5]).to_pydict()
+    assert eout["value"] == [None]
