@@ -79,6 +79,10 @@ def main(argv: list[str] | None = None) -> int:
         "prefix (default drops nothing unless --watermark-lsn is given)",
     )
 
+    rp = sub.add_parser("repartition", help="re-bucket the table to a new partition count")
+    rp.add_argument("--lake", required=True)
+    rp.add_argument("--num-partitions", type=int, required=True)
+
     st = sub.add_parser("stats", help="operational metrics: per-tx lineage + throughput")
     st.add_argument("--lake", required=True)
 
@@ -155,6 +159,13 @@ def main(argv: list[str] | None = None) -> int:
         )
         gc = vacuum(args.lake)
         print(json.dumps({**lineage, **gc}))
+        return 0
+
+    if args.cmd == "repartition":
+        _init_ray()
+        from .maintenance import repartition
+
+        print(json.dumps(repartition(args.lake, args.num_partitions)))
         return 0
 
     if args.cmd == "export":

@@ -167,3 +167,86 @@ def vacuum(lake_root: str) -> dict:
                 shutil.rmtree(os.path.join(lake.staging_root, d), ignore_errors=True)
                 removed_staging += 1
     return {"removed_parts": removed_parts, "removed_staging_dirs": removed_staging}
+
+
+class _RepartitionWriter:
+    """map_groups callable: write one NEW pid's rows (live + tombstones,
+    all columns preserved) as a staged, url-sorted part file."""
+
+    def __init__(self, lake_root: str, txid: str):
+        self.__name__ = "_RepartitionWriter"
+        self.lake_root = lake_root
+        self.txid = txid
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        from ..stages.merge import _checksum
+
+        pid = int(group.column("pid")[0].as_py())
+        body = group.drop_columns(["pid"])
+        body = body.take(pc.sort_indices(body, sort_keys=[("url", "ascending")]))
+        out = os.path.join(
+            self.lake_root, "staging", self.txid, f"part-{pid:05d}.parquet"
+        )
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        pq.write_table(body, out)
+        live = body.filter(pc.invert(body.column("_deleted")))
+        lsn_np = body.column("_lsn").to_numpy(zero_copy_only=False)
+        ck = _checksum(
+            live.column("url"),
+            live.column("warc_ts").cast(pa.int64()).to_numpy(zero_copy_only=False),
+            live.column("_lsn").to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                "pid": pa.array([pid], pa.int32()),
+                "rows": pa.array([live.num_rows], pa.int64()),
+                "tombstones": pa.array([body.num_rows - live.num_rows], pa.int64()),
+                "checksum": pa.array([ck], pa.uint64()),
+                "lsn_hi": pa.array([int(lsn_np.max()) if len(lsn_np) else 0], pa.int64()),
+                "events_applied": pa.array([0], pa.int64()),
+            }
+        )
+
+
+def repartition(lake_root: str, new_num_partitions: int) -> dict:
+    """Re-bucket the whole table to a different partition count as ONE
+    committed transaction (grow a hot table / compact a sparse one).
+
+    The stable ``pid = crc32(url) % P`` rule simply changes P: every row
+    (tombstones included — their replay-safety role survives the move)
+    streams through one ``add_partition_cols`` pass and a single
+    pid-keyed shuffle into ``new_num_partitions`` staged files; the
+    commit atomically swaps the ENTIRE partition map and records the new
+    P, which subsequent ``replay()`` calls pick up from the manifest.
+    Crash mid-repartition leaves the old state intact (staged files are
+    orphans for ``vacuum``).  Scale note: this is a full-table rewrite —
+    one all-to-all of the stored bytes — the honest cost of changing a
+    table's partitioning; at 100 TB you run it rarely and deliberately.
+    """
+    from ..stages.partition import add_partition_cols
+
+    lake = LakeTable(lake_root)
+    manifest = lake.read_manifest()
+    txid = lake.next_txid(manifest)
+    files = lake.data_files(manifest)
+    if not files:
+        raise ValueError("repartition: table has no data files")
+    ds = ray.data.read_parquet(files)
+    ds = ds.map_batches(
+        lambda t: add_partition_cols(t, new_num_partitions), batch_format="pyarrow"
+    )
+    lineage_ds = ds.groupby("pid").map_groups(
+        _RepartitionWriter(lake_root, txid), batch_format="pyarrow"
+    )
+    lineage = lineage_ds.take_all()  # <= new_num_partitions tiny rows
+    m = lake.commit(
+        manifest,
+        txid,
+        lineage,
+        applied_segments=[f"__repartition_{txid}__"],
+        applied_lsn_range=None,
+        extras={"repartition": True, "new_num_partitions": int(new_num_partitions)},
+        replace_partitions=True,
+        new_num_partitions=int(new_num_partitions),
+    )
+    return m["lineage"][-1]

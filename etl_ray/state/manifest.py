@@ -117,6 +117,8 @@ class LakeTable:
         applied_lsn_range: tuple[int, int] | list[tuple[int, int]] | None,
         new_schema: pa.Schema | None = None,
         extras: dict | None = None,
+        replace_partitions: bool = False,
+        new_num_partitions: int | None = None,
     ) -> dict:
         """Atomically publish a transaction.
 
@@ -126,9 +128,16 @@ class LakeTable:
         ``parts/part-{pid:05d}-{txid}.parquet``.  Untouched partitions
         keep their current files.  Crash before the final ``os.replace``
         leaves the previous manifest fully intact.
+
+        ``replace_partitions=True`` discards the previous partition map
+        entirely (every surviving row was rewritten this tx — the
+        repartition path); ``new_num_partitions`` records a changed
+        partition count for subsequent replays.
         """
         m = dict(manifest)
-        partitions = dict(m["partitions"])
+        if new_num_partitions is not None:
+            m["num_partitions"] = int(new_num_partitions)
+        partitions = {} if replace_partitions else dict(m["partitions"])
         promoted = []
         for res in partition_results:
             pid = int(res["pid"])

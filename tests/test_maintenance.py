@@ -120,3 +120,55 @@ def test_compact_watermark_stops_at_gap(ray_session, small_wal, tmp_path):
 
     oracle = replay_oracle(small_wal["base"], small_wal["segments"][:-1])
     assert read_table_arrow(root).equals(oracle)
+
+
+def test_repartition_mid_stream_preserves_replay(ray_session, small_wal, tmp_path):
+    """Replay half the WAL at P=8, repartition to P=5 mid-stream, replay
+    the rest: final state must still equal the oracle (tombstones and
+    exactly-once offsets survive the re-bucketing)."""
+    import shutil
+
+    from etl_ray.pipelines.maintenance import repartition
+    from etl_ray.pipelines.replay import bootstrap_lake, read_table_arrow, replay
+    from etl_ray.state.manifest import LakeTable
+
+    root = str(tmp_path / "lake" / "pages")
+    bootstrap_lake(root, small_wal["base"], num_partitions=8)
+    segs = small_wal["segments"]
+    wal_a = str(tmp_path / "wal_a")
+    os.makedirs(wal_a)
+    for s in segs[:3]:
+        shutil.copy(s, wal_a)
+    replay(root, wal_a)
+
+    before = read_table_arrow(root)
+    lin = repartition(root, 5)
+    assert lin["partitions_rewritten"] == 5 or lin["rows_total"] == before.num_rows
+    m = LakeTable(root).read_manifest()
+    assert m["num_partitions"] == 5
+    assert len(m["partitions"]) == 5
+    # visible state unchanged by the re-bucketing
+    assert read_table_arrow(root).equals(before)
+
+    replay(root, small_wal["wal_dir"])  # remaining segments at the new P
+    oracle = replay_oracle(small_wal["base"], segs)
+    got = read_table_arrow(root)
+    assert got.num_rows == oracle.num_rows
+    assert got.equals(oracle)
+
+
+def test_repartition_is_a_time_travel_boundary(ray_session, small_wal, tmp_path):
+    from etl_ray.pipelines.maintenance import repartition
+    from etl_ray.pipelines.replay import bootstrap_lake, read_table, read_table_arrow, replay
+    from etl_ray.state.manifest import LakeTable
+
+    root = str(tmp_path / "lake" / "pages")
+    bootstrap_lake(root, small_wal["base"], num_partitions=8)
+    replay(root, small_wal["wal_dir"])
+    tx_before = LakeTable(root).read_manifest()["txid"]
+    before = read_table_arrow(root)
+    repartition(root, 12)
+    # pre-repartition snapshot still readable via time travel
+    old = read_table(root, at_txid=tx_before)
+    assert old.count() == before.num_rows
+    assert read_table_arrow(root).equals(before)

@@ -52,7 +52,14 @@ def test_oracle_queries_match_duckdb(entrymod, con):
         # compare those queries at that scale (see oracle_sql() contract)
         sf = (
             "/root/testdata/sf0.01"
-            if name in ("cdc_replay_pages", "minhash_pairs_docs", "simhash_groups_docs")
+            if name
+            in (
+                "cdc_replay_pages",
+                "cdc_table_diff",
+                "pages_per_domain",
+                "minhash_pairs_docs",
+                "simhash_groups_docs",
+            )
             else SF
         )
         df = _canon(_to_df(qs[name](sf)))
