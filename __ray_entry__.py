@@ -57,6 +57,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters_docs": Q.dup_clusters_docs,
         "knn_brute_embeddings": Q.knn_brute_embeddings,
         "training_prep_docs": Q.training_prep_docs,
+        "sample_docs_hash": Q.sample_docs_hash,
+        "stratified_sample_docs": Q.stratified_sample_docs,
+        "train_eval_split_docs": Q.train_eval_split_docs,
         # oracle-checked via fixture-backed SQL (see oracle_sql notes)
         "text_profile_docs": Q.text_profile_docs,
         "knn_lsh_embeddings": Q.knn_lsh_embeddings,
@@ -321,6 +324,36 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY md5(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))))
             )
             SELECT g.doc_id, g.n_tokens FROM gated g JOIN winners USING (doc_id)
+        """,
+        # deterministic hash sampling: the engine's keep predicate is
+        # md5(salt || key)[:8] < threshold_hex (stages/sampling.py);
+        # fixed-width lowercase-hex string compare == numeric compare, so
+        # the SAME predicate runs verbatim in SQL.  0.25 -> 0x40000000.
+        "sample_docs_hash": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE substr(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+        """,
+        # per-stratum thresholds: en 0.125 -> 0x20000000, zh/de 1.0 (the
+        # 9-char 'ffffffff~' sorts above every 8-hex digest = keep all),
+        # default 0.5 -> 0x80000000
+        "stratified_sample_docs": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE substr(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+                  CASE lang
+                    WHEN 'en' THEN '20000000'
+                    WHEN 'zh' THEN 'ffffffff~'
+                    WHEN 'de' THEN 'ffffffff~'
+                    ELSE '80000000'
+                  END
+        """,
+        # the split is a partition of the corpus: one row per document,
+        # labeled by the same signed predicate (eval_rate 0.2 -> 0x33333333)
+        "train_eval_split_docs": """
+            SELECT doc_id, lang,
+                   CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                             < '33333333'
+                        THEN 'eval' ELSE 'train' END AS split
+            FROM documents
         """,
         # full-probe LSH (probe_radius == bits) and full-scan IVF
         # (nprobe == n_lists) are exactly brute force: the bucket/cell

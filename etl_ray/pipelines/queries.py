@@ -1003,3 +1003,49 @@ def knn_ivf_embeddings(sf_dir: str):
     ds = ray.data.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     out = knn_ivf(ds, queries, k=10, n_lists=8, nprobe=8)
     return out.map_batches(lambda t: t.select(["query_id", "vec_id"]), batch_format="pyarrow")
+
+
+def sample_docs_hash(sf_dir: str):
+    """Deterministic 25% Bernoulli sample of documents by md5(doc_id)
+    threshold (stages/sampling.py): shuffle-free, row-local, exactly
+    reproducible across runs and cluster widths.  Oracle is the same
+    predicate in SQL via DuckDB md5()."""
+    from ..stages.sampling import hash_sample
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "lang", "source"]
+    )
+    return hash_sample(ds, "doc_id", 0.25)
+
+
+def stratified_sample_docs(sf_dir: str):
+    """Per-language rebalancing sample: keep 12.5% of dominant `en`,
+    all of `zh`/`de`, 50% of everything else — the canonical
+    training-mix operation, still one streaming row-local filter."""
+    from ..stages.sampling import stratified_sample
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"]
+    )
+    return stratified_sample(
+        ds, "doc_id", "lang", {"en": 0.125, "zh": 1.0, "de": 1.0}, default_rate=0.5
+    )
+
+
+def train_eval_split_docs(sf_dir: str):
+    """Disjoint deterministic 80/20 train/eval split, returned as one
+    labeled table: both sides apply the SAME hash predicate with
+    opposite sign, so the result is provably a partition of the corpus
+    (the oracle's CASE expression checks exactly that)."""
+    from ..stages.sampling import split
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "lang"])
+    train, ev = split(ds, "doc_id", eval_rate=0.2)
+    tag = lambda name: (  # noqa: E731
+        lambda t: t.append_column(
+            "split", pa.array([name] * t.num_rows, pa.string())
+        )
+    )
+    return train.map_batches(tag("train"), batch_format="pyarrow").union(
+        ev.map_batches(tag("eval"), batch_format="pyarrow")
+    )
