@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay_pages": Q.cdc_replay_pages,
         "pages_per_domain": Q.pages_per_domain,
         "cdc_table_diff": Q.cdc_table_diff,
+        "incremental_domain_stats": Q.incremental_domain_stats,
         "quantiles_events": Q.quantiles_events,
         # oracle-checked against fixture-carried per-doc signatures (the
         # crc32 basis is not SQL-expressible; plain-python reference
@@ -436,6 +437,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'update' AS op, win.url, win.warc_ts
             FROM win JOIN b USING (url)
             WHERE win.op <> 'delete' AND win.lsn > 0
+        """,
+        # full recompute at head of the per-host rollup the engine
+        # maintains INCREMENTALLY (build at half-replay + delta refresh);
+        # equality proves the retraction algebra in pipelines/views.py
+        "incremental_domain_stats": """
+            WITH w AS (
+              SELECT url, text, op,
+                     row_number() OVER (
+                       PARTITION BY url ORDER BY warc_ts DESC, lsn DESC) AS rn
+              FROM read_parquet('/tmp/etlray_cdc_1000_8000/data/oracle_events.parquet')
+            ),
+            live AS (SELECT url, text FROM w WHERE rn = 1 AND op <> 'delete')
+            SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+                   count(*) AS n_pages,
+                   CAST(sum(length(text)) AS BIGINT) AS text_chars
+            FROM live
+            GROUP BY 1
         """,
         # top hosts by live page count over the same LWW-replayed state
         # (host regex mirrors stages/urlops._URL_RE's host group)

@@ -105,6 +105,115 @@ def _diff_one(pid: int, file_a: str | None, file_b: str | None) -> pa.Table:
     )
 
 
+def _signed_one(
+    pid: int, file_a: str | None, file_b: str | None, value_cols: tuple[str, ...]
+) -> pa.Table:
+    """Signed delta rows for one partition: every live A row that is
+    deleted-or-updated contributes sign=-1 (retraction of its old
+    values); every live B row that is inserted-or-updated contributes
+    sign=+1.  Additive aggregates are maintained exactly by summing
+    sign-weighted contributions (insert = +new, delete = -old,
+    update = -old +new)."""
+    cols = ["url", "warc_ts", "_lsn", "_deleted", *value_cols]
+
+    def live(path):
+        if path is None:
+            return None
+        t = pq.read_table(path, columns=cols)
+        t = t.filter(pc.invert(t.column("_deleted")))
+        return t.drop_columns(["_deleted"])
+
+    a, b = live(file_a), live(file_b)
+    empty = pa.schema(
+        [("url", pa.string()), ("warc_ts", pa.timestamp("us")), ("_lsn", pa.int64())]
+        + [(c, pa.string()) for c in value_cols]
+    ).empty_table()
+    a = a if a is not None else empty
+    b = b if b is not None else empty
+    a_in_b = pc.index_in(a.column("url"), value_set=b.column("url").combine_chunks())
+    b_in_a = pc.index_in(b.column("url"), value_set=a.column("url").combine_chunks())
+
+    # A side: gone from B, or present with a different winning lsn
+    if b.num_rows == 0:
+        neg = a
+    else:
+        a_matched = pc.is_valid(a_in_b)
+        b_lsn_at_a = b.column("_lsn").take(pc.fill_null(a_in_b, 0))
+        a_changed = pc.and_(a_matched, pc.not_equal(a.column("_lsn"), b_lsn_at_a))
+        neg = a.filter(pc.or_(pc.is_null(a_in_b), a_changed))
+    # B side: new, or replacing a different winning lsn
+    if a.num_rows == 0:
+        pos = b
+    else:
+        b_matched = pc.is_valid(b_in_a)
+        a_lsn_at_b = a.column("_lsn").take(pc.fill_null(b_in_a, 0))
+        b_changed = pc.and_(b_matched, pc.not_equal(b.column("_lsn"), a_lsn_at_b))
+        pos = b.filter(pc.or_(pc.is_null(b_in_a), b_changed))
+
+    def side(t: pa.Table, sign: int) -> pa.Table:
+        out = pa.table(
+            {
+                "url": t.column("url"),
+                "sign": pa.array(np.full(t.num_rows, sign, np.int8)),
+            }
+        )
+        for c in value_cols:
+            out = out.append_column(c, t.column(c))
+        return out
+
+    return pa.concat_tables([side(neg, -1), side(pos, +1)])
+
+
+def table_delta(
+    lake_root: str,
+    from_txid: str,
+    to_txid: str,
+    value_cols: tuple[str, ...] = (),
+) -> ray.data.Dataset:
+    """Signed change stream (url, sign, *value_cols) between two
+    snapshots — the retraction form of :func:`table_diff`, built for
+    incremental view maintenance (`pipelines/views.py`).  Same
+    manifest pruning: cost is proportional to rewritten partitions."""
+    lake = LakeTable(lake_root)
+    ma, mb = lake.manifest_at(from_txid), lake.manifest_at(to_txid)
+    pa_files = {int(k): v["file"] for k, v in ma["partitions"].items()}
+    pb_files = {int(k): v["file"] for k, v in mb["partitions"].items()}
+    schema = pa.schema(
+        [("url", pa.string()), ("sign", pa.int8())]
+        + [(c, pa.string()) for c in value_cols]
+    )
+    work = []
+    for pid in sorted(set(pa_files) | set(pb_files)):
+        fa, fb = pa_files.get(pid), pb_files.get(pid)
+        if fa == fb:
+            continue
+        work.append(
+            {
+                "pid": pid,
+                "file_a": os.path.join(lake_root, fa) if fa else None,
+                "file_b": os.path.join(lake_root, fb) if fb else None,
+            }
+        )
+    if not work:
+        return ray.data.from_arrow(schema.empty_table())
+
+    def run(batch: pa.Table) -> pa.Table:
+        outs = [
+            _signed_one(int(pid), fa, fb, tuple(value_cols))
+            for pid, fa, fb in zip(
+                batch.column("pid").to_pylist(),
+                batch.column("file_a").to_pylist(),
+                batch.column("file_b").to_pylist(),
+            )
+        ]
+        out = pa.concat_tables(outs) if outs else schema.empty_table()
+        return out.cast(schema)
+
+    return ray.data.from_items(work).map_batches(
+        run, batch_format="pyarrow", batch_size=1
+    )
+
+
 def table_diff(lake_root: str, from_txid: str, to_txid: str) -> ray.data.Dataset:
     """Change rows (pid, op, url, warc_ts) turning snapshot ``from_txid``
     into snapshot ``to_txid``.  Only partitions whose part file changed

@@ -1049,3 +1049,36 @@ def train_eval_split_docs(sf_dir: str):
     return train.map_batches(tag("train"), batch_format="pyarrow").union(
         ev.map_batches(tag("eval"), batch_format="pyarrow")
     )
+
+
+def incremental_domain_stats(sf_dir: str):
+    """Incremental view maintenance end-to-end (pipelines/views.py):
+    build the per-host (n_pages, text_chars) view at the half-replayed
+    lake, replay the remaining WAL, then REFRESH the view from the
+    signed delta stream only — no table rescan.  The oracle recomputes
+    the same rollup from scratch at head in SQL, so a green row proves
+    incremental == full recompute."""
+    from ..state.manifest import LakeTable
+    from .replay import bootstrap_lake, list_segments, replay
+    from .views import build_view, read_view, refresh_view
+
+    n_urls, n_events = _CDC_SIZES.get(os.path.basename(sf_dir.rstrip("/")), (300, 1500))
+    root = _cdc_fixture(n_urls, n_events)
+    data_dir = os.path.join(root, "data")
+    base = os.path.join(root, "lake", f"ivm{os.getpid()}")
+    lake_root = os.path.join(base, "pages")
+    view_root = os.path.join(base, "view")
+    bootstrap_lake(lake_root, os.path.join(data_dir, "base", "pages.parquet"), num_partitions=16)
+    wal = os.path.join(data_dir, "wal")
+    segs = list_segments(wal)
+    replay(lake_root, wal, segments=segs[: len(segs) // 2])
+    build_view(view_root, lake_root)
+    replay(lake_root, wal)  # the rest
+    refresh_view(view_root, lake_root)
+    assert _view_txid(view_root) == LakeTable(lake_root).read_manifest()["txid"]
+    return read_view(view_root)
+
+
+def _view_txid(view_root: str) -> str:
+    with open(os.path.join(view_root, "VIEW.json")) as f:
+        return json.load(f)["txid"]

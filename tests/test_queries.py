@@ -57,6 +57,7 @@ def test_oracle_queries_match_duckdb(entrymod, con):
                 "cdc_replay_pages",
                 "cdc_table_diff",
                 "pages_per_domain",
+                "incremental_domain_stats",
                 "minhash_pairs_docs",
                 "simhash_groups_docs",
             )
