@@ -86,6 +86,11 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("stats", help="operational metrics: per-tx lineage + throughput")
     st.add_argument("--lake", required=True)
 
+    vb = sub.add_parser("view-refresh", help="build or incrementally refresh the "
+                        "per-host stats view (delta-based, no table rescan)")
+    vb.add_argument("--lake", required=True)
+    vb.add_argument("--view", required=True, help="view directory")
+
     ex = sub.add_parser("export", help="write live rows to partitioned parquet")
     ex.add_argument("--lake", required=True)
     ex.add_argument("--out", required=True)
@@ -166,6 +171,13 @@ def main(argv: list[str] | None = None) -> int:
         from .maintenance import repartition
 
         print(json.dumps(repartition(args.lake, args.num_partitions)))
+        return 0
+
+    if args.cmd == "view-refresh":
+        _init_ray()
+        from .views import refresh_view
+
+        print(json.dumps(refresh_view(args.view, args.lake)))
         return 0
 
     if args.cmd == "export":

@@ -49,3 +49,18 @@ def test_cli_end_to_end(ray_session, tmp_path, capsys):
     # state unchanged for readers after compaction + vacuum
     show2 = _run(capsys, "show", "--lake", lake)
     assert show2["rows_live"] == rep["rows_live"]
+
+    view = str(tmp_path / "view")
+    v1 = _run(capsys, "view-refresh", "--lake", lake, "--view", view)
+    assert v1["txid"] == show2["txid"]  # first call = full build at head
+    v2 = _run(capsys, "view-refresh", "--lake", lake, "--view", view)
+    assert v2.get("noop") is True
+
+    rp = _run(capsys, "repartition", "--lake", lake, "--num-partitions", "5")
+    assert rp["repartition"] is True
+    show3 = _run(capsys, "show", "--lake", lake)
+    assert show3["rows_live"] == rep["rows_live"]
+    # view refresh across the repartition boundary: every partition file
+    # changed, but the maintained stats are unchanged -> delta sums to 0
+    v3 = _run(capsys, "view-refresh", "--lake", lake, "--view", view)
+    assert v3["txid"] == show3["txid"] and "noop" not in v3
