@@ -231,7 +231,11 @@ def repartition(lake_root: str, new_num_partitions: int) -> dict:
     files = lake.data_files(manifest)
     if not files:
         raise ValueError("repartition: table has no data files")
-    ds = ray.data.read_parquet(files)
+    # blocks <= new pid groups, else empty (schema-less) sorted ranges
+    # reach the map_groups stage — see bootstrap_lake for the rationale
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    n_blocks = max(1, min(max(ncpu, len(files)), int(new_num_partitions)))
+    ds = ray.data.read_parquet(files, override_num_blocks=n_blocks)
     ds = ds.map_batches(
         lambda t: add_partition_cols(t, new_num_partitions), batch_format="pyarrow"
     )

@@ -188,7 +188,13 @@ def bootstrap_lake(
     if base_parquet is None:
         return lake
     txid = lake.next_txid(manifest)
-    ds = ray.data.read_parquet(base_parquet)
+    # Read blocks <= pid groups: extra blocks become EMPTY sorted ranges
+    # after the pid groupby, and empty blocks carry no schema (executor
+    # logs a schema-mismatch warning per task and the map_groups wrapper
+    # yields nothing for them — wasted shuffle fragments).
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    n_blocks = max(1, min(ncpu, num_partitions))
+    ds = ray.data.read_parquet(base_parquet, override_num_blocks=n_blocks)
     ds = ds.map_batches(
         lambda t: add_partition_cols(t, num_partitions),
         batch_format="pyarrow",
