@@ -466,6 +466,30 @@ def _replay_one_tx(
             ds = ray.data.read_parquet(
                 chunk, schema=unified_wal, override_num_blocks=n_blocks
             )
+        # Shuffle strategy for the pid exchange (ETLRAY_SHUFFLE=hash|sort,
+        # default sort).  hash = streaming hash-shuffle into aggregator
+        # actors (no global sort barrier; merge can overlap the read +
+        # combine).  MEASURED on the 4M-event bench fixture at 32 CPUs,
+        # same window: sort 8.0-8.9 s vs hash 47-68 s — the actor pool
+        # reserves ~CPU/2 for the exchange, pays per-transaction startup,
+        # and pushes the wide html/text payload through actor mailboxes,
+        # while sorting 32 pid groups is nearly free.  Sort stays the
+        # default; the hash path is kept (correctness-pinned by
+        # test_replay_hash_shuffle_mode) because on a real multi-node
+        # cluster the sort barrier is a cross-node exchange and the trade
+        # can flip — re-measure there before flipping the default.
+        # Scoped to THIS dataset's context snapshot (process-global
+        # DataContext untouched — replay_many runs tables on threads).
+        use_hash_shuffle = os.environ.get("ETLRAY_SHUFFLE", "sort") == "hash"
+        if use_hash_shuffle:
+            from ray.data.context import ShuffleStrategy
+
+            ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        # Without an explicit partition count the hash shuffle defaults to
+        # 200 partitions / 64 aggregator actors (16 CPUs of demand) and
+        # deadlocks small sessions; pid cardinality is num_partitions, so
+        # more exchange partitions than that is pure overhead anyway.
+        gb_parts = num_partitions if use_hash_shuffle else None
         ds = ds.map_batches(
             _make_combiner(
                 num_partitions, eff_salt, unified_wal, combine, spec,
@@ -475,7 +499,7 @@ def _replay_one_tx(
             batch_size=batch_size,
         )
         if use_salt:
-            ds = ds.groupby(["pid", "salt"]).map_groups(
+            ds = ds.groupby(["pid", "salt"], num_partitions=gb_parts).map_groups(
                 _make_salted_reduce(spec), batch_format="pyarrow"
             )
             ds = ds.drop_columns(["salt"])
@@ -486,7 +510,7 @@ def _replay_one_tx(
         # retry application exceptions too: a merge task is side-effect-safe
         # (deterministic staging path, overwrite on retry), so transient I/O
         # failures mid-write must not kill the transaction
-        lineage_ds = ds.groupby("pid").map_groups(
+        lineage_ds = ds.groupby("pid", num_partitions=gb_parts).map_groups(
             merge, batch_format="pyarrow", max_retries=3, retry_exceptions=True
         )
         lineage = lineage_ds.take_all()  # tiny: <= num_partitions rows

@@ -142,3 +142,19 @@ def test_time_travel_read(ray_session, small_wal, tmp_path):
     assert checked >= 3  # bootstrap + >=2 replay txs
     # the newest snapshot equals the current read
     assert read_table_arrow(root, at_txid=m["txid"]).equals(read_table_arrow(root))
+
+
+def test_replay_hash_shuffle_mode(ray_session, small_wal, lake_root, monkeypatch):
+    """ETLRAY_SHUFFLE=hash swaps the pid exchange from sort-shuffle to the
+    streaming hash-shuffle (aggregator actors) — final state must be
+    byte-identical to the oracle either way.  Sort stays the default (5x
+    faster on the single-box bench, see _replay_chunk comment); this pins
+    the alternative so a cluster re-measure can flip it safely."""
+    from etl_ray.pipelines.replay import bootstrap_lake, read_table_arrow, replay
+
+    monkeypatch.setenv("ETLRAY_SHUFFLE", "hash")
+    bootstrap_lake(lake_root, small_wal["base"], num_partitions=16)
+    stats = replay(lake_root, small_wal["wal_dir"])
+    assert stats.transactions == 1
+    oracle = replay_oracle(small_wal["base"], small_wal["segments"])
+    assert_tables_equal(read_table_arrow(lake_root), oracle)
