@@ -61,6 +61,11 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--salting", choices=["auto", "on", "off"], default="auto")
     r.add_argument("--salt", type=int, default=8)
     r.add_argument("--batch-size", type=int, default=32768)
+    r.add_argument(
+        "--merge-mode", choices=["rewrite", "delta"], default="rewrite",
+        help="delta = merge-on-read: stage only each tx's change rows "
+        "(O(changes) writes; fold chains with compact-deltas)",
+    )
     r.add_argument("--follow", action="store_true", help="poll for new segments")
     r.add_argument("--poll-interval", type=float, default=5.0)
     r.add_argument("--idle-exit-after", type=int, default=None,
@@ -77,6 +82,16 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="WAL has ended: derive the watermark from the gap-free applied "
         "prefix (default drops nothing unless --watermark-lsn is given)",
+    )
+
+    cd = sub.add_parser(
+        "compact-deltas",
+        help="fold merge-on-read delta chains into base part files, then vacuum",
+    )
+    cd.add_argument("--lake", required=True)
+    cd.add_argument(
+        "--min-chain", type=int, default=1,
+        help="only fold partitions with at least this many deltas",
     )
 
     rp = sub.add_parser("repartition", help="re-bucket the table to a new partition count")
@@ -129,6 +144,7 @@ def main(argv: list[str] | None = None) -> int:
             salting=args.salting,
             salt=args.salt,
             batch_size=args.batch_size,
+            merge_mode=args.merge_mode,
         )
         if args.follow:
             stats = follow(
@@ -164,6 +180,15 @@ def main(argv: list[str] | None = None) -> int:
         )
         gc = vacuum(args.lake)
         print(json.dumps({**lineage, **gc}))
+        return 0
+
+    if args.cmd == "compact-deltas":
+        _init_ray()
+        from .maintenance import compact_deltas, vacuum
+
+        lineage = compact_deltas(args.lake, min_chain=args.min_chain)
+        gc = vacuum(args.lake)
+        print(json.dumps({**(lineage or {"partitions_folded": 0}), **gc}))
         return 0
 
     if args.cmd == "repartition":

@@ -11,10 +11,11 @@ from lake snapshots).  Design for 100 TB:
   cost is proportional to the partitions *rewritten* between the two
   transactions, not table size.
 * **No shuffle.**  Both snapshots share the same url-hash partitioning,
-  so each changed pid is diffed by one independent task reading exactly
-  two part files — an embarrassingly parallel ``map_batches`` over a
-  (pid, file_a, file_b) work list; only the narrow (op, url, warc_ts)
-  change rows leave the task.
+  so each changed pid is diffed by one independent task reading that
+  pid's file lists on both sides (base file plus any merge-on-read
+  delta chain, LWW-reduced in-task) — an embarrassingly parallel
+  ``map_batches`` over a (pid, files_a, files_b) work list; only the
+  narrow (op, url, warc_ts) change rows leave the task.
 * Classification per url: in B only -> insert; in A only -> delete;
   in both with differing ``_lsn`` -> update (the LWW winner row carries
   the lsn of the event that produced it, so an untouched row keeps its
@@ -23,6 +24,7 @@ from lake snapshots).  Design for 100 TB:
 
 from __future__ import annotations
 
+import json
 import os
 
 import numpy as np
@@ -32,7 +34,30 @@ import pyarrow.parquet as pq
 
 import ray
 
-from ..state.manifest import LakeTable
+from ..state.manifest import LakeTable, partition_file_list
+
+
+def _changed_partitions(lake_root: str, ma: dict, mb: dict) -> list[dict]:
+    """Work items for partitions whose (base + delta chain) file list
+    differs between the two snapshots.  Part/delta files are immutable
+    and named per (pid, txid), so an identical list proves zero changes —
+    the manifest-pruning rule extended to merge-on-read chains.  File
+    lists travel JSON-encoded (Arrow-friendly scalar column)."""
+    fa = {int(k): partition_file_list(v) for k, v in ma["partitions"].items()}
+    fb = {int(k): partition_file_list(v) for k, v in mb["partitions"].items()}
+    work = []
+    for pid in sorted(set(fa) | set(fb)):
+        la, lb = fa.get(pid, []), fb.get(pid, [])
+        if la == lb:
+            continue
+        work.append(
+            {
+                "pid": pid,
+                "files_a": json.dumps([os.path.join(lake_root, f) for f in la]),
+                "files_b": json.dumps([os.path.join(lake_root, f) for f in lb]),
+            }
+        )
+    return work
 
 _DIFF_SCHEMA = pa.schema(
     [
@@ -46,22 +71,40 @@ _DIFF_SCHEMA = pa.schema(
 _COLS = ["url", "warc_ts", "_lsn", "_deleted"]
 
 
-def _live(path: str | None) -> pa.Table:
-    if path is None:
+def _live(paths: list[str], cols: list[str] | None = None) -> pa.Table:
+    """Live rows of one partition from its (base + delta-chain) file
+    list, column-pruned.  Chains are LWW-reduced before the tombstone
+    filter (same order as the read/merge paths); files written under an
+    older schema get missing value columns null-filled."""
+    cols = cols or _COLS
+    if not paths:
         return pa.schema(
-            [
-                ("url", pa.string()),
-                ("warc_ts", pa.timestamp("us")),
-                ("_lsn", pa.int64()),
-            ]
+            [("url", pa.string()), ("warc_ts", pa.timestamp("us")), ("_lsn", pa.int64())]
+            + [(c, pa.string()) for c in cols if c not in _COLS]
         ).empty_table()
-    t = pq.read_table(path, columns=_COLS)
+    tables = []
+    for p in paths:
+        have = set(pq.read_schema(p).names)
+        t = pq.read_table(p, columns=[c for c in cols if c in have])
+        for c in cols:
+            if c not in t.column_names:
+                t = t.append_column(c, pa.nulls(t.num_rows, pa.string()))
+        tables.append(t.select(cols))
+    t = tables[0] if len(tables) == 1 else _lww(
+        pa.concat_tables(tables, promote_options="default")
+    )
     t = t.filter(pc.invert(t.column("_deleted")))
     return t.drop_columns(["_deleted"])
 
 
-def _diff_one(pid: int, file_a: str | None, file_b: str | None) -> pa.Table:
-    a, b = _live(file_a), _live(file_b)
+def _lww(t: pa.Table) -> pa.Table:
+    from ..stages.merge import lww_compact
+
+    return lww_compact(t, "url", order_by=("warc_ts", "_lsn"))
+
+
+def _diff_one(pid: int, files_a: list[str], files_b: list[str]) -> pa.Table:
+    a, b = _live(files_a), _live(files_b)
     a_urls, b_urls = a.column("url"), b.column("url")
     # positions of each side's urls in the other side (null = absent)
     a_in_b = pc.index_in(a_urls, value_set=b_urls.combine_chunks())
@@ -106,7 +149,7 @@ def _diff_one(pid: int, file_a: str | None, file_b: str | None) -> pa.Table:
 
 
 def _signed_one(
-    pid: int, file_a: str | None, file_b: str | None, value_cols: tuple[str, ...]
+    pid: int, files_a: list[str], files_b: list[str], value_cols: tuple[str, ...]
 ) -> pa.Table:
     """Signed delta rows for one partition: every live A row that is
     deleted-or-updated contributes sign=-1 (retraction of its old
@@ -115,21 +158,8 @@ def _signed_one(
     sign-weighted contributions (insert = +new, delete = -old,
     update = -old +new)."""
     cols = ["url", "warc_ts", "_lsn", "_deleted", *value_cols]
-
-    def live(path):
-        if path is None:
-            return None
-        t = pq.read_table(path, columns=cols)
-        t = t.filter(pc.invert(t.column("_deleted")))
-        return t.drop_columns(["_deleted"])
-
-    a, b = live(file_a), live(file_b)
-    empty = pa.schema(
-        [("url", pa.string()), ("warc_ts", pa.timestamp("us")), ("_lsn", pa.int64())]
-        + [(c, pa.string()) for c in value_cols]
-    ).empty_table()
-    a = a if a is not None else empty
-    b = b if b is not None else empty
+    a = _live(files_a, cols)
+    b = _live(files_b, cols)
     a_in_b = pc.index_in(a.column("url"), value_set=b.column("url").combine_chunks())
     b_in_a = pc.index_in(b.column("url"), value_set=a.column("url").combine_chunks())
 
@@ -176,34 +206,21 @@ def table_delta(
     manifest pruning: cost is proportional to rewritten partitions."""
     lake = LakeTable(lake_root)
     ma, mb = lake.manifest_at(from_txid), lake.manifest_at(to_txid)
-    pa_files = {int(k): v["file"] for k, v in ma["partitions"].items()}
-    pb_files = {int(k): v["file"] for k, v in mb["partitions"].items()}
     schema = pa.schema(
         [("url", pa.string()), ("sign", pa.int8())]
         + [(c, pa.string()) for c in value_cols]
     )
-    work = []
-    for pid in sorted(set(pa_files) | set(pb_files)):
-        fa, fb = pa_files.get(pid), pb_files.get(pid)
-        if fa == fb:
-            continue
-        work.append(
-            {
-                "pid": pid,
-                "file_a": os.path.join(lake_root, fa) if fa else None,
-                "file_b": os.path.join(lake_root, fb) if fb else None,
-            }
-        )
+    work = _changed_partitions(lake_root, ma, mb)
     if not work:
         return ray.data.from_arrow(schema.empty_table())
 
     def run(batch: pa.Table) -> pa.Table:
         outs = [
-            _signed_one(int(pid), fa, fb, tuple(value_cols))
+            _signed_one(int(pid), json.loads(fa), json.loads(fb), tuple(value_cols))
             for pid, fa, fb in zip(
                 batch.column("pid").to_pylist(),
-                batch.column("file_a").to_pylist(),
-                batch.column("file_b").to_pylist(),
+                batch.column("files_a").to_pylist(),
+                batch.column("files_b").to_pylist(),
             )
         ]
         out = pa.concat_tables(outs) if outs else schema.empty_table()
@@ -220,36 +237,23 @@ def table_diff(lake_root: str, from_txid: str, to_txid: str) -> ray.data.Dataset
     between the two manifests are read."""
     lake = LakeTable(lake_root)
     ma, mb = lake.manifest_at(from_txid), lake.manifest_at(to_txid)
-    pa_files = {int(k): v["file"] for k, v in ma["partitions"].items()}
-    pb_files = {int(k): v["file"] for k, v in mb["partitions"].items()}
-    work = []
-    for pid in sorted(set(pa_files) | set(pb_files)):
-        fa, fb = pa_files.get(pid), pb_files.get(pid)
-        if fa == fb:  # immutable file => provably unchanged partition
-            continue
-        work.append(
-            {
-                "pid": pid,
-                "file_a": os.path.join(lake_root, fa) if fa else None,
-                "file_b": os.path.join(lake_root, fb) if fb else None,
-            }
-        )
+    work = _changed_partitions(lake_root, ma, mb)
     if not work:
         return ray.data.from_arrow(_DIFF_SCHEMA.empty_table())
 
     def run(batch: pa.Table) -> pa.Table:
         outs = [
-            _diff_one(int(pid), fa, fb)
+            _diff_one(int(pid), json.loads(fa), json.loads(fb))
             for pid, fa, fb in zip(
                 batch.column("pid").to_pylist(),
-                batch.column("file_a").to_pylist(),
-                batch.column("file_b").to_pylist(),
+                batch.column("files_a").to_pylist(),
+                batch.column("files_b").to_pylist(),
             )
         ]
         out = pa.concat_tables(outs) if outs else _DIFF_SCHEMA.empty_table()
         return out.cast(_DIFF_SCHEMA)
 
-    # one task per partition: each reads exactly two part files
+    # one task per partition: each reads that pid's file lists on both sides
     return ray.data.from_items(work).map_batches(
         run, batch_format="pyarrow", batch_size=1
     )

@@ -110,11 +110,17 @@ def compact(
         else:
             watermark_lsn = 0
     txid = lake.next_txid(manifest)
+    # Partitions carrying a merge-on-read delta chain are SKIPPED: the
+    # tombstone rewrite reads only the base file, and committing it would
+    # replace the partition entry and drop the chain.  Fold chains first
+    # (compact_deltas), then GC tombstones.
+    skipped = [pid for pid, meta in manifest["partitions"].items() if meta.get("deltas")]
     futs = [
         _compact_partition.remote(
             lake_root, txid, int(pid), meta["file"], int(watermark_lsn)
         )
         for pid, meta in manifest["partitions"].items()
+        if not meta.get("deltas")
     ]
     results = ray.get(futs)
     m = lake.commit(
@@ -127,6 +133,85 @@ def compact(
             "compaction": True,
             "watermark_lsn": int(watermark_lsn),
             "tombstones_dropped": int(sum(r["tombstones_dropped"] for r in results)),
+            "skipped_delta_pids": len(skipped),
+        },
+    )
+    return m["lineage"][-1]
+
+
+@ray.remote
+def _fold_partition(
+    lake_root: str, txid: str, pid: int, meta: dict, key: str, ts_col: str
+) -> dict:
+    """Fold one partition's base ∪ delta chain into a fresh base file
+    (staged; the driver commits).  Tombstone WINNERS are retained — this
+    folds superseded row versions only, it is not tombstone GC."""
+    from ..stages.merge import _checksum, load_partition_state
+
+    tbl = load_partition_state(lake_root, meta, schema=None, key=key, ts_col=ts_col)
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[(key, "ascending")]))
+    path = os.path.join(lake_root, "staging", txid, f"part-{pid:05d}.parquet")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(tbl, path)
+    live = tbl.filter(pc.invert(tbl.column("_deleted")))
+    lsn_np = tbl.column("_lsn").to_numpy(zero_copy_only=False)
+    ck = _checksum(
+        live.column(key),
+        live.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False),
+        live.column("_lsn").to_numpy(zero_copy_only=False),
+    )
+    return {
+        "pid": pid,
+        "rows": live.num_rows,
+        "checksum": ck,
+        "lsn_hi": int(lsn_np.max()) if len(lsn_np) else 0,
+        "events_applied": 0,
+        "deltas_folded": len(meta.get("deltas", [])),
+    }
+
+
+def compact_deltas(
+    lake_root: str,
+    min_chain: int = 1,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+) -> dict | None:
+    """Fold merge-on-read delta chains back into base part files — the
+    compaction half of ``replay(merge_mode="delta")``.
+
+    Every partition whose chain length is >= ``min_chain`` is rewritten
+    as base ∪ chain reduced under LWW ``(ts_col, _lsn)`` (exactly the
+    read path's reduce, so served state is unchanged); the commit clears
+    those chains and the superseded delta files become vacuum-reclaimable
+    orphans.  One manifest transaction: crash mid-fold leaves the chains
+    intact.  Returns the tx lineage record, or None if no chain
+    qualifies.  Run with ``min_chain > 1`` for steady-state tailing
+    (amortize folds); ``min_chain=1`` folds everything."""
+    lake = LakeTable(lake_root)
+    manifest = lake.read_manifest()
+    todo = {
+        pid: meta
+        for pid, meta in manifest["partitions"].items()
+        if len(meta.get("deltas", [])) >= min_chain
+    }
+    if not todo:
+        return None
+    txid = lake.next_txid(manifest)
+    futs = [
+        _fold_partition.remote(lake_root, txid, int(pid), meta, key, ts_col)
+        for pid, meta in todo.items()
+    ]
+    results = ray.get(futs)
+    m = lake.commit(
+        manifest,
+        txid,
+        results,
+        applied_segments=[f"__compact_deltas_{txid}__"],
+        applied_lsn_range=None,
+        extras={
+            "delta_compaction": True,
+            "partitions_folded": len(results),
+            "deltas_folded": int(sum(r["deltas_folded"] for r in results)),
         },
     )
     return m["lineage"][-1]
@@ -146,9 +231,15 @@ def vacuum(lake_root: str) -> dict:
     valid for transactions newer than the last vacuum."""
     import shutil
 
+    from ..state.manifest import partition_file_list
+
     lake = LakeTable(lake_root)
     manifest = lake.read_manifest()
-    referenced = {os.path.basename(p["file"]) for p in manifest["partitions"].values()}
+    referenced = {
+        os.path.basename(rel)
+        for p in manifest["partitions"].values()
+        for rel in partition_file_list(p)
+    }
     removed_parts = 0
     if os.path.isdir(lake.parts_dir):
         for f in os.listdir(lake.parts_dir):
@@ -179,10 +270,15 @@ class _RepartitionWriter:
         self.txid = txid
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        from ..stages.merge import _checksum
+        from ..stages.merge import _checksum, lww_compact
 
         pid = int(group.column("pid")[0].as_py())
         body = group.drop_columns(["pid"])
+        # fold superseded versions: a source partition with a merge-on-read
+        # delta chain contributes multiple rows per url to the flat scan;
+        # LWW keeps the winner (tombstone winners included).  No-op for
+        # delta-free tables (urls already unique).
+        body = lww_compact(body, "url", order_by=("warc_ts", "_lsn"))
         body = body.take(pc.sort_indices(body, sort_keys=[("url", "ascending")]))
         out = os.path.join(
             self.lake_root, "staging", self.txid, f"part-{pid:05d}.parquet"

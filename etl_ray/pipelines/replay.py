@@ -293,13 +293,26 @@ def replay(
     combine: bool = True,
     batch_size: int = 32768,
     spec: TableSpec = PAGES,
+    merge_mode: str | None = None,
 ) -> ReplayStats:
     """Replay all pending WAL segments into the lake. Idempotent/resumable:
     already-applied segments are skipped via the manifest ledger; a crash
-    between staging and commit leaves the previous state intact."""
+    between staging and commit leaves the previous state intact.
+
+    ``merge_mode``: ``"rewrite"`` (default) rewrites each touched
+    partition's full state per transaction; ``"delta"`` stages only the
+    tx's compacted change rows as merge-on-read delta files (O(changes)
+    write amplification — the steady-state tailing shape; fold chains
+    back with ``maintenance.compact_deltas``).  ``ETLRAY_MERGE_MODE``
+    overrides the default when the argument is None.  Final table state
+    is identical either way (differential-tested)."""
     lake = LakeTable(lake_root)
     stats = ReplayStats()
     all_segs = segments if segments is not None else list_segments(wal_dir)
+    if merge_mode is None:
+        merge_mode = os.environ.get("ETLRAY_MERGE_MODE", "rewrite")
+    if merge_mode not in ("rewrite", "delta"):
+        raise ValueError(f"merge_mode must be 'rewrite' or 'delta', got {merge_mode!r}")
 
     while True:
         manifest = lake.read_manifest()
@@ -308,12 +321,20 @@ def replay(
             break
         chunk = pending if max_segments_per_tx is None else pending[:max_segments_per_tx]
         stats.transactions += 1
-        _replay_one_tx(lake, manifest, chunk, salting, salt, combine, batch_size, stats, spec)
+        _replay_one_tx(
+            lake, manifest, chunk, salting, salt, combine, batch_size, stats, spec,
+            merge_mode=merge_mode,
+        )
         if max_segments_per_tx is None:
             break
 
     final = lake.read_manifest()
-    stats.rows_live = sum(p["rows"] for p in final["partitions"].values())
+    # In delta mode this counts stored rows (base + chains): an upper
+    # bound on live rows until compaction folds superseded versions.
+    stats.rows_live = sum(
+        p["rows"] + sum(d["rows"] for d in p.get("deltas", []))
+        for p in final["partitions"].values()
+    )
     stats.schema_version = final["schema_version"]
     return stats
 
@@ -405,6 +426,7 @@ def _replay_one_tx(
     batch_size: int,
     stats: ReplayStats,
     spec: TableSpec = PAGES,
+    merge_mode: str = "rewrite",
 ) -> None:
     import time as _time
 
@@ -506,6 +528,7 @@ def _replay_one_tx(
         merge = MergePartition(
             lake.root, txid, target_schema, manifest["partitions"],
             key=spec.key, ts_col=spec.ts_col, derive_text=spec.derive_text,
+            delta=(merge_mode == "delta"),
         )
         # retry application exceptions too: a merge task is side-effect-safe
         # (deterministic staging path, overwrite on retry), so transient I/O
@@ -532,7 +555,9 @@ def _replay_one_tx(
             "seconds": round(tx_seconds, 3),
             "events_per_sec": round(n_events_est / tx_seconds, 1) if tx_seconds > 0 else None,
             "salted": bool(use_salt),
+            "merge_mode": merge_mode,
         },
+        delta=(merge_mode == "delta"),
     )
     # raw WAL rows applied (pre-compaction) — the throughput denominator;
     # per-partition lineage keeps the post-compaction merge counts
@@ -545,18 +570,75 @@ def _replay_one_tx(
 # ---------------------------------------------------------------------------
 
 
-def read_table(lake_root: str, at_txid: str | None = None) -> ray.data.Dataset:
+class _MergedPartitionRead:
+    """map_batches callable over partition-metadata items: each task
+    LWW-merges one pid's base file ∪ delta chain and emits its live rows
+    (the merge-on-read read path; one task per partition)."""
+
+    def __init__(self, lake_root: str, schema: pa.Schema, key: str, ts_col: str):
+        self.__name__ = "_MergedPartitionRead"
+        self.lake_root = lake_root
+        self.schema = schema
+        self.key = key
+        self.ts_col = ts_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json as _json
+
+        from ..stages.merge import load_partition_state
+
+        tables = []
+        for meta_json in batch.column("meta").to_pylist():
+            t = load_partition_state(
+                self.lake_root, _json.loads(meta_json), self.schema,
+                self.key, self.ts_col,
+            )
+            t = t.filter(pc.invert(t.column("_deleted")))
+            tables.append(t.drop_columns([c for c in INTERNAL_COLS if c in t.column_names]))
+        if not tables:  # typed empty: keep the executor's schema stable
+            return self.schema.empty_table()
+        return pa.concat_tables(tables, promote_options="default")
+
+
+def read_table(
+    lake_root: str,
+    at_txid: str | None = None,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+) -> ray.data.Dataset:
     """Stream the live rows of the lake table (manifest-resolved files,
     tombstones filtered, internal columns dropped).
 
     ``at_txid`` time-travels to the committed state as of that
     transaction (resolved from its immutable per-tx snapshot; valid until
-    ``vacuum()`` reclaims superseded part files)."""
+    ``vacuum()`` reclaims superseded part files).
+
+    When any partition carries a merge-on-read delta chain, reads switch
+    from flat file scans to one task per partition that reduces
+    base ∪ chain under LWW ``(ts_col, _lsn)`` before serving — the same
+    reduce the rewrite merge runs, so both merge modes serve identical
+    live states.  ``key``/``ts_col`` only matter for that reduce (lakes
+    replayed with a non-pages TableSpec pass their own)."""
+    import json as _json
+
     lake = LakeTable(lake_root)
     m = lake.manifest_at(at_txid) if at_txid is not None else lake.read_manifest()
     files = lake.data_files(m)
     if not files:
         return ray.data.from_arrow(lake.schema(m).empty_table())
+
+    if any(p.get("deltas") for p in m["partitions"].values()):
+        items = [
+            {"pid": int(pid), "meta": _json.dumps(meta)}
+            for pid, meta in sorted(m["partitions"].items(), key=lambda kv: int(kv[0]))
+        ]
+        ds = ray.data.from_items(items, override_num_blocks=len(items))
+        return ds.map_batches(
+            _MergedPartitionRead(lake_root, lake.schema(m), key, ts_col),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+
     ds = ray.data.read_parquet(files)
     drop = list(INTERNAL_COLS)
 

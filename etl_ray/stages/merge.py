@@ -81,12 +81,76 @@ def _checksum(key_col: pa.Array | pa.ChunkedArray, ts_us: np.ndarray, lsn: np.nd
     return int(row.sum(dtype=np.uint64))
 
 
+def load_partition_state(
+    lake_root: str,
+    meta: dict,
+    schema: pa.Schema | None = None,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+) -> pa.Table:
+    """Materialize one partition's stored state: base file ∪ merge-on-read
+    delta chain, reduced under LWW ``(ts_col, _lsn)``.  The fast path (no
+    deltas) is a plain file read — base files hold unique keys already.
+    ``schema`` (the CURRENT payload schema) null-backfills files written
+    under older schema versions."""
+    from ..state.manifest import partition_file_list
+
+    files = partition_file_list(meta)
+    tables = []
+    for rel in files:
+        t = pq.read_table(os.path.join(lake_root, rel))
+        if schema is not None:
+            t = conform_stored(t, schema)
+        tables.append(t)
+    if not tables:
+        base = schema if schema is not None else pa.schema([])
+        return base.empty_table()
+    if len(tables) == 1:
+        return tables[0]
+    merged = pa.concat_tables(tables, promote_options="default")
+    return lww_compact(merged, key, order_by=(ts_col, "_lsn"))
+
+
+def conform_stored(cur: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Null-backfill a stored file written under an older schema version
+    (additive evolution), preserving — or synthesizing, for pre-engine
+    files — the internal ``_lsn``/``_deleted`` columns."""
+    from ..state.schema_registry import conform
+
+    internals = [c for c in INTERNAL_COLS if c in cur.column_names]
+    kept = {c: cur.column(c) for c in internals}
+    body = conform(cur.drop_columns(internals), schema)
+    for c in INTERNAL_COLS:
+        if c in kept:
+            body = body.append_column(c, kept[c])
+        elif c == "_lsn":
+            # pre-engine rows rank below any WAL event at equal ts
+            body = body.append_column(
+                c, pa.array(np.zeros(body.num_rows, dtype=np.int64))
+            )
+        elif c == "_deleted":
+            body = body.append_column(
+                c, pa.array(np.zeros(body.num_rows, dtype=bool))
+            )
+    return body
+
+
 class MergePartition:
     """map_groups callable: one invocation merges one pid group.
 
     Stateless w.r.t. Ray retries: writes a deterministic staging path
     (retry overwrites, never double-appends) and returns a lineage row.
     The commit (manifest swap) happens on the driver afterwards.
+
+    ``delta=True`` is the merge-on-read write path: the task never reads
+    the partition's current state — it compacts ONLY this transaction's
+    change rows and stages them as a delta file that the commit appends
+    to the partition's chain (manifest.commit(delta=True)).  Readers and
+    later rewrite merges reduce base ∪ chain under the same LWW order,
+    so the final table state is identical to rewrite mode; what changes
+    is the cost shape — O(changes) write amplification per transaction
+    instead of O(partition), at the price of chain-length read
+    amplification until ``maintenance.compact_deltas`` folds it.
     """
 
     def __init__(
@@ -98,8 +162,9 @@ class MergePartition:
         key: str = "url",
         ts_col: str = "warc_ts",
         derive_text: bool = True,
+        delta: bool = False,
     ):
-        self.__name__ = "MergePartition"
+        self.__name__ = "MergeDelta" if delta else "MergePartition"
         self.lake_root = lake_root
         self.txid = txid
         self.schema = target_schema
@@ -107,6 +172,7 @@ class MergePartition:
         self.key = key
         self.ts_col = ts_col
         self.derive_text = derive_text
+        self.delta = delta
 
     def __call__(self, group: pa.Table) -> pa.Table:
         from ..state.schema_registry import conform
@@ -127,11 +193,15 @@ class MergePartition:
         body = body.append_column("_lsn", changes.column("lsn").cast(pa.int64()))
         body = body.append_column("_deleted", deleted)
 
-        # lazily read current partition state (disk-backed per-partition index)
-        cur_meta = self.partitions.get(str(pid))
+        # lazily read current partition state (disk-backed per-partition
+        # index): base file ∪ any merge-on-read delta chain, pre-reduced.
+        # Delta mode skips this read entirely — the tx's compacted changes
+        # ARE the staged output.
+        cur_meta = None if self.delta else self.partitions.get(str(pid))
         if cur_meta is not None:
-            cur = pq.read_table(os.path.join(self.lake_root, cur_meta["file"]))
-            cur = self._conform_stored(cur)
+            cur = load_partition_state(
+                self.lake_root, cur_meta, self.schema, self.key, self.ts_col
+            )
             merged = pa.concat_tables([cur, body], promote_options="default")
         else:
             merged = body
@@ -186,28 +256,6 @@ class MergePartition:
         )
 
     # -- helpers ----------------------------------------------------------
-
-    def _conform_stored(self, cur: pa.Table) -> pa.Table:
-        """Null-backfill an existing partition file written under an older
-        schema version (additive evolution)."""
-        from ..state.schema_registry import conform
-
-        internals = [c for c in INTERNAL_COLS if c in cur.column_names]
-        kept = {c: cur.column(c) for c in internals}
-        body = conform(cur.drop_columns(internals), self.schema)
-        for c in INTERNAL_COLS:
-            if c in kept:
-                body = body.append_column(c, kept[c])
-            elif c == "_lsn":
-                # pre-engine rows rank below any WAL event at equal warc_ts
-                body = body.append_column(
-                    c, pa.array(np.zeros(body.num_rows, dtype=np.int64))
-                )
-            elif c == "_deleted":
-                body = body.append_column(
-                    c, pa.array(np.zeros(body.num_rows, dtype=bool))
-                )
-        return body
 
     def _lww_stored(self, tbl: pa.Table) -> pa.Table:
         return lww_compact(tbl, self.key, order_by=(self.ts_col, "_lsn"))

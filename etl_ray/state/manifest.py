@@ -35,6 +35,16 @@ import shutil
 import pyarrow as pa
 
 
+def partition_file_list(meta: dict) -> list[str]:
+    """Root-relative data files of one partition: base (may be absent for
+    a delta-only partition) followed by its merge-on-read delta chain in
+    commit order.  LWW order across the chain is carried by the rows'
+    ``(ts, _lsn)`` columns, not file order, so readers may concat freely."""
+    files = [meta["file"]] if meta.get("file") else []
+    files.extend(d["file"] for d in meta.get("deltas", []))
+    return files
+
+
 def _schema_to_json(schema: pa.Schema) -> dict:
     return {
         "ipc_b64": base64.b64encode(schema.serialize().to_pybytes()).decode("ascii"),
@@ -90,10 +100,15 @@ class LakeTable:
         return _schema_from_json(m["schema"])
 
     def data_files(self, manifest: dict | None = None) -> list[str]:
+        """Every referenced data file: base part files plus any
+        merge-on-read delta files (in chain order per partition)."""
         m = manifest or self.read_manifest()
-        return [
-            os.path.join(self.root, p["file"]) for p in m["partitions"].values()
-        ]
+        out: list[str] = []
+        for p in m["partitions"].values():
+            out.extend(
+                os.path.join(self.root, rel) for rel in partition_file_list(p)
+            )
+        return out
 
     # -- transaction lifecycle -------------------------------------------
 
@@ -119,6 +134,7 @@ class LakeTable:
         extras: dict | None = None,
         replace_partitions: bool = False,
         new_num_partitions: int | None = None,
+        delta: bool = False,
     ) -> dict:
         """Atomically publish a transaction.
 
@@ -133,6 +149,16 @@ class LakeTable:
         entirely (every surviving row was rewritten this tx — the
         repartition path); ``new_num_partitions`` records a changed
         partition count for subsequent replays.
+
+        ``delta=True`` publishes merge-on-read deltas instead: each staged
+        file becomes ``parts/delta-{pid:05d}-{txid}.parquet`` APPENDED to
+        the partition's delta chain; the base file and its stats are left
+        untouched (a partition first touched by a delta tx gets a
+        base-less entry).  Readers merge base ∪ chain under LWW;
+        ``maintenance.compact_deltas`` folds the chain back into the base.
+        A rewrite commit for a pid (delta=False) clears its chain — the
+        rewrite merged those rows — and the superseded delta files become
+        vacuum-reclaimable orphans.
         """
         m = dict(manifest)
         if new_num_partitions is not None:
@@ -142,16 +168,27 @@ class LakeTable:
         for res in partition_results:
             pid = int(res["pid"])
             src = self.staging_path(txid, pid)
-            rel = os.path.join("parts", f"part-{pid:05d}-{txid}.parquet")
+            stem = "delta" if delta else "part"
+            rel = os.path.join("parts", f"{stem}-{pid:05d}-{txid}.parquet")
             dst = os.path.join(self.root, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.replace(src, dst)
-            partitions[str(pid)] = {
+            entry = {
                 "file": rel,
                 "rows": int(res["rows"]),
                 "checksum": int(res["checksum"]),
                 "lsn_hi": int(res.get("lsn_hi", 0)),
             }
+            if delta:
+                prev = dict(
+                    partitions.get(
+                        str(pid), {"file": None, "rows": 0, "checksum": 0, "lsn_hi": 0}
+                    )
+                )
+                prev["deltas"] = list(prev.get("deltas", [])) + [entry]
+                partitions[str(pid)] = prev
+            else:
+                partitions[str(pid)] = entry
             promoted.append(rel)
 
         # normalize: a single (lo, hi) pair or a list of per-segment pairs
