@@ -67,6 +67,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": Q.multimodal_features,
         "multimodal_frames": Q.multimodal_frames,
         "cdc_replay_pages": Q.cdc_replay_pages,
+        # same final state served through UNFOLDED merge-on-read delta
+        # chains (replay(merge_mode="delta"), 3 incremental txs, no
+        # compaction) — same SQL oracle as cdc_replay_pages by design
+        "cdc_replay_pages_delta": Q.cdc_replay_pages_delta,
         "pages_per_domain": Q.pages_per_domain,
         "cdc_table_diff": Q.cdc_table_diff,
         "incremental_domain_stats": Q.incremental_domain_stats,
@@ -473,6 +477,18 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "cdc_replay_pages": """
+            WITH w AS (
+              SELECT url, warc_ts, lsn, op, text, lang,
+                     row_number() OVER (
+                       PARTITION BY url ORDER BY warc_ts DESC, lsn DESC) AS rn
+              FROM read_parquet('/tmp/etlray_cdc_1000_8000/data/oracle_events.parquet')
+            )
+            SELECT url, warc_ts, text, lang FROM w WHERE rn = 1 AND op <> 'delete'
+        """,
+        # merge-on-read replay serves the IDENTICAL final state, so the
+        # oracle is the same LWW window query (delta chains are a storage
+        # layout, never a semantic)
+        "cdc_replay_pages_delta": """
             WITH w AS (
               SELECT url, warc_ts, lsn, op, text, lang,
                      row_number() OVER (

@@ -146,6 +146,46 @@ def run_bench() -> dict:
         sum(sorted(runs)[len(runs) // 2 - 1 : len(runs) // 2 + 1]) / 2, 3
     )
 
+    # steady-state tailing shape: BIG base lake, SMALL change stream,
+    # applied as 4 incremental transactions — rewrite vs merge-on-read
+    # delta.  This is the cost profile the delta path exists for: each
+    # rewrite tx pays O(partition state) per touched partition (here the
+    # whole 500k-row base, every tx) while delta pays O(changes); at the
+    # north rule's 10^10-row lake the ratio is the difference between
+    # retailing the table 4x and appending 100k rows.  Fixture cached
+    # like the headline WAL.  Skip with ETLRAY_SKIP_TAILING=1.
+    tailing = {}
+    if not os.environ.get("ETLRAY_SKIP_TAILING"):
+        t_urls, t_events = 1_000_000, 100_000
+        t_dir = os.path.join(SCRATCH, f"etlray_bench_{t_urls}_{t_events}")
+        if not os.path.exists(os.path.join(t_dir, "wal")):
+            generate_dataset(
+                t_dir,
+                WalSpec(n_urls=t_urls, n_events=t_events, n_segments=16, base_frac=0.5),
+                parallel=True,
+            )
+        for mode in ("rewrite", "delta"):
+            lake_root = os.path.join(SCRATCH, f"lake_tail_{os.getpid()}_{mode}", "pages")
+            bootstrap_lake(
+                lake_root,
+                os.path.join(t_dir, "base", "pages.parquet"),
+                num_partitions=64,
+            )
+            t0 = time.perf_counter()
+            st = replay(
+                lake_root,
+                os.path.join(t_dir, "wal"),
+                max_segments_per_tx=4,
+                merge_mode=mode,
+            )
+            tailing[f"{mode}_sec"] = round(time.perf_counter() - t0, 3)
+            tailing[f"{mode}_tx"] = st.transactions
+            shutil.rmtree(os.path.dirname(lake_root), ignore_errors=True)
+        if tailing.get("delta_sec"):
+            tailing["delta_speedup"] = round(
+                tailing["rewrite_sec"] / tailing["delta_sec"], 2
+            )
+
     qtimes = {}
     if not os.environ.get("ETLRAY_SKIP_QUERIES"):
         for name in QUERY_SUBSET:
@@ -166,6 +206,7 @@ def run_bench() -> dict:
         "events_per_sec": round(n_events / headline, 1),
         "rows_live": stats.rows_live,
         "replay_runs_sec": runs,
+        "tailing_4tx": tailing,
     }
     ray.shutdown()
     return result

@@ -842,6 +842,28 @@ def cdc_replay_pages(sf_dir: str):
     return out.select(["url", "warc_ts", "text", "lang"])
 
 
+def cdc_replay_pages_delta(sf_dir: str):
+    """The flagship replay in merge-on-read delta mode, deliberately LEFT
+    UNFOLDED: segments apply as 3 incremental transactions whose delta
+    chains stay in place, so the result is served through the chain-
+    merging read path (base ∪ deltas LWW-reduced per partition).  Same
+    SQL oracle as ``cdc_replay_pages`` — final state must be identical
+    to rewrite mode; only write amplification differs."""
+    from .replay import bootstrap_lake, read_table_arrow, replay
+
+    n_urls, n_events = _CDC_SIZES.get(os.path.basename(sf_dir.rstrip("/")), (300, 1500))
+    root = _cdc_fixture(n_urls, n_events)
+    data_dir = os.path.join(root, "data")
+    lake_root = os.path.join(root, "lake", f"delta{os.getpid()}", "pages")
+    bootstrap_lake(lake_root, os.path.join(data_dir, "base", "pages.parquet"), num_partitions=16)
+    replay(
+        lake_root, os.path.join(data_dir, "wal"),
+        max_segments_per_tx=3, merge_mode="delta",
+    )
+    out = read_table_arrow(lake_root)
+    return out.select(["url", "warc_ts", "text", "lang"])
+
+
 def pages_per_domain(sf_dir: str):
     """Webtext rollup over the replayed CDC lake: top-10 hosts by live
     page count (deterministic tie-break on host).  Exercises the
