@@ -106,6 +106,15 @@ def main(argv: list[str] | None = None) -> int:
     vb.add_argument("--lake", required=True)
     vb.add_argument("--view", required=True, help="view directory")
 
+    gt = sub.add_parser(
+        "get", help="point lookup: freshest live row(s) for url key(s), "
+        "reading only the partitions they hash to"
+    )
+    gt.add_argument("--lake", required=True)
+    gt.add_argument("--url", action="append", required=True,
+                    help="repeatable: one or more keys to look up")
+    gt.add_argument("--at-txid", default=None, help="time-travel snapshot")
+
     ex = sub.add_parser("export", help="write live rows to partitioned parquet")
     ex.add_argument("--lake", required=True)
     ex.add_argument("--out", required=True)
@@ -203,6 +212,21 @@ def main(argv: list[str] | None = None) -> int:
         from .views import refresh_view
 
         print(json.dumps(refresh_view(args.view, args.lake)))
+        return 0
+
+    if args.cmd == "get":
+        # driver-local: a lookup reads O(touched partitions) files, no Ray
+        from .replay import get_rows
+
+        t = get_rows(args.lake, args.url, at_txid=args.at_txid)
+        cols = [c for c in t.column_names if c != "html"]  # binary: report size only
+        rec = t.select(cols).to_pylist()
+        sizes = [len(b) if b is not None else None for b in t.column("html").to_pylist()] if "html" in t.column_names else []
+        for i, r in enumerate(rec):
+            if sizes:
+                r["html_bytes"] = sizes[i]
+            r["warc_ts"] = str(r["warc_ts"])
+        print(json.dumps({"rows": rec, "found": len(rec), "asked": len(args.url)}))
         return 0
 
     if args.cmd == "export":

@@ -346,6 +346,7 @@ def follow(
     poll_interval: float = 5.0,
     max_polls: int | None = None,
     idle_exit_after: int | None = None,
+    fold_chain_over: int | None = None,
     **replay_kwargs,
 ) -> ReplayStats:
     """Continuous tailing: poll the WAL dir for new segments and replay
@@ -356,7 +357,11 @@ def follow(
 
     Exits after ``max_polls`` polls, or after ``idle_exit_after``
     consecutive polls with no pending segments (None = run forever).
-    """
+
+    ``fold_chain_over``: with ``merge_mode="delta"``, automatically fold
+    any partition whose merge-on-read chain exceeds this many delta
+    files after a poll that applied segments (bounds read amplification
+    during indefinite tailing; each fold is its own manifest tx)."""
     import time
 
     total = ReplayStats()
@@ -369,6 +374,16 @@ def follow(
         total.segments_applied += stats.segments_applied
         total.rows_live = stats.rows_live
         total.schema_version = stats.schema_version
+        if fold_chain_over is not None and stats.segments_applied:
+            from .maintenance import compact_deltas
+
+            spec = replay_kwargs.get("spec", PAGES)
+            compact_deltas(
+                lake_root,
+                min_chain=fold_chain_over + 1,
+                key=spec.key,
+                ts_col=spec.ts_col,
+            )
         idle = idle + 1 if stats.segments_applied == 0 else 0
         polls += 1
         if idle_exit_after is not None and idle >= idle_exit_after:
@@ -647,6 +662,52 @@ def read_table(
         return t.drop_columns([c for c in drop if c in t.column_names])
 
     return ds.map_batches(live, batch_format="pyarrow")
+
+
+def get_rows(
+    lake_root: str,
+    keys: list[str],
+    at_txid: str | None = None,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+) -> pa.Table:
+    """Point lookup: live rows for the given keys, reading ONLY the
+    partitions those keys hash to (pid = crc32(key) % P from the
+    manifest) — base file ∪ delta chain per touched pid, LWW-reduced.
+    O(touched partitions) file reads regardless of table size: the
+    serving-path complement to the streaming ``read_table`` (a CDC lake
+    exists to be point-queried by the freshest version of a key).
+    Driver-local (no Ray tasks): a lookup touches a handful of files and
+    task dispatch would dominate; wrap in ``ray.remote`` for fan-out."""
+    from ..stages.merge import INTERNAL_COLS as _IC
+    from ..stages.merge import load_partition_state
+    from ..stages.partition import url_pid
+
+    lake = LakeTable(lake_root)
+    m = lake.manifest_at(at_txid) if at_txid is not None else lake.read_manifest()
+    schema = lake.schema(m)
+    P = int(m["num_partitions"])
+    by_pid: dict[int, list[str]] = {}
+    for k in keys:
+        by_pid.setdefault(url_pid(k, P), []).append(k)
+    hits = []
+    want = pa.array(sorted(set(keys)), pa.string())
+    for pid in sorted(by_pid):
+        meta = m["partitions"].get(str(pid))
+        if meta is None:
+            continue
+        t = load_partition_state(lake_root, meta, schema, key, ts_col)
+        t = t.filter(
+            pc.and_(
+                pc.invert(t.column("_deleted")),
+                pc.is_in(t.column(key), value_set=want),
+            )
+        )
+        hits.append(t.drop_columns([c for c in _IC if c in t.column_names]))
+    if not hits:
+        return schema.empty_table()
+    out = pa.concat_tables(hits, promote_options="default")
+    return out.take(pc.sort_indices(out, sort_keys=[(key, "ascending")]))
 
 
 def read_table_arrow(lake_root: str, at_txid: str | None = None) -> pa.Table:

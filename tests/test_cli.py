@@ -64,3 +64,34 @@ def test_cli_end_to_end(ray_session, tmp_path, capsys):
     # changed, but the maintained stats are unchanged -> delta sums to 0
     v3 = _run(capsys, "view-refresh", "--lake", lake, "--view", view)
     assert v3["txid"] == show3["txid"] and "noop" not in v3
+
+
+def test_cli_delta_mode_and_get(ray_session, tmp_path, capsys):
+    """--merge-mode delta replay -> get point lookup -> compact-deltas."""
+    data = str(tmp_path / "cdc")
+    lake = str(tmp_path / "lake" / "pages")
+
+    _run(capsys, "gen", "--out", data, "--urls", "200", "--events", "1000",
+         "--segments", "4")
+    _run(capsys, "bootstrap", "--lake", lake, "--base",
+         f"{data}/base/pages.parquet", "--partitions", "8")
+    rep = _run(capsys, "replay", "--lake", lake, "--wal", f"{data}/wal",
+               "--merge-mode", "delta", "--max-segments-per-tx", "2")
+    assert rep["transactions"] >= 2
+
+    from etl_ray.pipelines.replay import read_table_arrow
+
+    full = read_table_arrow(lake)
+    url = full.column("url")[0].as_py()
+    got = _run(capsys, "get", "--lake", lake, "--url", url,
+               "--url", "https://nope.example/x")
+    assert got["found"] == 1 and got["asked"] == 2
+    assert got["rows"][0]["url"] == url
+    assert "html" not in got["rows"][0] and got["rows"][0]["html_bytes"] > 0
+
+    cd = _run(capsys, "compact-deltas", "--lake", lake)
+    assert cd["partitions_folded"] > 0
+    # unchanged after folding
+    assert read_table_arrow(lake).equals(full)
+    got2 = _run(capsys, "get", "--lake", lake, "--url", url)
+    assert got2["found"] == 1

@@ -173,3 +173,78 @@ def test_table_diff_across_delta_txs(ray_session, small_wal, tmp_path):
 
     exp = {(op, u, pd.Timestamp(ts).to_pydatetime()) for op, u, ts in exp}
     assert got_set == exp
+
+
+def test_get_rows_point_lookup(ray_session, small_wal, tmp_path):
+    """Point lookup reads only the touched partitions and serves the
+    freshest version — across both write paths and time travel."""
+    from etl_ray.pipelines.replay import (
+        bootstrap_lake, get_rows, read_table_arrow, replay,
+    )
+    from etl_ray.state.manifest import LakeTable
+
+    root = str(tmp_path / "lake" / "pages")
+    bootstrap_lake(root, small_wal["base"], num_partitions=8)
+    segs = small_wal["segments"]
+    replay(root, small_wal["wal_dir"], segments=segs[:3], merge_mode="delta")
+    tx_mid = LakeTable(root).read_manifest()["txid"]
+    replay(root, small_wal["wal_dir"], merge_mode="delta")
+
+    full = read_table_arrow(root)
+    urls = full.column("url").to_pylist()
+    probe = [urls[0], urls[len(urls) // 2], urls[-1], "https://nope.example/x"]
+    got = get_rows(root, probe)
+    assert got.num_rows == 3
+    by_url = {r["url"]: r for r in got.to_pylist()}
+    for r in full.to_pylist():
+        if r["url"] in by_url:
+            assert by_url[r["url"]] == r  # freshest version, full payload
+
+    # a url deleted by the WAL must not resolve
+    oracle_mid = replay_oracle(small_wal["base"], segs[:3])
+    mid_urls = set(oracle_mid.column("url").to_pylist())
+    gone = sorted(mid_urls - set(urls))
+    if gone:
+        assert get_rows(root, [gone[0]]).num_rows == 0
+        # ... but time travel still sees it at the earlier snapshot
+        assert get_rows(root, [gone[0]], at_txid=tx_mid).num_rows == 1
+
+
+def test_follow_auto_folds_delta_chains(ray_session, small_wal, tmp_path):
+    """follow(fold_chain_over=N) bounds read amplification while tailing
+    in delta mode: chains never exceed N after an applying poll."""
+    import os
+    import shutil
+    import threading
+    import time
+
+    from etl_ray.pipelines.replay import bootstrap_lake, follow, read_table_arrow
+
+    root = str(tmp_path / "lake" / "pages")
+    bootstrap_lake(root, small_wal["base"], num_partitions=8)
+    wal = str(tmp_path / "wal")
+    os.makedirs(wal)
+    segs = small_wal["segments"]
+    half = len(segs) // 2
+    for s in segs[:half]:
+        shutil.copy(s, wal)
+
+    def drip():
+        time.sleep(0.8)
+        for s in segs[half:]:
+            tmp = os.path.join(wal, "." + os.path.basename(s))
+            shutil.copy(s, tmp)
+            os.replace(tmp, os.path.join(wal, os.path.basename(s)))
+            time.sleep(0.2)
+
+    t = threading.Thread(target=drip)
+    t.start()
+    stats = follow(
+        root, wal, poll_interval=0.4, idle_exit_after=4,
+        merge_mode="delta", max_segments_per_tx=1, fold_chain_over=1,
+    )
+    t.join()
+    assert stats.segments_applied == len(segs)
+    assert max(_chains(root).values()) <= 1
+    oracle = replay_oracle(small_wal["base"], segs)
+    assert_tables_equal(read_table_arrow(root), oracle)
