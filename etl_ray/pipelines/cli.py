@@ -231,18 +231,23 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "export":
         _init_ray()
-        from .replay import read_table
+        import os
 
-        from ..state.manifest import LakeTable
+        from .replay import read_table
 
         ds = read_table(args.lake, at_txid=args.at_txid)
         # streaming partitioned-parquet sink: one file per block; consumers
-        # read the directory.  Row count comes from the manifest (no
-        # second scan).
+        # read the directory.  Row count comes from the written files'
+        # parquet footers (metadata-only; correct under merge-on-read
+        # chains, where the manifest's base-row sum is just a bound).
         ds.write_parquet(args.out)
-        lake = LakeTable(args.lake)
-        m = lake.manifest_at(args.at_txid) if args.at_txid else lake.read_manifest()
-        rows = sum(p["rows"] for p in m["partitions"].values())
+        import pyarrow.parquet as _pq
+
+        rows = sum(
+            _pq.read_metadata(os.path.join(args.out, f)).num_rows
+            for f in os.listdir(args.out)
+            if f.endswith(".parquet")
+        )
         print(json.dumps({"out": args.out, "rows": rows}))
         return 0
 
@@ -301,6 +306,20 @@ def main(argv: list[str] | None = None) -> int:
                     "schema_version": m["schema_version"],
                     "schema": [f[0] for f in m["schema"]["fields"]],
                     "rows_live": sum(p["rows"] for p in m["partitions"].values()),
+                    # merge-on-read state: stored delta rows are an upper
+                    # bound on additional live rows until compact-deltas
+                    "delta_files": sum(
+                        len(p.get("deltas", [])) for p in m["partitions"].values()
+                    ),
+                    "delta_rows": sum(
+                        d["rows"]
+                        for p in m["partitions"].values()
+                        for d in p.get("deltas", [])
+                    ),
+                    "max_chain": max(
+                        (len(p.get("deltas", [])) for p in m["partitions"].values()),
+                        default=0,
+                    ),
                     "applied_segments": len(m["applied_segments"]),
                     "applied_lsn_ranges": m["applied_lsn_ranges"][-3:],
                 }
