@@ -55,6 +55,7 @@ def test_oracle_queries_match_duckdb(entrymod, con):
             if name
             in (
                 "cdc_replay_pages",
+                "cdc_replay_pages_delta",
                 "cdc_table_diff",
                 "pages_per_domain",
                 "incremental_domain_stats",
