@@ -220,6 +220,7 @@ def run_scaling() -> dict:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             ETLRAY_SKIP_QUERIES="1",
+            ETLRAY_SKIP_TAILING="1",
             BENCH_REPLAY_TRIALS=os.environ.get("BENCH_REPLAY_TRIALS", "1"),
         )
         out = subprocess.run(
