@@ -6,11 +6,15 @@ Prints ONE JSON line:
    "events_per_sec": ..., "rows_live": ...}
 
 ``--scaling`` re-runs this script in fresh processes at SCALE_LO and
-SCALE_HI CPUs (default 4 and 16; SCALE_TRIALS per width, median) on the
-same input and reports both throughputs + scaling efficiency (the
-sandbox stand-in for the north rule's N vs 4N node criterion; see
-BASELINE.md).  Estimator is the MEDIAN on both sides and for the
-headline; every trial value is also emitted.
+SCALE_HI CPUs (default 4 and 16) on the same input — the sandbox
+stand-in for the north rule's N vs 4N node criterion (see BASELINE.md).
+SCALE_TRIALS (default 3) PAIRS of (lo, hi) runs execute back-to-back so
+the box's ~10-minute bandwidth drift cancels inside each pair's ratio;
+the reported efficiency is the median per-pair ratio and every pair is
+emitted.  Each fresh session runs one untimed warmup replay first
+(worker-pool spawn + plasma warmup is session startup, not throughput;
+ETLRAY_BENCH_WARMUP=0 disables).  Headline estimator is the MEDIAN of
+timed trials; all trial values are emitted.
 """
 
 from __future__ import annotations
@@ -124,6 +128,22 @@ def run_bench() -> dict:
     # either direction, where best-of-N biased the headline upward
     # (round-2 advice).  All trial times are reported alongside.
     trials = int(os.environ.get("BENCH_REPLAY_TRIALS", "3"))
+    # Untimed warmup replay (ETLRAY_BENCH_WARMUP=0 disables): the first
+    # replay in a fresh Ray session pays worker-pool spawn + import +
+    # plasma warmup (measured: trials decline monotonically 16.9 → 10.2s
+    # within one session), which is session startup, not engine
+    # throughput.  Warm the pool once, untimed, so every reported trial
+    # — and both sides of the fresh-process scaling ratio — measures
+    # steady state with the same estimator.
+    if os.environ.get("ETLRAY_BENCH_WARMUP", "1") != "0":
+        lake_root = os.path.join(SCRATCH, f"lake_{os.getpid()}_warmup", "pages")
+        bootstrap_lake(
+            lake_root,
+            os.path.join(data_dir, "base", "pages.parquet"),
+            num_partitions=64,
+        )
+        replay(lake_root, os.path.join(data_dir, "wal"))
+        shutil.rmtree(os.path.dirname(lake_root), ignore_errors=True)
     runs = []
     stats = None
     for trial in range(trials):
@@ -133,6 +153,11 @@ def run_bench() -> dict:
             os.path.join(data_dir, "base", "pages.parquet"),
             num_partitions=64,
         )
+        # drain dirty-page writeback (bootstrap just wrote ~350MB; prior
+        # trials/processes may have GBs in flight) so the timed window
+        # measures THIS replay, not a previous write's background flush —
+        # the first trial of a batch was consistently the slowest before
+        os.sync()
         t0 = time.perf_counter()
         st = replay(lake_root, os.path.join(data_dir, "wal"))
         dt = time.perf_counter() - t0
@@ -232,40 +257,55 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def run(ncpu: int) -> tuple[dict, list]:
-        # MEDIAN of N fresh processes per width (same estimator on both
-        # sides of the ratio — round-2 advice; best-of-N biased the ratio
-        # upward).  Single-box wall times vary 2-3x run-to-run (VM noise /
-        # page-cache / object-store residue, see BASELINE.md), so all
-        # trial values are reported.
-        trials = int(os.environ.get("SCALE_TRIALS", "3"))
-        results = [run_once(ncpu) for _ in range(trials)]
-        results.sort(key=lambda r: r["events_per_sec"])
-        med = results[len(results) // 2]
-        return med, [r["events_per_sec"] for r in results]
-
     # default N=4 vs 4N=16: on this single box, >16-wide execution hits the
     # shared memory-bandwidth ceiling (see BASELINE.md), which a real
     # N- vs 4N-NODE comparison would not — nodes add bandwidth linearly.
+    #
+    # PAIRED design (round-3 change): the box's available bandwidth
+    # drifts on ~10-minute timescales (same command, fresh processes,
+    # 10 min apart: 450k vs 356k ev/s at 16 CPUs, while 4-CPU runs stay
+    # within ±5%).  Running all lo trials then all hi trials lets that
+    # drift land entirely on one side of the ratio; instead each trial
+    # pair runs lo and hi back-to-back (~90s apart, well inside a drift
+    # window), the per-pair ratio cancels the window state, and the
+    # reported efficiency is the MEDIAN of per-pair ratios.  Same
+    # estimator on both sides; every pair's throughputs are listed.
     lo = int(os.environ.get("SCALE_LO", "4"))
     hi = int(os.environ.get("SCALE_HI", "16"))
-    (r_lo, all_lo), (r_hi, all_hi) = run(lo), run(hi)
-    tp_lo, tp_hi = r_lo["events_per_sec"], r_hi["events_per_sec"]
-    eff = (tp_hi / tp_lo) / (hi / lo)
+    trials = int(os.environ.get("SCALE_TRIALS", "3"))
+    pairs = []
+    for _ in range(trials):
+        r_lo = run_once(lo)
+        r_hi = run_once(hi)
+        pairs.append(
+            {
+                "events_per_sec_lo": r_lo["events_per_sec"],
+                "events_per_sec_hi": r_hi["events_per_sec"],
+                "sec_lo": r_lo["value"],
+                "sec_hi": r_hi["value"],
+                "efficiency": round(
+                    (r_hi["events_per_sec"] / r_lo["events_per_sec"]) / (hi / lo), 3
+                ),
+            }
+        )
+    ranked = sorted(pairs, key=lambda p: p["efficiency"])
+    med = ranked[len(ranked) // 2]
     return {
-        "metric": f"scaling efficiency (median events/s at {lo} vs {hi} cpus, fresh processes)",
-        "value": round(eff, 3),
+        "metric": (
+            f"scaling efficiency (median of per-pair ratios, {lo} vs {hi} cpus, "
+            "paired fresh processes)"
+        ),
+        "value": med["efficiency"],
         "unit": "efficiency",
         "cpus_lo": lo,
         "cpus_hi": hi,
-        "sec_lo": r_lo["value"],
-        "sec_hi": r_hi["value"],
-        "events_per_sec_lo": tp_lo,
-        "events_per_sec_hi": tp_hi,
-        "trials_events_per_sec_lo": all_lo,
-        "trials_events_per_sec_hi": all_hi,
-        "scaling_efficiency": round(eff, 3),
-        "sf": r_hi["sf"],
+        "sec_lo": med["sec_lo"],
+        "sec_hi": med["sec_hi"],
+        "events_per_sec_lo": med["events_per_sec_lo"],
+        "events_per_sec_hi": med["events_per_sec_hi"],
+        "pairs": pairs,
+        "scaling_efficiency": med["efficiency"],
+        "sf": "sf0.1" if "sf0.1" in SF_DIR else os.path.basename(SF_DIR.rstrip("/")),
     }
 
 
