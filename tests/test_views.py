@@ -129,3 +129,23 @@ def test_host_leaves_view_when_all_pages_deleted(ray_session, tmp_path):
     assert set(out.column("host").to_pylist()) == {"stays.example"}
     row = out.to_pylist()[0]
     assert row["n_pages"] == 3
+
+
+def test_refresh_across_delta_mode_txs(ray_session, small_wal, tmp_path):
+    """View maintenance over a merge-on-read lake: the signed delta
+    stream LWW-reduces each changed partition's base ∪ chain, so an
+    incremental refresh across UNFOLDED delta transactions equals a
+    full rebuild at head."""
+    root = str(tmp_path / "ivmd" / "pages")
+    bootstrap_lake(root, small_wal["base"], num_partitions=8)
+    segs = small_wal["segments"]
+    replay(root, small_wal["wal_dir"], segments=segs[:3], merge_mode="delta")
+    view = str(tmp_path / "ivmd" / "view")
+    build_view(view, root)
+
+    replay(root, small_wal["wal_dir"], merge_mode="delta")  # chains grow
+    refresh_view(view, root)
+
+    view_full = str(tmp_path / "ivmd" / "view_full")
+    build_view(view_full, root)
+    assert _canon(read_view(view)).equals(_canon(read_view(view_full)))
