@@ -149,3 +149,41 @@ def test_replay_many_concurrent_tables(ray_session, small_wal, tmp_path):
     rows = sorted(read_table(users_root).take_all(), key=lambda r: r["user_id"])
     assert [r["user_id"] for r in rows] == ["u1", "u3"]
     assert rows[0]["score"] == 1.5 and rows[0]["segment"] == "GOLD"
+
+
+def test_custom_tablespec_delta_mode(ray_session, tmp_path):
+    """Merge-on-read is key/ts-generic: a user_id/ts table replayed in
+    delta mode serves the same state through the chain-merging read
+    path (read_table(key=, ts_col=)), folds via compact_deltas, and
+    answers point lookups."""
+    from etl_ray.pipelines.maintenance import compact_deltas
+    from etl_ray.pipelines.replay import bootstrap_lake, get_rows, read_table, replay
+
+    spec = _users_spec()
+    wal = tmp_path / "wal_delta"
+    wal.mkdir()
+    _write_users_wal(wal)
+
+    root = str(tmp_path / "lake" / "users_delta")
+    bootstrap_lake(root, None, num_partitions=4, schema=spec.schema_v0)
+    # one tx per segment -> real chains
+    replay(root, str(wal), spec=spec, max_segments_per_tx=1, merge_mode="delta")
+
+    def snapshot():
+        return sorted(
+            read_table(root, key="user_id", ts_col="ts").take_all(),
+            key=lambda r: r["user_id"],
+        )
+
+    rows = snapshot()
+    assert [r["user_id"] for r in rows] == ["u1", "u3"]  # u2 deleted
+    assert rows[0]["score"] == 1.5 and rows[0]["segment"] == "GOLD"  # late ts lost
+
+    # point lookup with custom key/ts; the deleted key must not resolve
+    got = get_rows(root, ["u1", "u2"], key="user_id", ts_col="ts")
+    assert got.column("user_id").to_pylist() == ["u1"]
+    assert got.column("score")[0].as_py() == 1.5
+
+    before = snapshot()
+    assert compact_deltas(root, key="user_id", ts_col="ts") is not None
+    assert snapshot() == before
