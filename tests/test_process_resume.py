@@ -84,3 +84,66 @@ def test_sigkill_mid_replay_then_resume(tmp_path):
     live = live.take(pc.sort_indices(live, sort_keys=[("url", "ascending")]))
     oracle = replay_oracle(paths["base"], paths["segments"])
     assert live.equals(oracle)
+
+
+@pytest.mark.slow
+def test_sigkill_mid_delta_replay_then_resume(tmp_path):
+    """Same driver-death drill in merge-on-read mode: the committed
+    prefix of delta transactions survives, the restart applies only the
+    pending segments (new deltas appended, nothing double-applied), and
+    base ∪ chains LWW-reduce to the oracle."""
+    from etl_ray.gen import WalSpec, generate_dataset
+    from etl_ray.oracle import replay_oracle
+
+    data = str(tmp_path / "data")
+    spec = WalSpec(n_urls=500, n_events=4000, n_segments=8, seed=13)
+    paths = generate_dataset(data, spec)
+    lake = str(tmp_path / "lake" / "pages")
+
+    p = _cli(["bootstrap", "--lake", lake, "--base", paths["base"], "--partitions", "8"])
+    assert p.wait(timeout=240) == 0
+
+    p = _cli(["replay", "--lake", lake, "--wal", paths["wal_dir"],
+              "--max-segments-per-tx", "1", "--merge-mode", "delta"])
+    deadline = time.time() + 240
+    killed = False
+    while time.time() < deadline:
+        try:
+            m = json.load(open(os.path.join(lake, "MANIFEST.json")))
+            if len(m["applied_segments"]) >= 3:
+                os.kill(p.pid, signal.SIGKILL)
+                killed = True
+                break
+        except Exception:
+            pass
+        time.sleep(0.2)
+    p.wait(timeout=30)
+    assert killed, "replay finished before we could kill it; enlarge the WAL"
+
+    m_mid = json.load(open(os.path.join(lake, "MANIFEST.json")))
+    applied_mid = len(m_mid["applied_segments"])
+    assert applied_mid < 1 + len(paths["segments"]), "nothing left to resume"
+
+    p = _cli(["replay", "--lake", lake, "--wal", paths["wal_dir"],
+              "--merge-mode", "delta"])
+    out, _ = p.communicate(timeout=300)
+    assert p.returncode == 0
+    stats = json.loads(out.decode().strip().splitlines()[-1])
+    assert stats["segments_applied"] == 1 + len(paths["segments"]) - applied_mid
+
+    # base ∪ chains LWW-reduce to the oracle (no Ray needed)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from etl_ray.stages.merge import load_partition_state
+
+    m = json.load(open(os.path.join(lake, "MANIFEST.json")))
+    assert any(part.get("deltas") for part in m["partitions"].values())
+    tables = [
+        load_partition_state(lake, part) for part in m["partitions"].values()
+    ]
+    tbl = pa.concat_tables(tables, promote_options="default")
+    live = tbl.filter(pc.invert(tbl.column("_deleted"))).drop_columns(["_lsn", "_deleted"])
+    live = live.take(pc.sort_indices(live, sort_keys=[("url", "ascending")]))
+    oracle = replay_oracle(paths["base"], paths["segments"])
+    assert live.equals(oracle)
