@@ -106,6 +106,13 @@ def main(argv: list[str] | None = None) -> int:
     vb.add_argument("--lake", required=True)
     vb.add_argument("--view", required=True, help="view directory")
 
+    fk = sub.add_parser(
+        "fsck", help="integrity audit: recompute per-file live row counts "
+        "and checksums, compare to committed lineage"
+    )
+    fk.add_argument("--lake", required=True)
+    fk.add_argument("--at-txid", default=None, help="audit a historical snapshot")
+
     gt = sub.add_parser(
         "get", help="point lookup: freshest live row(s) for url key(s), "
         "reading only the partitions they hash to"
@@ -213,6 +220,14 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps(refresh_view(args.view, args.lake)))
         return 0
+
+    if args.cmd == "fsck":
+        _init_ray()
+        from .maintenance import fsck
+
+        rep = fsck(args.lake, at_txid=args.at_txid)
+        print(json.dumps(rep))
+        return 0 if not rep["mismatches"] else 2
 
     if args.cmd == "get":
         # driver-local: a lookup reads O(touched partitions) files, no Ray

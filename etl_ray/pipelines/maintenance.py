@@ -217,6 +217,85 @@ def compact_deltas(
     return m["lineage"][-1]
 
 
+@ray.remote
+def _fsck_partition(
+    lake_root: str, pid: int, meta: dict, key: str, ts_col: str
+) -> list[dict]:
+    """Audit every file of one partition against its manifest entry."""
+    from ..stages.merge import _checksum
+
+    problems = []
+    entries = [("base", meta)] if meta.get("file") else []
+    entries += [
+        (f"delta[{i}]", d) for i, d in enumerate(meta.get("deltas", []))
+    ]
+    for label, ent in entries:
+        path = os.path.join(lake_root, ent["file"])
+        try:
+            tbl = pq.read_table(path)
+        except Exception as e:  # missing/corrupt file
+            problems.append(
+                {"pid": pid, "file": ent["file"], "what": f"unreadable: {e}"}
+            )
+            continue
+        live = tbl.filter(pc.invert(tbl.column("_deleted")))
+        ck = _checksum(
+            live.column(key),
+            live.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False),
+            live.column("_lsn").to_numpy(zero_copy_only=False),
+        )
+        if live.num_rows != int(ent["rows"]):
+            problems.append(
+                {
+                    "pid": pid,
+                    "file": ent["file"],
+                    "what": f"{label} rows {live.num_rows} != manifest {ent['rows']}",
+                }
+            )
+        elif ck != int(ent["checksum"]):
+            problems.append(
+                {
+                    "pid": pid,
+                    "file": ent["file"],
+                    "what": f"{label} checksum {ck} != manifest {ent['checksum']}",
+                }
+            )
+    return problems
+
+
+def fsck(
+    lake_root: str,
+    at_txid: str | None = None,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+) -> dict:
+    """Integrity audit: recompute every referenced file's live row count
+    and order-insensitive content checksum and compare them to the
+    lineage recorded at commit time (base files AND merge-on-read delta
+    files each carry their own entry).  One Ray task per partition —
+    O(table) read, zero shuffle, embarrassingly parallel; run it like a
+    scrub.  ``at_txid`` audits a historical snapshot (until vacuum).
+    Returns {partitions, files, mismatches:[{pid, file, what}]}; an empty
+    ``mismatches`` list is the pass condition."""
+    lake = LakeTable(lake_root)
+    m = lake.manifest_at(at_txid) if at_txid is not None else lake.read_manifest()
+    futs = [
+        _fsck_partition.remote(lake_root, int(pid), meta, key, ts_col)
+        for pid, meta in m["partitions"].items()
+    ]
+    problems = [p for lst in ray.get(futs) for p in lst]
+    n_files = sum(
+        (1 if meta.get("file") else 0) + len(meta.get("deltas", []))
+        for meta in m["partitions"].values()
+    )
+    return {
+        "txid": m["txid"],
+        "partitions": len(m["partitions"]),
+        "files": n_files,
+        "mismatches": problems,
+    }
+
+
 def vacuum(lake_root: str) -> dict:
     """Delete unreferenced part files and stale staging dirs.
 
