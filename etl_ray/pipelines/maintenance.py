@@ -218,6 +218,80 @@ def compact_deltas(
 
 
 @ray.remote
+def _backfill_partition(
+    lake_root: str,
+    txid: str,
+    pid: int,
+    meta: dict,
+    column: str,
+    fn,
+    key: str,
+    ts_col: str,
+) -> dict:
+    from ..stages.merge import _checksum, load_partition_state
+
+    tbl = load_partition_state(lake_root, meta, schema=None, key=key, ts_col=ts_col)
+    newcol = fn(tbl)
+    if not isinstance(newcol, (pa.Array, pa.ChunkedArray)):
+        newcol = pa.array(newcol)
+    tbl = tbl.set_column(tbl.column_names.index(column), column, newcol)
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[(key, "ascending")]))
+    path = os.path.join(lake_root, "staging", txid, f"part-{pid:05d}.parquet")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(tbl, path)
+    live = tbl.filter(pc.invert(tbl.column("_deleted")))
+    lsn_np = tbl.column("_lsn").to_numpy(zero_copy_only=False)
+    ck = _checksum(
+        live.column(key),
+        live.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False),
+        live.column("_lsn").to_numpy(zero_copy_only=False),
+    )
+    return {
+        "pid": pid,
+        "rows": live.num_rows,
+        "checksum": ck,
+        "lsn_hi": int(lsn_np.max()) if len(lsn_np) else 0,
+        "events_applied": 0,
+    }
+
+
+def backfill(
+    lake_root: str,
+    column: str,
+    fn,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+) -> dict:
+    """Recompute a derived column for EVERY stored row as one manifest
+    transaction — the extractor-upgrade op (new `extract_text` version,
+    new language-ID model, …).  ``fn(table) -> Array`` runs once per
+    partition on the folded state (delta chains are folded in passing,
+    like a rewrite tx); the LWW identity columns ``(key, ts, _lsn)``
+    are untouched, so replay semantics, exactly-once ledger state and
+    lineage checksums are preserved.  One task per partition, no
+    shuffle; crash mid-backfill leaves the old state committed."""
+    lake = LakeTable(lake_root)
+    manifest = lake.read_manifest()
+    txid = lake.next_txid(manifest)
+    futs = [
+        _backfill_partition.remote(
+            lake_root, txid, int(pid), meta, column, fn, key, ts_col
+        )
+        for pid, meta in manifest["partitions"].items()
+    ]
+    results = ray.get(futs)
+    m = lake.commit(
+        manifest,
+        txid,
+        results,
+        applied_segments=[f"__backfill_{column}_{txid}__"],
+        applied_lsn_range=None,
+        extras={"backfill": column, "partitions_rewritten_total": len(results)},
+    )
+    return m["lineage"][-1]
+
+
+@ray.remote
 def _fsck_partition(
     lake_root: str, pid: int, meta: dict, key: str, ts_col: str
 ) -> list[dict]:

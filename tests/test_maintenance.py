@@ -213,3 +213,56 @@ def test_fsck_clean_and_detects_corruption(ray_session, small_wal, tmp_path):
     bad = fsck(root)
     assert len(bad["mismatches"]) == 1
     assert "rows" in bad["mismatches"][0]["what"]
+
+
+def test_backfill_rederives_column_and_folds_chains(ray_session, small_wal, tmp_path):
+    """backfill(column, fn) recomputes a derived column on the folded
+    state: an extract_text re-run is a fixpoint (byte-identical), a
+    changed 'extractor' rewrites every live row, chains fold in
+    passing, LWW identity survives (fsck green, replay still no-op)."""
+    import pyarrow.compute as pc
+
+    from etl_ray.oracle import replay_oracle
+    from etl_ray.pipelines.maintenance import backfill, fsck
+    from etl_ray.pipelines.replay import bootstrap_lake, read_table_arrow, replay
+
+    root = str(tmp_path / "lake" / "pages")
+    bootstrap_lake(root, small_wal["base"], num_partitions=8)
+    replay(root, small_wal["wal_dir"], max_segments_per_tx=2, merge_mode="delta")
+    oracle = replay_oracle(small_wal["base"], small_wal["segments"])
+
+    # 1. re-running the SAME extractor is a fixpoint
+    def reextract(tbl):
+        from etl_ray.extract import extract_text
+
+        import pyarrow as pa
+
+        return pa.array(
+            [extract_text(h) for h in tbl.column("html").to_pylist()], pa.string()
+        )
+
+    lin = backfill(root, "text", reextract)
+    assert lin["backfill"] == "text"
+    assert read_table_arrow(root).equals(oracle)
+    # chains folded by the rewrite
+    from etl_ray.state.manifest import LakeTable
+
+    m = LakeTable(root).read_manifest()
+    assert all(not p.get("deltas") for p in m["partitions"].values())
+    assert fsck(root)["mismatches"] == []
+
+    # 2. a NEW extractor version changes the column everywhere
+    def upper_text(tbl):
+        return pc.utf8_upper(tbl.column("text"))
+
+    backfill(root, "text", upper_text)
+    got = read_table_arrow(root)
+    exp_text = pc.utf8_upper(oracle.column("text"))
+    assert got.column("text").combine_chunks().equals(
+        exp_text.combine_chunks()
+    )
+    # identity columns untouched: everything but text still matches
+    assert got.drop_columns(["text"]).equals(oracle.drop_columns(["text"]))
+    assert fsck(root)["mismatches"] == []
+    # ledger untouched: replay remains a no-op
+    assert replay(root, small_wal["wal_dir"]).transactions == 0
