@@ -67,6 +67,11 @@ def main(argv: list[str] | None = None) -> int:
         "(O(changes) writes; fold chains with compact-deltas)",
     )
     r.add_argument("--follow", action="store_true", help="poll for new segments")
+    r.add_argument(
+        "--fold-chain-over", type=int, default=None,
+        help="with --follow --merge-mode delta: auto-fold any partition "
+        "whose delta chain exceeds N files after an applying poll",
+    )
     r.add_argument("--poll-interval", type=float, default=5.0)
     r.add_argument("--idle-exit-after", type=int, default=None,
                    help="exit after N idle polls (default: run forever)")
@@ -167,6 +172,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.lake, args.wal,
                 poll_interval=args.poll_interval,
                 idle_exit_after=args.idle_exit_after,
+                fold_chain_over=args.fold_chain_over,
                 **kw,
             )
         else:

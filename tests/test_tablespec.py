@@ -187,3 +187,45 @@ def test_custom_tablespec_delta_mode(ray_session, tmp_path):
     before = snapshot()
     assert compact_deltas(root, key="user_id", ts_col="ts") is not None
     assert snapshot() == before
+
+
+def test_replay_many_delta_mode(ray_session, small_wal, tmp_path):
+    """Two concurrent table streams both tailing in merge-on-read mode:
+    per-table manifests keep their chains independent, and each lake's
+    merged read matches its oracle."""
+    from etl_ray.oracle import replay_oracle
+    from etl_ray.pipelines.replay import (
+        StreamSpec,
+        bootstrap_lake,
+        read_table,
+        read_table_arrow,
+        replay_many,
+    )
+
+    users_spec = _users_spec()
+    users_wal = tmp_path / "users_wal_delta"
+    users_wal.mkdir()
+    _write_users_wal(users_wal)
+    users_root = str(tmp_path / "lakes" / "users")
+    bootstrap_lake(users_root, None, num_partitions=4, schema=users_spec.schema_v0)
+
+    pages_root = str(tmp_path / "lakes" / "pages")
+    bootstrap_lake(pages_root, small_wal["base"], num_partitions=8)
+
+    kw = dict(merge_mode="delta", max_segments_per_tx=2)
+    results = replay_many(
+        {
+            "pages": StreamSpec(pages_root, small_wal["wal_dir"], replay_kwargs=dict(kw)),
+            "users": StreamSpec(users_root, str(users_wal), spec=users_spec, replay_kwargs=dict(kw)),
+        }
+    )
+    assert all(s.transactions >= 1 for s in results.values())
+
+    oracle = replay_oracle(small_wal["base"], small_wal["segments"])
+    assert read_table_arrow(pages_root).equals(oracle)
+    users = sorted(
+        read_table(users_root, key="user_id", ts_col="ts").take_all(),
+        key=lambda r: r["user_id"],
+    )
+    assert [r["user_id"] for r in users] == ["u1", "u3"]
+    assert users[0]["score"] == 1.5
