@@ -80,6 +80,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # signatures are written at fixture build and DuckDB joins them)
         "minhash_pairs_docs": Q.minhash_pairs_docs,
         "simhash_groups_docs": Q.simhash_groups_docs,
+        # round-3 batch 2: window analytics, OLAP pivot/rollup, corpus
+        # vocabulary / repetition / inverted index
+        "user_event_analytics": Q.user_event_analytics,
+        "pivot_orders_status": Q.pivot_orders_status,
+        "rollup_customers_region_segment": Q.rollup_customers_region_segment,
+        "vocab_topk_docs": Q.vocab_topk_docs,
+        "repetition_docs": Q.repetition_docs,
+        "inverted_index_docs": Q.inverted_index_docs,
     }
 
 
@@ -565,6 +573,64 @@ def oracle_sql() -> dict[str, str]:
                    ELSE CAST(len(list_filter(ws_en, w -> list_contains(['the','and','of','to','a','in','is','that','it','for'], w))) AS DOUBLE) / len(ws_en)
               END AS stop_ratio_en
             FROM scores
+        """,
+        # round-3 batch 2 ------------------------------------------------
+        "user_event_analytics": """
+            SELECT event_id, user_id,
+                   row_number() OVER w AS rn,
+                   CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT) AS gap_us,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_cents
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "pivot_orders_status": """
+            SELECT c_mktsegment,
+                   count(*) FILTER (o_orderstatus = 'O') AS n_open,
+                   count(*) FILTER (o_orderstatus = 'F') AS n_filled,
+                   count(*) FILTER (o_orderstatus = 'P') AS n_partial,
+                   CAST(coalesce(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                        FILTER (o_orderstatus = 'O'), 0) AS BIGINT) AS open_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "rollup_customers_region_segment": """
+            SELECT r_name, c_mktsegment, count(*) AS n_customers,
+                   CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                       AS acctbal_cents
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP(r_name, c_mktsegment)
+        """,
+        "vocab_topk_docs": r"""
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) AS token
+              FROM documents)
+            SELECT token, count(*) AS n FROM toks
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
+        """,
+        "repetition_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) AS token
+              FROM documents),
+            cnt AS (SELECT doc_id, token, count(*) AS c FROM toks
+                    GROUP BY doc_id, token)
+            SELECT d.doc_id,
+                   CAST(coalesce(sum(c), 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(max(c), 0) AS BIGINT) AS top_token_n,
+                   CAST(count(cnt.doc_id) AS BIGINT) AS n_distinct
+            FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+            GROUP BY d.doc_id
+        """,
+        "inverted_index_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) AS token
+              FROM documents)
+            SELECT DISTINCT token, doc_id FROM toks
         """,
     }
 

@@ -1104,3 +1104,242 @@ def incremental_domain_stats(sf_dir: str):
 def _view_txid(view_root: str) -> str:
     with open(os.path.join(view_root, "VIEW.json")) as f:
         return json.load(f)["txid"]
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: analytic (window) functions, OLAP pivot/rollup,
+# corpus vocabulary / repetition / inverted index
+# ---------------------------------------------------------------------------
+
+
+def user_event_analytics(sf_dir: str):
+    """Per-user ordered window analytics (stages/analytic.py): row
+    number, gap to previous event, running spend — one bounded
+    hash-bucket shuffle, all window math vectorized inside buckets.
+    Money runs as integer cents so the running sum is exact (float
+    cumsums are engine-order-sensitive)."""
+    from ..stages.analytic import partitioned_analytics
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "value_cents": _cents(t["value"]),
+            }
+        )
+
+    out = partitioned_analytics(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key="user_id",
+        order_by=["ts", "event_id"],
+        lag_cols=["ts"],
+        cum_cols=["value_cents"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        gap = pc.subtract(
+            pc.cast(t["ts"], pa.int64()), pc.cast(t["ts_prev"], pa.int64())
+        )
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "rn": t["rn"],
+                "gap_us": gap,
+                "cum_value_cents": t["cum_value_cents"],
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def pivot_orders_status(sf_dir: str):
+    """Pivot (long -> wide): per-segment order counts by status plus open
+    revenue, as conditional aggregates.  Broadcast dim join + per-batch
+    partials, so the shuffle carries |segments| rows per block."""
+    cust = pa.concat_tables(
+        ray.get(
+            ray.data.read_parquet(
+                _p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+            ).to_arrow_refs()
+        )
+    )
+    seg_ref = ray.put(
+        (cust["c_custkey"].combine_chunks(), cust["c_mktsegment"].combine_chunks())
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, vals = ray.get(seg_ref)
+        pos = pc.index_in(t["o_custkey"], value_set=keys)
+        segs = pc.take(vals, pos)
+        status = t["o_orderstatus"]
+        cents = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        is_o = pc.equal(status, pa.scalar("O")).to_numpy(zero_copy_only=False)
+        is_f = pc.equal(status, pa.scalar("F")).to_numpy(zero_copy_only=False)
+        is_p = pc.equal(status, pa.scalar("P")).to_numpy(zero_copy_only=False)
+        tt = pa.table(
+            {
+                "c_mktsegment": segs,
+                "p_open": pa.array(is_o.astype(np.int64)),
+                "p_filled": pa.array(is_f.astype(np.int64)),
+                "p_partial": pa.array(is_p.astype(np.int64)),
+                "p_cents": pa.array(np.where(is_o, cents, 0)),
+            }
+        ).filter(pc.is_valid(segs))
+        return (
+            tt.group_by("c_mktsegment")
+            .aggregate(
+                [
+                    ("p_open", "sum"),
+                    ("p_filled", "sum"),
+                    ("p_partial", "sum"),
+                    ("p_cents", "sum"),
+                ]
+            )
+            .rename_columns(
+                ["c_mktsegment", "p_open", "p_filled", "p_partial", "p_cents"]
+            )
+        )
+
+    return (
+        ray.data.read_parquet(
+            _p(sf_dir, "orders"), columns=["o_custkey", "o_orderstatus", "o_totalprice"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("p_open", alias_name="n_open"),
+            Sum("p_filled", alias_name="n_filled"),
+            Sum("p_partial", alias_name="n_partial"),
+            Sum("p_cents", alias_name="open_cents"),
+        )
+    )
+
+
+def rollup_customers_region_segment(sf_dir: str):
+    """ROLLUP(region, segment) over customers: detail rows, per-region
+    subtotals, grand total (GROUPING SETS semantics, null = rolled-up
+    level).  The detail aggregate streams + shuffles distributed; the
+    subtotal derivation runs on the aggregate RESULT, which is bounded
+    by |regions| x |segments| — driver-side by design, not a scale
+    leak."""
+    nation = pa.concat_tables(
+        ray.get(ray.data.read_parquet(_p(sf_dir, "nation")).to_arrow_refs())
+    )
+    region = pa.concat_tables(
+        ray.get(ray.data.read_parquet(_p(sf_dir, "region")).to_arrow_refs())
+    )
+    rpos = pc.index_in(
+        nation["n_regionkey"], value_set=region["r_regionkey"].combine_chunks()
+    )
+    nref = ray.put(
+        (
+            nation["n_nationkey"].combine_chunks(),
+            pc.take(region["r_name"].combine_chunks(), rpos),
+        )
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys, vals = ray.get(nref)
+        pos = pc.index_in(t["c_nationkey"], value_set=keys)
+        return pa.table(
+            {
+                "r_name": pc.take(vals, pos),
+                "c_mktsegment": t["c_mktsegment"],
+                "bal_cents": _cents(t["c_acctbal"]),
+            }
+        )
+
+    detail = (
+        ray.data.read_parquet(
+            _p(sf_dir, "customer"),
+            columns=["c_nationkey", "c_mktsegment", "c_acctbal"],
+        )
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby(["r_name", "c_mktsegment"])
+        .aggregate(
+            Count(alias_name="n_customers"),
+            Sum("bal_cents", alias_name="acctbal_cents"),
+        )
+    )
+    # aggregate result is <= |regions| x |segments| rows: subtotal + total
+    # levels derive from it locally (same rows a ROLLUP exchange would move).
+    # Drop the executor's zero-column empty blocks before concat.
+    d = pa.concat_tables(
+        [t for t in ray.get(detail.to_arrow_refs()) if t.num_columns],
+        promote_options="default",
+    ).combine_chunks()
+    by_region = d.group_by("r_name").aggregate(
+        [("n_customers", "sum"), ("acctbal_cents", "sum")]
+    )
+    by_region = pa.table(
+        {
+            "r_name": by_region["r_name"],
+            "c_mktsegment": pa.nulls(by_region.num_rows, pa.string()),
+            "n_customers": by_region["n_customers_sum"],
+            "acctbal_cents": by_region["acctbal_cents_sum"],
+        }
+    )
+    total = pa.table(
+        {
+            "r_name": pa.nulls(1, pa.string()),
+            "c_mktsegment": pa.nulls(1, pa.string()),
+            "n_customers": pa.array(
+                [pc.sum(d["n_customers"]).as_py()], pa.int64()
+            ),
+            "acctbal_cents": pa.array(
+                [pc.sum(d["acctbal_cents"]).as_py()], pa.int64()
+            ),
+        }
+    )
+    return pa.concat_tables(
+        [d.select(["r_name", "c_mktsegment", "n_customers", "acctbal_cents"]),
+         by_region, total]
+    )
+
+
+def vocab_topk_docs(sf_dir: str):
+    """Corpus vocabulary: top-50 tokens by frequency.  Per-batch Counter
+    partials (stages/text.VocabPartials) bound the shuffle at
+    n_batches x batch_vocab rows; the global sum is a |vocab|-row
+    groupby, then a tiny sort+limit."""
+    from ..stages.text import VocabPartials
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+    return (
+        ds.map_batches(VocabPartials, batch_format="pyarrow", concurrency=(1, 8))
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "token"], descending=[True, False])
+        .limit(50)
+    )
+
+
+def repetition_docs(sf_dir: str):
+    """Within-doc repetition profile (Gopher-style boilerplate signals):
+    token totals, top-token count, distinct-token count per document."""
+    from ..stages.text import RepetitionProfiler
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(RepetitionProfiler, batch_format="pyarrow", concurrency=(1, 8))
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "n_tokens", "top_token_n", "n_distinct"]),
+        batch_format="pyarrow",
+    )
+
+
+def inverted_index_docs(sf_dir: str):
+    """Inverted-index postings: distinct (token, doc_id) pairs.  Per-doc
+    dedup inside the explode stage IS global dedup (docs are
+    row-disjoint), so the index needs no shuffle at all; consumers
+    groupby(token) at vocab-bounded cost."""
+    from ..stages.text import PostingLister
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(PostingLister, batch_format="pyarrow", concurrency=(1, 8))

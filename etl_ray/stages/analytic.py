@@ -1,0 +1,139 @@
+"""Partitioned analytic (window) functions: row_number, lag, cumulative
+sum per key — the per-entity ordered-history features every
+training-data / CDC pipeline wants (time-since-last-event, per-user
+cumulative spend, version counters).
+
+Reference analogue: the reference computes nothing like this (its only
+ordered op is a storage ORDER BY, `src/pipeline/core/client_clickhouse.py`
+table DDL in /root/reference); this is a target-added operator.
+
+Scale shape (same as stages/topk.py): shuffling on the raw key would
+dispatch Python once per DISTINCT key via ``map_groups`` — ruinous at
+10^8 users.  Instead rows shuffle on ``hash_bucket(key) % n_buckets``
+(bounded group count) and every window function inside a bucket is
+fully vectorized: one ``np.lexsort`` over (order keys, key codes), run
+boundaries by diff, positions / shifted values / segmented cumsum from
+the boundary arrays.  No per-key Python anywhere; one bounded shuffle.
+
+Determinism: ``order_by`` must be a total order within each key (append
+a unique id column as the final key).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .hashutil import hash_bucket
+
+
+def _sorted_runs(g: pa.Table, key: str, order_by: list[str]):
+    """lexsort rows by (key, *order_by); return (order, starts, run_id).
+
+    ``order`` is the row permutation; ``starts[run_id[i]]`` is the first
+    sorted position of row i's key-run.
+    """
+    n = g.num_rows
+    keys = []
+    for col in reversed(order_by):
+        keys.append(g[col].to_numpy(zero_copy_only=False))
+    # dense-code key values so strings sort cheaply and runs are contiguous
+    _, kcodes = np.unique(g[key].to_numpy(zero_copy_only=False), return_inverse=True)
+    order = np.lexsort(tuple(keys) + (kcodes,))
+    ksorted = kcodes[order]
+    boundary = np.flatnonzero(np.diff(ksorted)) + 1
+    starts = np.concatenate(([0], boundary))
+    run_id = np.zeros(n, np.int64)
+    run_id[starts[1:]] = 1
+    run_id = np.cumsum(run_id)
+    return order, starts, run_id
+
+
+def partitioned_analytics(
+    ds,
+    *,
+    key: str,
+    order_by: list[str],
+    lag_cols: list[str] | None = None,
+    lead_cols: list[str] | None = None,
+    cum_cols: list[str] | None = None,
+    n_buckets: int = 256,
+    rn_col: str = "rn",
+):
+    """Per-``key`` ordered analytics over a Dataset.
+
+    Adds, per input row:
+
+    * ``rn_col``: 1-based row number within the key, ordered by
+      ``order_by`` (ascending, total order required);
+    * ``<c>_prev`` for each ``lag_cols`` entry: the previous row's value
+      of ``c`` within the key (null on each key's first row) — numeric /
+      temporal columns;
+    * ``<c>_next`` for each ``lead_cols`` entry: the next row's value
+      within the key (null on each key's last row) — the SCD2
+      ``valid_to`` shape;
+    * ``cum_<c>`` for each ``cum_cols`` entry: running sum of ``c``
+      within the key up to and including this row.  Integer columns only
+      (int64 running sums are exact and engine-order-independent; float
+      cumsums are not comparable across engines — cast to cents first).
+    """
+    lag_cols = lag_cols or []
+    lead_cols = lead_cols or []
+    cum_cols = cum_cols or []
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("_abucket", hash_bucket(t[key], n_buckets))
+
+    def analyze(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_abucket"])
+        out_schema = g.schema.append(pa.field(rn_col, pa.int64()))
+        for c in lag_cols:
+            out_schema = out_schema.append(pa.field(f"{c}_prev", g.schema.field(c).type))
+        for c in lead_cols:
+            out_schema = out_schema.append(pa.field(f"{c}_next", g.schema.field(c).type))
+        for c in cum_cols:
+            out_schema = out_schema.append(pa.field(f"cum_{c}", pa.int64()))
+        n = g.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        order, starts, run_id = _sorted_runs(g, key, order_by)
+        pos = np.arange(n, dtype=np.int64) - starts[run_id]
+        # emit in sorted order (any order is fine for the caller; sorted
+        # keeps per-key rows adjacent for downstream consumers)
+        out = g.take(pa.array(order, pa.int64()))
+        out = out.append_column(rn_col, pa.array(pos + 1, pa.int64()))
+        is_first = pos == 0
+        for c in lag_cols:
+            field = g.schema.field(c)
+            v = out[c].combine_chunks()
+            prev = v.take(pa.array(np.maximum(np.arange(n) - 1, 0), pa.int64()))
+            mask = pa.array(is_first)
+            prev = pc.if_else(mask, pa.scalar(None, field.type), prev)
+            out = out.append_column(f"{c}_prev", prev)
+        if lead_cols:
+            # last row of each run = position before the next run's start
+            ends = np.concatenate((starts[1:], [n])) - 1
+            is_last = np.zeros(n, bool)
+            is_last[ends[run_id] == np.arange(n)] = True
+            for c in lead_cols:
+                field = g.schema.field(c)
+                v = out[c].combine_chunks()
+                nxt = v.take(pa.array(np.minimum(np.arange(n) + 1, n - 1), pa.int64()))
+                nxt = pc.if_else(pa.array(is_last), pa.scalar(None, field.type), nxt)
+                out = out.append_column(f"{c}_next", nxt)
+        for c in cum_cols:
+            v = out[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            csum = np.cumsum(v)
+            base = csum[starts] - v[starts]  # prefix sum before each run
+            out = out.append_column(
+                f"cum_{c}", pa.array(csum - base[run_id], pa.int64())
+            )
+        return out
+
+    analyze.__name__ = "partitioned_analytics"
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_abucket")
+        .map_groups(analyze, batch_format="pyarrow")
+    )

@@ -172,3 +172,94 @@ class Fingerprinter:
         md5s = pa.array([self.md5_norm(t) for t in texts], pa.string())
         rolls = pa.array([self.rolling_min(t) for t in texts], pa.int64())
         return batch.append_column("fp_md5", md5s).append_column("fp_roll", rolls)
+
+
+class VocabPartials:
+    """Per-batch token-count partials for corpus vocabulary building.
+
+    Emits one (token, n) row per DISTINCT token per batch — the combiner
+    half of a distributed word count.  The shuffle that follows moves at
+    most |batch_vocab| rows per batch regardless of batch token volume,
+    and the downstream ``groupby(token).sum`` sees bounded input
+    (n_batches x vocab), never the raw token stream.  Tokens are ASCII
+    whitespace runs (same class as TokenCounter, SQL-reproducible via
+    ``regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+')``)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.ws = re.compile(r"[^ \t\n\r\f\v]+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for t in batch.column(self.text_col).to_pylist():
+            counts.update(self.ws.findall(t or ""))
+        if not counts:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        toks, ns = zip(*counts.items())
+        return pa.table(
+            {"token": pa.array(toks, pa.string()), "n": pa.array(ns, pa.int64())}
+        )
+
+
+class RepetitionProfiler:
+    """Within-document repetition signals (Gopher-style quality filters):
+    total tokens, the most-frequent token's count, and the distinct-token
+    count per document.  High ``top_token_n / n_tokens`` or low
+    ``n_distinct / n_tokens`` flags boilerplate/spam for corpus
+    filtering.  Integer outputs only — ratios belong to the caller so the
+    SQL oracle compares exact int64s."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.ws = re.compile(r"[^ \t\n\r\f\v]+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        texts = batch.column(self.text_col).to_pylist()
+        n = len(texts)
+        n_tok = np.zeros(n, np.int64)
+        top_n = np.zeros(n, np.int64)
+        n_dis = np.zeros(n, np.int64)
+        for i, t in enumerate(texts):
+            c = Counter(self.ws.findall(t or ""))
+            if c:
+                n_tok[i] = sum(c.values())
+                top_n[i] = max(c.values())
+                n_dis[i] = len(c)
+        out = batch.append_column("n_tokens", pa.array(n_tok))
+        out = out.append_column("top_token_n", pa.array(top_n))
+        return out.append_column("n_distinct", pa.array(n_dis))
+
+
+class PostingLister:
+    """Inverted-index explode: one (token, doc_id) row per distinct token
+    per document.  Documents are row-disjoint across batches, so per-doc
+    dedup here IS global pair dedup — no shuffle needed for uniqueness.
+    Downstream consumers groupby(token) for posting lists / document
+    frequencies (bounded by vocab, not corpus size)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.ws = re.compile(r"[^ \t\n\r\f\v]+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        ids = batch.column(self.id_col).to_pylist()
+        out_tok: list[str] = []
+        out_id: list[int] = []
+        for i, t in zip(ids, texts):
+            toks = sorted(set(self.ws.findall(t or "")))
+            out_tok.extend(toks)
+            out_id.extend([i] * len(toks))
+        return pa.table(
+            {
+                "token": pa.array(out_tok, pa.string()),
+                "doc_id": pa.array(out_id, pa.int64()),
+            }
+        )

@@ -1,0 +1,113 @@
+"""stages/analytic.py: partitioned window functions (rn / lag / lead /
+segmented cumsum) — vectorized edges: single-row keys, null handling,
+string keys, bucket-boundary independence."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from etl_ray.stages.analytic import partitioned_analytics
+
+
+def _run(tbl, **kw):
+    ds = ray.data.from_arrow(tbl)
+    out = partitioned_analytics(ds, **kw)
+    t = pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")],
+        promote_options="default",
+    )
+    return t.to_pydict(), t
+
+
+def _by_row(d, id_col="id"):
+    cols = list(d)
+    return {d[id_col][i]: {c: d[c][i] for c in cols} for i in range(len(d[id_col]))}
+
+
+@pytest.fixture()
+def events_tbl():
+    # 3 users, interleaved arrival, deterministic values
+    return pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+            "user": pa.array([10, 20, 10, 10, 20, 30, 10], pa.int64()),
+            "ts": pa.array([5, 1, 2, 9, 4, 7, 2], pa.int64()),
+            "v": pa.array([100, 10, 200, 300, 20, 1, 400], pa.int64()),
+        }
+    )
+
+
+def test_rn_lag_lead_cumsum(ray_session, events_tbl):
+    d, _ = _run(
+        events_tbl,
+        key="user",
+        order_by=["ts", "id"],
+        lag_cols=["ts"],
+        lead_cols=["ts"],
+        cum_cols=["v"],
+    )
+    rows = _by_row(d)
+    # user 10 ordered by (ts, id): id3(ts2) < id7(ts2, higher id) < id1(ts5) < id4(ts9)
+    assert [rows[i]["rn"] for i in (3, 7, 1, 4)] == [1, 2, 3, 4]
+    assert rows[3]["ts_prev"] is None and rows[7]["ts_prev"] == 2
+    assert rows[1]["ts_prev"] == 2 and rows[4]["ts_prev"] == 5
+    assert rows[4]["ts_next"] is None and rows[1]["ts_next"] == 9
+    assert [rows[i]["cum_v"] for i in (3, 7, 1, 4)] == [200, 600, 700, 1000]
+    # single-row key: rn=1, null lag/lead, cum = own value
+    assert rows[6]["rn"] == 1 and rows[6]["ts_prev"] is None
+    assert rows[6]["ts_next"] is None and rows[6]["cum_v"] == 1
+
+
+def test_bucket_count_invariance(ray_session, events_tbl):
+    kw = dict(key="user", order_by=["ts", "id"], lag_cols=["ts"], cum_cols=["v"])
+    d1, _ = _run(events_tbl, n_buckets=1, **kw)
+    d2, _ = _run(events_tbl, n_buckets=64, **kw)
+    assert _by_row(d1) == _by_row(d2)
+
+
+def test_string_keys(ray_session):
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "url": pa.array(["a.com", "b.com", "a.com", "b.com"], pa.string()),
+            "ts": pa.array([4, 1, 2, 8], pa.int64()),
+            "v": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    d, _ = _run(tbl, key="url", order_by=["ts", "id"], cum_cols=["v"])
+    rows = _by_row(d)
+    assert rows[3]["rn"] == 1 and rows[1]["rn"] == 2
+    assert rows[1]["cum_v"] == 4  # 3 then 1
+    assert rows[2]["rn"] == 1 and rows[4]["rn"] == 2 and rows[4]["cum_v"] == 6
+
+
+def test_matches_numpy_reference(ray_session):
+    rng = np.random.default_rng(7)
+    n = 5000
+    tbl = pa.table(
+        {
+            "id": pa.array(np.arange(n), pa.int64()),
+            "user": pa.array(rng.integers(0, 97, n), pa.int64()),
+            "ts": pa.array(rng.integers(0, 1000, n), pa.int64()),
+            "v": pa.array(rng.integers(-50, 50, n), pa.int64()),
+        }
+    )
+    d, _ = _run(tbl, key="user", order_by=["ts", "id"], lag_cols=["v"], cum_cols=["v"])
+    rows = _by_row(d)
+    users = tbl["user"].to_numpy()
+    ts = tbl["ts"].to_numpy()
+    ids = tbl["id"].to_numpy()
+    vs = tbl["v"].to_numpy()
+    for u in (0, 13, 96):
+        member = np.flatnonzero(users == u)
+        order = member[np.lexsort((ids[member], ts[member]))]
+        run = 0
+        prev = None
+        for rn0, i in enumerate(order):
+            run += int(vs[i])
+            r = rows[int(ids[i])]
+            assert r["rn"] == rn0 + 1
+            assert r["cum_v"] == run
+            assert r["v_prev"] == prev
+            prev = int(vs[i])
