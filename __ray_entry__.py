@@ -88,6 +88,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk_docs": Q.vocab_topk_docs,
         "repetition_docs": Q.repetition_docs,
         "inverted_index_docs": Q.inverted_index_docs,
+        # SCD2 (type-2 history) from the CDC fixture — sf0.01-pinned
+        # oracle path like cdc_replay_pages
+        "scd2_history_pages": Q.scd2_history_pages,
+        # PII redaction over a deterministic PII-laced fixture (sf tables
+        # carry no PII-shaped content)
+        "pii_redact_docs": Q.pii_redact_docs,
     }
 
 
@@ -104,6 +110,7 @@ def oracle_sql() -> dict[str, str]:
     # only.  Run those queries at another sf via queries() directly; their
     # SQL here would compare against the wrong fixture.
     Q._media_fixture_path()
+    Q._pii_fixture_path()
     Q._cdc_fixture(*Q._CDC_SIZES["sf0.01"])
     truth = Q._dedup_truth_fixture("/root/testdata/sf0.01")
     return {
@@ -631,6 +638,42 @@ def oracle_sql() -> dict[str, str]:
                      unnest(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) AS token
               FROM documents)
             SELECT DISTINCT token, doc_id FROM toks
+        """,
+        # SCD2: every non-delete event is a version; the NEXT event (any
+        # op, deletes included) closes its validity window
+        "scd2_history_pages": """
+            WITH ev AS (
+              SELECT url, warc_ts, lsn, op, lang,
+                     lead(warc_ts) OVER (
+                       PARTITION BY url ORDER BY warc_ts, lsn) AS valid_to
+              FROM read_parquet('/tmp/etlray_cdc_1000_8000/data/oracle_events.parquet')
+            )
+            SELECT url, warc_ts AS valid_from, valid_to, lsn, lang,
+                   valid_to IS NULL AS is_current
+            FROM ev WHERE op <> 'delete'
+        """,
+        # redaction order mirrors the engine (emails first, then phones
+        # over the email-redacted text); ASCII-only patterns so Python re
+        # and RE2 agree byte-for-byte
+        "pii_redact_docs": r"""
+            WITH em AS (
+              SELECT doc_id, text,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS text_em
+              FROM read_parquet('/tmp/etlray_pii_400.parquet')
+            )
+            SELECT doc_id,
+                   regexp_replace(text_em,
+                     '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}',
+                     '<PHONE>', 'g') AS text_redacted,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text_em,
+                     '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}'))
+                     AS BIGINT) AS n_phones
+            FROM em
         """,
     }
 

@@ -1343,3 +1343,131 @@ def inverted_index_docs(sf_dir: str):
 
     ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     return ds.map_batches(PostingLister, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def scd2_history_pages(sf_dir: str):
+    """Type-2 slowly-changing-dimension history from the CDC stream: one
+    row per non-delete version of each url with its event-time validity
+    window ([valid_from, valid_to), valid_to null = open) and a current
+    flag.  Deletes emit no version row but CLOSE the previous version's
+    window.
+
+    The lead() that closes windows is ``stages/analytic.py``'s
+    partitioned lead — one bounded hash-bucket shuffle on url, windows
+    vectorized inside buckets; schema-evolution (v0 WAL segments lack
+    ``lang``) handled by the same unified-schema read the replay path
+    uses."""
+    import pyarrow.parquet as pq
+
+    from ..stages.analytic import partitioned_analytics
+    from ..state.schema_registry import conform, evolve
+    from .replay import list_segments
+
+    n_urls, n_events = _CDC_SIZES.get(os.path.basename(sf_dir.rstrip("/")), (300, 1500))
+    root = _cdc_fixture(n_urls, n_events)
+    data_dir = os.path.join(root, "data")
+    segs = list_segments(os.path.join(data_dir, "wal"))
+    uni = pq.read_schema(segs[0])
+    for s in segs[1:]:
+        uni = evolve(uni, pq.read_schema(s))
+
+    def wal_prep(t: pa.Table) -> pa.Table:
+        t = conform(t, uni)
+        return t.select(["url", "warc_ts", "lsn", "op", "lang"])
+
+    wal = ray.data.read_parquet(segs, schema=uni).map_batches(
+        wal_prep, batch_format="pyarrow"
+    )
+
+    def base_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t["url"],
+                "warc_ts": t["warc_ts"],
+                "lsn": pa.array(np.zeros(t.num_rows, np.int64)),
+                "op": pa.array(["insert"] * t.num_rows, pa.string()),
+                "lang": t["lang"],
+            }
+        )
+
+    base = ray.data.read_parquet(
+        os.path.join(data_dir, "base", "pages.parquet"),
+        columns=["url", "warc_ts", "lang"],
+    ).map_batches(base_prep, batch_format="pyarrow")
+
+    ev = partitioned_analytics(
+        base.union(wal),
+        key="url",
+        order_by=["warc_ts", "lsn"],
+        lead_cols=["warc_ts"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["op"], pa.scalar("delete")))
+        return pa.table(
+            {
+                "url": t["url"],
+                "valid_from": t["warc_ts"],
+                "valid_to": t["warc_ts_next"],
+                "lsn": t["lsn"],
+                "lang": t["lang"],
+                "is_current": pc.is_null(t["warc_ts_next"]),
+            }
+        )
+
+    return ev.map_batches(finish, batch_format="pyarrow")
+
+
+def _pii_fixture_path() -> str:
+    """Deterministic PII-laced document fixture, shared by the Ray
+    pipeline and the DuckDB oracle (the sf tables carry no PII-shaped
+    content, so redaction over them would be a no-op non-test)."""
+    import random
+
+    import pyarrow.parquet as pq
+
+    path = "/tmp/etlray_pii_400.parquet"
+    if not os.path.exists(path):
+        rng = random.Random(12345)
+        words = [
+            "alpha", "beta", "gamma", "delta", "omega", "sigma",
+            "row", "scan", "merge", "batch", "table", "key",
+        ]
+        ids, texts = [], []
+        for i in range(400):
+            toks = [words[rng.randrange(len(words))] for _ in range(rng.randrange(5, 40))]
+            if i % 2 == 0:
+                toks.insert(
+                    rng.randrange(len(toks)),
+                    f"user{i}@example{i % 7}.com",
+                )
+            if i % 3 == 0:
+                toks.insert(
+                    rng.randrange(len(toks)),
+                    f"+1 555-{100 + i % 900:03d}-{1000 + i * 7 % 9000:04d}"
+                    if i % 6 == 0
+                    else f"555-{100 + i % 900:03d}-{1000 + i * 7 % 9000:04d}",
+                )
+            ids.append(i)
+            texts.append(" ".join(toks))
+        tbl = pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())}
+        )
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def pii_redact_docs(sf_dir: str):
+    """PII redaction over the deterministic fixture: actor-pool regex
+    scrub (stages/text.PiiRedactor), byte-identical to the oracle's
+    nested regexp_replace."""
+    from ..stages.text import PiiRedactor
+
+    ds = ray.data.read_parquet(_pii_fixture_path())
+    out = ds.map_batches(PiiRedactor, batch_format="pyarrow", concurrency=(1, 8))
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "text_redacted", "n_emails", "n_phones"]),
+        batch_format="pyarrow",
+    )

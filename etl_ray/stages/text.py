@@ -263,3 +263,37 @@ class PostingLister:
                 "doc_id": pa.array(out_id, pa.int64()),
             }
         )
+
+
+class PiiRedactor:
+    """Regex PII scrubbing: replace emails / phone numbers with typed
+    placeholder tags and count the hits per document — the standard
+    pre-training privacy pass.  Patterns are restricted to ASCII
+    constructs that behave identically in Python ``re`` and DuckDB's RE2
+    (no ``\\w``/``\\d``/``\\b``, which differ in Unicode mode), so a SQL
+    oracle reproduces the redaction byte-for-byte.  Compiled once per
+    actor; order is fixed (emails first, then phones) and mirrored by
+    the oracle's nested regexp_replace."""
+
+    EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    PHONE = r"\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.email = re.compile(self.EMAIL)
+        self.phone = re.compile(self.PHONE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        n = len(texts)
+        n_em = np.zeros(n, np.int64)
+        n_ph = np.zeros(n, np.int64)
+        red = []
+        for i, t in enumerate(texts):
+            t = t or ""
+            t, n_em[i] = self.email.subn("<EMAIL>", t)
+            t, n_ph[i] = self.phone.subn("<PHONE>", t)
+            red.append(t)
+        out = batch.append_column("text_redacted", pa.array(red, pa.string()))
+        out = out.append_column("n_emails", pa.array(n_em))
+        return out.append_column("n_phones", pa.array(n_ph))

@@ -61,6 +61,7 @@ def test_oracle_queries_match_duckdb(entrymod, con):
                 "incremental_domain_stats",
                 "minhash_pairs_docs",
                 "simhash_groups_docs",
+                "scd2_history_pages",
             )
             else SF
         )

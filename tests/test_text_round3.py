@@ -1,0 +1,62 @@
+"""Round-3 text stages: vocabulary partials, repetition profile,
+posting lists, PII redaction."""
+
+import pyarrow as pa
+
+from etl_ray.stages.text import (
+    PiiRedactor,
+    PostingLister,
+    RepetitionProfiler,
+    VocabPartials,
+)
+
+
+def _docs(*texts):
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(list(texts), pa.string()),
+        }
+    )
+
+
+def test_vocab_partials_counts_batch_tokens():
+    out = VocabPartials()(_docs("a b a", "b\tc", None, "")).to_pydict()
+    got = dict(zip(out["token"], out["n"]))
+    assert got == {"a": 2, "b": 2, "c": 1}
+
+
+def test_vocab_partials_empty_batch_typed():
+    out = VocabPartials()(_docs())
+    assert out.schema.names == ["token", "n"]
+    assert out.num_rows == 0
+
+
+def test_repetition_profiler():
+    out = RepetitionProfiler()(_docs("x x x y", "", None, "a b c")).to_pydict()
+    assert out["n_tokens"] == [4, 0, 0, 3]
+    assert out["top_token_n"] == [3, 0, 0, 1]
+    assert out["n_distinct"] == [2, 0, 0, 3]
+
+
+def test_posting_lister_dedups_within_doc():
+    out = PostingLister()(_docs("b a b a", "a")).to_pydict()
+    pairs = set(zip(out["token"], out["doc_id"]))
+    assert pairs == {("a", 0), ("b", 0), ("a", 1)}
+
+
+def test_pii_redactor_counts_and_text():
+    t = _docs(
+        "mail me at jane.doe+x@corp.example.org now",
+        "call 555-123-4567 or +1 555-765-4321 x",
+        "clean text",
+        None,
+    )
+    out = PiiRedactor()(t).to_pydict()
+    assert out["n_emails"] == [1, 0, 0, 0]
+    # "+1 555-765-4321": the +1 prefix is not part of the match (the
+    # pattern wants 3 digits right after the optional +)
+    assert out["n_phones"] == [0, 2, 0, 0]
+    assert out["text_redacted"][0] == "mail me at <EMAIL> now"
+    assert out["text_redacted"][1] == "call <PHONE> or +1 <PHONE> x"
+    assert out["text_redacted"][3] == ""
