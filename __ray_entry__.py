@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PII redaction over a deterministic PII-laced fixture (sf tables
         # carry no PII-shaped content)
         "pii_redact_docs": Q.pii_redact_docs,
+        "left_join_customer_order_counts": Q.left_join_customer_order_counts,
+        "tfidf_docs": Q.tfidf_docs,
     }
 
 
@@ -674,6 +676,24 @@ def oracle_sql() -> dict[str, str]:
                      '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}'))
                      AS BIGINT) AS n_phones
             FROM em
+        """,
+        "left_join_customer_order_counts": """
+            SELECT c_custkey, c_name,
+                   CAST(count(o_orderkey) AS BIGINT) AS n_orders
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey, c_name
+        """,
+        "tfidf_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) AS token
+              FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS c FROM toks
+                   GROUP BY doc_id, token),
+            df AS (SELECT token, count(*) AS d FROM tf GROUP BY token)
+            SELECT tf.doc_id, tf.token,
+                   CAST(tf.c AS BIGINT) AS tf, CAST(df.d AS BIGINT) AS df
+            FROM tf JOIN df USING (token)
         """,
     }
 

@@ -1471,3 +1471,62 @@ def pii_redact_docs(sf_dir: str):
         lambda t: t.select(["doc_id", "text_redacted", "n_emails", "n_phones"]),
         batch_format="pyarrow",
     )
+
+
+def left_join_customer_order_counts(sf_dir: str):
+    """LEFT OUTER join via Ray's native hash-partitioned Dataset.join:
+    per-customer order count INCLUDING zero-order customers (the rows an
+    inner join drops).  The fact side pre-aggregates to one row per
+    custkey before the join, so the exchange moves |customers| rows, not
+    |orders|."""
+    counts = (
+        ray.data.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="cnt"))
+    )
+    cust = ray.data.read_parquet(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_name"]
+    )
+    joined = cust.join(
+        counts, "left_outer", num_partitions=16,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_name": t["c_name"],
+                "n_orders": pc.coalesce(t["cnt"], pa.scalar(0, pa.int64())),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def tfidf_docs(sf_dir: str):
+    """TF-IDF scaffold with exact integer comparison: per (doc, token)
+    term frequency joined with the token's document frequency via a
+    hash-partitioned Dataset.join — idf itself is ``ln(N/df)``, left to
+    the consumer because float logs differ in the last ulp across
+    engines.  Both sides stream; the df side is vocab-bounded."""
+    from ..stages.text import PostingLister, TermCounter
+
+    tf = ray.data.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "text"]
+    ).map_batches(TermCounter, batch_format="pyarrow", concurrency=(1, 8))
+    # df from its own streaming pass over the source (classic two-pass
+    # TF-IDF): re-reading beats pinning the full doc-term table in the
+    # object store or re-executing the actor pool for two consumers
+    df = (
+        ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+        .map_batches(PostingLister, batch_format="pyarrow", concurrency=(1, 8))
+        .groupby("token")
+        .aggregate(Count(alias_name="df"))
+    )
+    joined = tf.join(
+        df, "inner", num_partitions=8, on=("token",), right_on=("token",),
+        right_suffix="_r",
+    )
+    cols = ["doc_id", "token", "tf", "df"]
+    return joined.map_batches(lambda t: t.select(cols), batch_format="pyarrow")

@@ -297,3 +297,37 @@ class PiiRedactor:
         out = batch.append_column("text_redacted", pa.array(red, pa.string()))
         out = out.append_column("n_emails", pa.array(n_em))
         return out.append_column("n_phones", pa.array(n_ph))
+
+
+class TermCounter:
+    """Term-frequency explode: one (doc_id, token, tf) row per distinct
+    token per document — the TF side of TF-IDF.  Join against the
+    document-frequency aggregate (``groupby(token).count()`` over these
+    rows, vocab-bounded) for full doc-term scoring; both sides stay
+    distributed (Dataset.join on token), no driver materialization."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.ws = re.compile(r"[^ \t\n\r\f\v]+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        texts = batch.column(self.text_col).to_pylist()
+        ids = batch.column(self.id_col).to_pylist()
+        out_id: list[int] = []
+        out_tok: list[str] = []
+        out_tf: list[int] = []
+        for i, t in zip(ids, texts):
+            for tok, c in sorted(Counter(self.ws.findall(t or "")).items()):
+                out_id.append(i)
+                out_tok.append(tok)
+                out_tf.append(c)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "token": pa.array(out_tok, pa.string()),
+                "tf": pa.array(out_tf, pa.int64()),
+            }
+        )

@@ -60,3 +60,32 @@ def test_pii_redactor_counts_and_text():
     assert out["text_redacted"][0] == "mail me at <EMAIL> now"
     assert out["text_redacted"][1] == "call <PHONE> or +1 <PHONE> x"
     assert out["text_redacted"][3] == ""
+
+
+def test_term_counter_tf_per_doc_token():
+    from etl_ray.stages.text import TermCounter
+
+    t = TermCounter()(_docs("a b a c", "b b"))
+    got = {
+        (i, tok): tf
+        for i, tok, tf in zip(
+            t["doc_id"].to_pylist(), t["token"].to_pylist(), t["tf"].to_pylist()
+        )
+    }
+    assert got == {(0, "a"): 2, (0, "b"): 1, (0, "c"): 1, (1, "b"): 2}
+
+
+def test_term_counter_empty_and_null_text_typed():
+    from etl_ray.stages.text import TermCounter
+
+    t = TermCounter()(
+        pa.table(
+            {
+                "doc_id": pa.array([7, 8], pa.int64()),
+                "text": pa.array(["", None], pa.string()),
+            }
+        )
+    )
+    assert t.num_rows == 0
+    assert t.schema.field("token").type == pa.string()
+    assert t.schema.field("tf").type == pa.int64()
