@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # carry no PII-shaped content)
         "pii_redact_docs": Q.pii_redact_docs,
         "left_join_customer_order_counts": Q.left_join_customer_order_counts,
+        "full_outer_join_daily_activity": Q.full_outer_join_daily_activity,
         "tfidf_docs": Q.tfidf_docs,
     }
 
@@ -682,6 +683,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(o_orderkey) AS BIGINT) AS n_orders
             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
             GROUP BY c_custkey, c_name
+        """,
+        "full_outer_join_daily_activity": """
+            WITH e AS (SELECT date_trunc('day', ts) AS d,
+                              count(*) AS n_events
+                       FROM events GROUP BY 1),
+                 o AS (SELECT date_trunc('day', o_orderdate) AS d,
+                              count(*) AS n_orders
+                       FROM orders GROUP BY 1)
+            SELECT coalesce(e.d, o.d) AS d,
+                   CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+                   CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders
+            FROM e FULL JOIN o ON e.d = o.d
         """,
         "tfidf_docs": r"""
             WITH toks AS (

@@ -1530,3 +1530,54 @@ def tfidf_docs(sf_dir: str):
     )
     cols = ["doc_id", "token", "tf", "df"]
     return joined.map_batches(lambda t: t.select(cols), batch_format="pyarrow")
+
+
+def full_outer_join_daily_activity(sf_dir: str):
+    """FULL OUTER join via Ray's native hash-partitioned Dataset.join:
+    per-calendar-day event count vs order count, keeping days present on
+    either side only (both null directions are exercised — event days and
+    order days barely overlap in the fixture).  Both sides pre-aggregate
+    to one row per day before the exchange, so the join moves |days|
+    rows, not |facts|."""
+    ev = (
+        ray.data.read_parquet(_p(sf_dir, "events"), columns=["ts"])
+        .map_batches(
+            lambda t: pa.table({"d": pc.floor_temporal(t["ts"], unit="day")}),
+            batch_format="pyarrow",
+        )
+        .groupby("d")
+        .aggregate(Count(alias_name="n_events"))
+    )
+    od = (
+        ray.data.read_parquet(_p(sf_dir, "orders"), columns=["o_orderdate"])
+        .map_batches(
+            lambda t: pa.table(
+                {"d": pc.floor_temporal(t["o_orderdate"], unit="day")}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("d")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+    joined = ev.join(
+        od, "full_outer", num_partitions=8,
+        on=("d",), right_on=("d",), right_suffix="_r",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # Ray's full_outer coalesces same-named key columns itself; only
+        # the count columns need their null sides zeroed.  floor_temporal
+        # yields timestamp[s] — cast back to us to match the source grain.
+        zero = pa.scalar(0, pa.int64())
+        d = t["d"]
+        if "d_r" in t.column_names:  # future Ray versions may keep both
+            d = pc.coalesce(d, t["d_r"])
+        return pa.table(
+            {
+                "d": d.cast(pa.timestamp("us")),
+                "n_events": pc.coalesce(t["n_events"], zero),
+                "n_orders": pc.coalesce(t["n_orders"], zero),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
