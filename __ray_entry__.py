@@ -96,6 +96,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact_docs": Q.pii_redact_docs,
         "left_join_customer_order_counts": Q.left_join_customer_order_counts,
         "full_outer_join_daily_activity": Q.full_outer_join_daily_activity,
+        # dead-letter queue: malformed events quarantined exactly-once
+        # alongside the replay transaction (stages/validate.py)
+        "dlq_quarantine_pages": Q.dlq_quarantine_pages,
         "tfidf_docs": Q.tfidf_docs,
     }
 
@@ -115,6 +118,7 @@ def oracle_sql() -> dict[str, str]:
     Q._media_fixture_path()
     Q._pii_fixture_path()
     Q._cdc_fixture(*Q._CDC_SIZES["sf0.01"])
+    dlq_root = Q._dlq_fixture()
     truth = Q._dedup_truth_fixture("/root/testdata/sf0.01")
     return {
         "q1_pricing_summary": """
@@ -683,6 +687,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(o_orderkey) AS BIGINT) AS n_orders
             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
             GROUP BY c_custkey, c_name
+        """,
+        "dlq_quarantine_pages": f"""
+            SELECT lsn,
+                   CASE WHEN url IS NULL THEN 'null_key'
+                        WHEN warc_ts IS NULL THEN 'null_ts'
+                        WHEN op IS NULL
+                             OR op NOT IN ('insert','update','delete')
+                             THEN 'bad_op'
+                   END AS reason
+            FROM read_parquet('{dlq_root}/wal/segment-dirty-00001.parquet')
+            WHERE url IS NULL OR warc_ts IS NULL
+               OR op IS NULL OR op NOT IN ('insert','update','delete')
         """,
         "full_outer_join_daily_activity": """
             WITH e AS (SELECT date_trunc('day', ts) AS d,

@@ -26,6 +26,11 @@ class TableSpec:
     schema_v0: pa.Schema
     normalize: Callable[[pa.Table], pa.Table] | None = None  # batch fn
     derive_text: bool = True      # run extract_text(html) on merge winners
+    # optional custom event classifier for dead-letter routing: batch ->
+    # string array (reason per row, null = valid).  None = built-in rules
+    # (null key, null ts, op outside insert/update/delete) —
+    # stages/validate.event_reasons
+    validate: Callable[[pa.Table], pa.Array] | None = None
 
 
 REGISTRY: dict[str, TableSpec] = {}

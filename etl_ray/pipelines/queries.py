@@ -1581,3 +1581,77 @@ def full_outer_join_daily_activity(sf_dir: str):
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def _dlq_fixture() -> str:
+    """Deterministic dirty-WAL fixture: one segment of 200 change events,
+    ~1/4 malformed (null key / null ts / unknown op, round-robin).  The
+    same file is both the engine input and the DuckDB oracle source, so
+    the quarantine classification is externally checkable.  Atomic
+    publish; fixed size at every sf (quarantine volume is a property of
+    the feed, not the corpus)."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..gen import WAL_SCHEMA_V0, make_html
+
+    root = os.path.join(tempfile.gettempdir(), "etlray_dlqwal_v1")
+    seg = os.path.join(root, "wal", "segment-dirty-00001.parquet")
+    if not os.path.exists(seg):
+        tmp_root = f"{root}.tmp.{os.getpid()}"
+        os.makedirs(os.path.join(tmp_root, "wal"), exist_ok=True)
+        n = 200
+        lsn = np.arange(1_000_001, 1_000_001 + n, dtype=np.int64)
+        ops, urls, tss, htmls = [], [], [], []
+        base_ts = 1_700_000_000_000_000
+        for i in range(n):
+            u = f"https://dirty.example.com/p/{i % 40}"
+            kind = i % 8
+            if kind == 1:
+                urls.append(None); ops.append("insert"); tss.append(base_ts + i)
+            elif kind == 3:
+                urls.append(u); ops.append("update"); tss.append(None)
+            elif kind == 5:
+                urls.append(u); ops.append("frobnicate"); tss.append(base_ts + i)
+            else:
+                urls.append(u)
+                ops.append("insert" if i % 2 == 0 else "update")
+                tss.append(base_ts + i)
+            htmls.append(make_html(u, 1 + i % 3))
+        tbl = pa.table(
+            {
+                "lsn": pa.array(lsn, pa.int64()),
+                "op": pa.array(ops, pa.string()),
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.timestamp("us")),
+                "html": pa.array(htmls, pa.binary()),
+            },
+            schema=WAL_SCHEMA_V0,
+        )
+        pq.write_table(tbl, os.path.join(tmp_root, "wal", "segment-dirty-00001.parquet"))
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp_root, ignore_errors=True)
+    return root
+
+
+def dlq_quarantine_pages(sf_dir: str):
+    """Dead-letter queue end-to-end: replay a dirty WAL segment into a
+    fresh lake — malformed events (null key / null ts / unknown op) are
+    quarantined atomically with the committing transaction while valid
+    events apply — then return the committed quarantine (lsn, reason).
+    Oracle: the same classification in SQL over the same segment file.
+    Fixed-size fixture at every sf (see _dlq_fixture)."""
+    from .replay import bootstrap_lake, read_dlq, replay
+
+    root = _dlq_fixture()
+    lake_root = os.path.join(root, "lake", f"q{os.getpid()}", "pages")
+    bootstrap_lake(lake_root, None, num_partitions=8)
+    replay(lake_root, os.path.join(root, "wal"))
+    dlq = read_dlq(lake_root)
+    return dlq.select(["lsn", "reason"])

@@ -259,6 +259,24 @@ def _make_combiner(
             dup = (idx >= 0) & (lsn <= his[np.maximum(idx, 0)])
             if dup.any():
                 batch = batch.filter(pa.array(~dup))
+        # dead-letter classification BEFORE normalize/partition: malformed
+        # rows (null key/ts, unknown op) would crash the key hash or
+        # corrupt the LWW reduce.  They keep riding THIS pipeline — tagged
+        # with a reason, routed by lsn instead of key — so quarantining
+        # costs no second pass over the WAL (stages/validate.py).
+        from ..stages.validate import DLQ_COL, event_reasons
+
+        reasons = (
+            spec.validate(batch)
+            if spec.validate is not None
+            else event_reasons(batch, spec.key, spec.ts_col)
+        )
+        bad = None
+        bad_mask = pc.is_valid(reasons)
+        if pc.any(bad_mask).as_py():
+            bad = batch.filter(bad_mask)
+            bad_reasons = reasons.filter(bad_mask)
+            batch = batch.filter(pc.invert(bad_mask))
         if spec.normalize is not None:
             batch = spec.normalize(batch)
         # conform to the unified WAL schema (null-fills columns absent in
@@ -270,6 +288,27 @@ def _make_combiner(
             # post-shuffle row count by the number of batches, shrinking
             # both the shuffle and hot-key groups (SURVEY.md §4 skew row)
             batch = lww_compact(batch, spec.key, order_by=(spec.ts_col, "lsn"))
+        batch = batch.append_column(
+            DLQ_COL, pa.nulls(batch.num_rows, pa.string())
+        )
+        if bad is not None:
+            import numpy as np
+
+            bad = conform(bad, unified)
+            # key may be null: route quarantined rows by lsn, not key hash
+            lsn = bad.column("lsn").to_numpy(zero_copy_only=False)
+            bad = bad.append_column(
+                "pid",
+                pa.array((lsn % num_partitions).astype(np.int32), pa.int32()),
+            )
+            if salt > 1:
+                bad = bad.append_column(
+                    "salt", pa.array((lsn % salt).astype(np.int32), pa.int32())
+                )
+            bad = bad.append_column(DLQ_COL, bad_reasons)
+            batch = pa.concat_tables(
+                [batch, bad.select(batch.column_names)]
+            )
         return batch
 
     return combiner
@@ -722,3 +761,20 @@ def read_table_arrow(lake_root: str, at_txid: str | None = None) -> pa.Table:
         return schema.empty_table()
     out = pa.concat_tables([conform(b, schema) for b in batches])
     return out.take(pc.sort_indices(out, sort_keys=[("url", "ascending")]))
+
+
+def read_dlq(lake_root: str) -> pa.Table:
+    """Quarantined (dead-letter) change events across all transactions:
+    raw WAL columns + ``reason`` (stages/validate.py), sorted by lsn.
+    Committed atomically with the transaction that rejected them, so the
+    DLQ is exactly-once too (a redelivered segment never re-quarantines).
+    Driver-local table read — DLQ volume is O(malformed rows); for a
+    pathological feed wrap the file list in ``ray.data.read_parquet``."""
+    lake = LakeTable(lake_root)
+    files = lake.dlq_files()
+    if not files:
+        return pa.schema([("reason", pa.string()), ("lsn", pa.int64())]).empty_table()
+    out = pa.concat_tables(
+        [pq.read_table(f) for f in files], promote_options="default"
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("lsn", "ascending")]))

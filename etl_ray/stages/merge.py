@@ -48,6 +48,15 @@ def lww_compact(
     """
     if tbl.num_rows == 0:
         return tbl
+    if "_dlq_reason" in tbl.column_names:
+        # quarantined rows (null key / null ts) must never participate in
+        # the key reduce — pass them through untouched (stages/validate.py)
+        mask = pc.is_valid(tbl.column("_dlq_reason"))
+        if pc.any(mask).as_py():
+            good = lww_compact(
+                tbl.filter(pc.invert(mask)), key, order_by=order_by
+            )
+            return pa.concat_tables([good, tbl.filter(mask)])
     codes = (
         pc.dictionary_encode(tbl.column(key).combine_chunks())
         .indices.to_numpy(zero_copy_only=False)
@@ -181,6 +190,25 @@ class MergePartition:
         changes = group.drop_columns(
             [c for c in ("pid", "salt") if c in group.column_names]
         )
+        # quarantine split FIRST: malformed rows (null key/ts, bad op) are
+        # staged to the partition's DLQ file and excluded from the merge
+        from .validate import split_dlq
+
+        changes, dlq = split_dlq(changes)
+        dlq_rows = 0
+        if dlq is not None:
+            dlq = dlq.rename_columns(
+                [
+                    "reason" if c == "_dlq_reason" else c
+                    for c in dlq.column_names
+                ]
+            )
+            dlq_path = os.path.join(
+                self.lake_root, "staging", self.txid, f"dlq-{pid:05d}.parquet"
+            )
+            os.makedirs(os.path.dirname(dlq_path), exist_ok=True)
+            pq.write_table(dlq, dlq_path)  # deterministic path: retry-safe
+            dlq_rows = dlq.num_rows
         changes = lww_compact(changes, self.key, order_by=(self.ts_col, "lsn"))
 
         ops = changes.column("op")
@@ -252,6 +280,7 @@ class MergePartition:
                 "events_applied": pa.array([int(len(ev_lsn))], pa.int64()),
                 "lsn_lo_applied": pa.array([int(ev_lsn.min()) if len(ev_lsn) else 0], pa.int64()),
                 "lsn_hi_applied": pa.array([int(ev_lsn.max()) if len(ev_lsn) else 0], pa.int64()),
+                "dlq_rows": pa.array([dlq_rows], pa.int64()),
             }
         )
 

@@ -1,0 +1,78 @@
+"""Change-event validation → dead-letter routing (DLQ).
+
+Real CDC feeds carry garbage: op codes outside the insert/update/delete
+vocabulary, null upsert keys, null ordering timestamps.  The reference
+has no quarantine at all — a malformed row either crashes the batch or
+silently corrupts the upsert (its normalize projections assume clean
+topics, `src/pipeline/core/client_clickhouse.py:39-58` in
+/root/reference).  Here malformed events are classified VECTORIZED in
+the replay combiner, ride the SAME pid shuffle as valid events (no
+second read pass over the WAL), and are staged per partition by the
+merge task, then committed atomically into the table's quarantine area
+(``dlq/``) with per-transaction lineage counts.  Exactly-once applies
+to the DLQ too: a redelivered segment is skipped at file/LSN level, so
+quarantined rows are never duplicated.
+
+``event_reasons`` returns one string per row — a reason code for
+malformed rows, null for valid ones.  First matching rule wins; rules
+are Arrow-kernel evaluations, no Python per row.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+ALLOWED_OPS = ("insert", "update", "delete")
+
+#: marker column carried through the shuffle; null == valid row
+DLQ_COL = "_dlq_reason"
+
+
+def event_reasons(
+    batch: pa.Table,
+    key: str,
+    ts_col: str,
+    allowed_ops: tuple[str, ...] = ALLOWED_OPS,
+) -> pa.Array:
+    """Classify each WAL event: null = valid, else a reason code.
+
+    Rules (first match wins):
+      * ``null_key`` — upsert key is null (row cannot be partitioned)
+      * ``null_ts``  — LWW ordering column is null (row cannot be ordered)
+      * ``bad_op``   — op outside the insert/update/delete vocabulary
+    """
+    n = batch.num_rows
+    reason = pa.nulls(n, pa.string())
+    if "op" in batch.column_names:
+        op = batch.column("op")
+        bad_op = pc.invert(
+            pc.fill_null(pc.is_in(op, value_set=pa.array(allowed_ops)), False)
+        )
+        reason = pc.if_else(bad_op, pa.scalar("bad_op", pa.string()), reason)
+    if ts_col in batch.column_names:
+        reason = pc.if_else(
+            pc.is_null(batch.column(ts_col)),
+            pa.scalar("null_ts", pa.string()),
+            reason,
+        )
+    if key in batch.column_names:
+        reason = pc.if_else(
+            pc.is_null(batch.column(key)),
+            pa.scalar("null_key", pa.string()),
+            reason,
+        )
+    return reason.combine_chunks() if isinstance(reason, pa.ChunkedArray) else reason
+
+
+def split_dlq(tbl: pa.Table) -> tuple[pa.Table, pa.Table]:
+    """Split a shuffled group into (valid, quarantined) rows on the
+    ``_dlq_reason`` marker.  Tables without the marker are all-valid."""
+    if DLQ_COL not in tbl.column_names:
+        return tbl, None
+    mask = pc.is_valid(tbl.column(DLQ_COL))
+    if not pc.any(mask).as_py():
+        return tbl.drop_columns([DLQ_COL]), None
+    bad = tbl.filter(mask)
+    good = tbl.filter(pc.invert(mask)).drop_columns([DLQ_COL])
+    return good, bad

@@ -63,6 +63,7 @@ class LakeTable:
     def __init__(self, root: str, num_partitions: int = 32):
         self.root = root
         self.parts_dir = os.path.join(root, "parts")
+        self.dlq_dir = os.path.join(root, "dlq")
         self.staging_root = os.path.join(root, "staging")
         self.manifests_dir = os.path.join(root, "manifests")
         self.manifest_path = os.path.join(root, "MANIFEST.json")
@@ -122,6 +123,14 @@ class LakeTable:
 
     def staging_path(self, txid: str, pid: int) -> str:
         return os.path.join(self.staging_root, txid, f"part-{pid:05d}.parquet")
+
+    def dlq_staging_path(self, txid: str, pid: int) -> str:
+        return os.path.join(self.staging_root, txid, f"dlq-{pid:05d}.parquet")
+
+    def dlq_files(self, manifest: dict | None = None) -> list[str]:
+        """Absolute paths of all committed quarantine (DLQ) files."""
+        m = manifest or self.read_manifest()
+        return [os.path.join(self.root, e["file"]) for e in m.get("dlq", [])]
 
     def commit(
         self,
@@ -190,6 +199,25 @@ class LakeTable:
             else:
                 partitions[str(pid)] = entry
             promoted.append(rel)
+
+        # promote staged quarantine (DLQ) files: malformed events rode the
+        # same shuffle as valid ones and were staged by the merge tasks;
+        # publishing them is part of the SAME atomic transaction (crash
+        # before the manifest swap leaves no committed DLQ entry)
+        dlq_entries = list(m.get("dlq", []))
+        for res in partition_results:
+            if int(res.get("dlq_rows", 0)) <= 0:
+                continue
+            pid = int(res["pid"])
+            src = self.dlq_staging_path(txid, pid)
+            rel = os.path.join("dlq", f"dlq-{pid:05d}-{txid}.parquet")
+            os.makedirs(self.dlq_dir, exist_ok=True)
+            os.replace(src, os.path.join(self.root, rel))
+            dlq_entries.append(
+                {"file": rel, "rows": int(res["dlq_rows"]), "pid": pid, "txid": txid}
+            )
+        if dlq_entries:
+            m["dlq"] = dlq_entries
 
         # normalize: a single (lo, hi) pair or a list of per-segment pairs
         # (per-segment granularity keeps event-level dedup exact when a
