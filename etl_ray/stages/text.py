@@ -19,6 +19,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # stopword sets for the n-gram-free heuristic language id
 _STOPWORDS = {
@@ -309,25 +310,46 @@ class TermCounter:
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col = text_col
         self.id_col = id_col
-        self.ws = re.compile(r"[^ \t\n\r\f\v]+")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        texts = batch.column(self.text_col).to_pylist()
-        ids = batch.column(self.id_col).to_pylist()
-        out_id: list[int] = []
-        out_tok: list[str] = []
-        out_tf: list[int] = []
-        for i, t in zip(ids, texts):
-            for tok, c in sorted(Counter(self.ws.findall(t or "")).items()):
-                out_id.append(i)
-                out_tok.append(tok)
-                out_tf.append(c)
+        # fully vectorized: regex split on ASCII-whitespace runs (same
+        # token definition as TokenCounter: [^ \t\n\r\f\v]+), flatten to a
+        # (doc, token) stream, then group-count via dictionary-encode +
+        # lexsort + run boundaries — no Python per row or per token
+        texts = batch.column(self.text_col).combine_chunks()
+        parts = pc.split_pattern_regex(texts, pattern="[ \t\n\r\f\v]+")
+        flat = pc.list_flatten(parts)
+        par = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, pa.scalar("", pa.string()))
+        keep = nonempty.to_numpy(zero_copy_only=False)
+        if not keep.all():
+            idx = np.flatnonzero(keep)
+            flat = flat.take(pa.array(idx))
+            par = par[idx]
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((codes, par))
+        par_s, codes_s = par[order], codes[order]
+        boundary = np.concatenate(
+            ([True], (par_s[1:] != par_s[:-1]) | (codes_s[1:] != codes_s[:-1]))
+        )
+        starts = np.flatnonzero(boundary)
+        tf = np.diff(np.append(starts, len(par_s)))
+        ids = batch.column(self.id_col).take(pa.array(par_s[starts]))
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "token": pa.array(out_tok, pa.string()),
-                "tf": pa.array(out_tf, pa.int64()),
+                "doc_id": ids.cast(pa.int64()),
+                "token": enc.dictionary.take(pa.array(codes_s[starts])),
+                "tf": pa.array(tf.astype(np.int64), pa.int64()),
             }
         )
