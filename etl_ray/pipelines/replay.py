@@ -735,7 +735,12 @@ def get_rows(
         meta = m["partitions"].get(str(pid))
         if meta is None:
             continue
-        t = load_partition_state(lake_root, meta, schema, key, ts_col)
+        # key filter pushed into the parquet reads: part files are sorted
+        # by key, so row-group stats prune non-matching groups at the I/O
+        # layer — O(matching row groups) per lookup, not O(partition)
+        t = load_partition_state(
+            lake_root, meta, schema, key, ts_col, key_in=by_pid[pid]
+        )
         t = t.filter(
             pc.and_(
                 pc.invert(t.column("_deleted")),

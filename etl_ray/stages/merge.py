@@ -96,18 +96,27 @@ def load_partition_state(
     schema: pa.Schema | None = None,
     key: str = "url",
     ts_col: str = "warc_ts",
+    key_in: list | None = None,
 ) -> pa.Table:
     """Materialize one partition's stored state: base file ∪ merge-on-read
     delta chain, reduced under LWW ``(ts_col, _lsn)``.  The fast path (no
     deltas) is a plain file read — base files hold unique keys already.
     ``schema`` (the CURRENT payload schema) null-backfills files written
-    under older schema versions."""
+    under older schema versions.
+
+    ``key_in`` pushes an equality-set filter into every file read: part
+    files are written sorted by key, so parquet row-group statistics
+    prune non-matching row groups at the I/O layer — a point lookup
+    reads O(matching row groups), not the partition (the serving-path
+    scale lever for ``replay.get_rows``).  Exact for LWW: an equality
+    filter retains every stored version of a requested key."""
     from ..state.manifest import partition_file_list
 
     files = partition_file_list(meta)
+    filters = [(key, "in", key_in)] if key_in is not None else None
     tables = []
     for rel in files:
-        t = pq.read_table(os.path.join(lake_root, rel))
+        t = pq.read_table(os.path.join(lake_root, rel), filters=filters)
         if schema is not None:
             t = conform_stored(t, schema)
         tables.append(t)
@@ -260,7 +269,11 @@ class MergePartition:
         # store sorted by key for mergeable reads (reference keeps MergeTree
         # ORDER BY, src/pipeline/sql/create_tables.sql:20)
         merged = merged.take(pc.sort_indices(merged, sort_keys=[(self.key, "ascending")]))
-        pq.write_table(merged, out_path)
+        # bounded row groups: key-sorted files + row-group stats are the
+        # point-lookup pruning unit (load_partition_state key_in) — the
+        # pyarrow default of 1Mi rows would make each file one unprunable
+        # group at scale.  No effect below 128k rows per partition.
+        pq.write_table(merged, out_path, row_group_size=1 << 17)
 
         live = merged.filter(pc.invert(merged.column("_deleted")))
         lsn_np = merged.column("_lsn").to_numpy(zero_copy_only=False)
