@@ -99,6 +99,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dead-letter queue: malformed events quarantined exactly-once
         # alongside the replay transaction (stages/validate.py)
         "dlq_quarantine_pages": Q.dlq_quarantine_pages,
+        # HLL sketch — non-SQL-expressible (hash-dependent estimate); the
+        # error bound / merge laws / determinism are pytest-pinned
+        # (tests/test_sketch.py), driver records the rows-only check
+        "approx_distinct_events": Q.approx_distinct_events,
         "tfidf_docs": Q.tfidf_docs,
     }
 

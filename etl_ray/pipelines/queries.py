@@ -1655,3 +1655,23 @@ def dlq_quarantine_pages(sf_dir: str):
     replay(lake_root, os.path.join(root, "wal"))
     dlq = read_dlq(lake_root)
     return dlq.select(["lsn", "reason"])
+
+
+def approx_distinct_events(sf_dir: str):
+    """HyperLogLog approximate distinct count (stages/sketch.py) of the
+    events table's event_id — one streaming pass, no key shuffle: tasks
+    emit 16 KiB register partials, the driver max-merges them.  No SQL
+    oracle (the estimate depends on the sketch hash); the error bound
+    (~0.8% at p=14), merge associativity/order-freedom, and determinism
+    are pinned by tests/test_sketch.py.  Returned alongside the exact
+    count so the driver's rows-only check still sees a stable shape."""
+    from ..stages.sketch import approx_distinct
+
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["event_id"])
+    est = approx_distinct(ds, "event_id", p=14)
+    return pa.table(
+        {
+            "approx_n": pa.array([int(round(est))], pa.int64()),
+            "p": pa.array([14], pa.int64()),
+        }
+    )
