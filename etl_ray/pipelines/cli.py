@@ -118,6 +118,14 @@ def main(argv: list[str] | None = None) -> int:
     fk.add_argument("--lake", required=True)
     fk.add_argument("--at-txid", default=None, help="audit a historical snapshot")
 
+    dq = sub.add_parser(
+        "dlq", help="quarantined (malformed) change events: per-reason "
+        "summary from the committed dead-letter area"
+    )
+    dq.add_argument("--lake", required=True)
+    dq.add_argument("--limit", type=int, default=0,
+                    help="also print up to N quarantined rows (lsn, reason, url)")
+
     gt = sub.add_parser(
         "get", help="point lookup: freshest live row(s) for url key(s), "
         "reading only the partitions they hash to"
@@ -298,6 +306,7 @@ def main(argv: list[str] | None = None) -> int:
                     "events_per_sec_avg": (
                         round(total_events / total_secs, 1) if total_secs else None
                     ),
+                    "dlq_rows": sum(e["rows"] for e in m.get("dlq", [])),
                     "per_tx": [
                         {
                             k: tx.get(k)
@@ -313,6 +322,26 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "dlq":
+        from ..state.manifest import LakeTable
+        from .replay import read_dlq
+
+        m = LakeTable(args.lake).read_manifest()
+        dlq = read_dlq(args.lake)
+        from collections import Counter
+
+        by_reason = dict(Counter(dlq.column("reason").to_pylist())) if dlq.num_rows else {}
+        out = {
+            "dlq_rows": dlq.num_rows,
+            "by_reason": by_reason,
+            "files": len(m.get("dlq", [])),
+        }
+        if args.limit and dlq.num_rows:
+            cols = [c for c in ("lsn", "reason", "url") if c in dlq.column_names]
+            out["rows"] = dlq.select(cols).slice(0, args.limit).to_pylist()
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "show":

@@ -362,10 +362,20 @@ def fsck(
         (1 if meta.get("file") else 0) + len(meta.get("deltas", []))
         for meta in m["partitions"].values()
     )
+    # quarantine audit: every committed DLQ entry's file must exist with
+    # the recorded row count (footer read only — cheap, driver-side)
+    import pyarrow.parquet as _pq
+
+    for e in m.get("dlq", []):
+        path = os.path.join(lake_root, e["file"])
+        if not os.path.exists(path):
+            problems.append({"pid": e["pid"], "file": e["file"], "what": "dlq_missing"})
+        elif _pq.read_metadata(path).num_rows != int(e["rows"]):
+            problems.append({"pid": e["pid"], "file": e["file"], "what": "dlq_rows"})
     return {
         "txid": m["txid"],
         "partitions": len(m["partitions"]),
-        "files": n_files,
+        "files": n_files + len(m.get("dlq", [])),
         "mismatches": problems,
     }
 

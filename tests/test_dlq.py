@@ -163,3 +163,30 @@ def test_clean_wal_produces_no_dlq(ray_session, small_wal, tmp_path):
     assert read_dlq(lake).num_rows == 0
     assert "dlq" not in LakeTable(lake).read_manifest()
     assert not os.path.isdir(os.path.join(lake, "dlq"))
+
+
+def test_dlq_cli_and_fsck(ray_session, dirty_wal, tmp_path, capsys):
+    import json
+
+    from etl_ray.pipelines.cli import main as cli_main
+    from etl_ray.pipelines.maintenance import fsck
+
+    lake = str(tmp_path / "lake" / "pages")
+    _replay_dirty(lake, dirty_wal)
+
+    assert cli_main(["dlq", "--lake", lake, "--limit", "2"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["dlq_rows"] == 4
+    assert out["by_reason"] == {"null_key": 2, "null_ts": 1, "bad_op": 1}
+    assert len(out["rows"]) == 2
+
+    rep = fsck(lake)
+    assert rep["mismatches"] == []
+
+    # corrupt the quarantine: fsck must notice
+    from etl_ray.state.manifest import LakeTable
+
+    m = LakeTable(lake).read_manifest()
+    os.remove(os.path.join(lake, m["dlq"][0]["file"]))
+    rep2 = fsck(lake)
+    assert any(p["what"] == "dlq_missing" for p in rep2["mismatches"])
