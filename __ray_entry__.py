@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # error bound / merge laws / determinism are pytest-pinned
         # (tests/test_sketch.py), driver records the rows-only check
         "approx_distinct_events": Q.approx_distinct_events,
+        # global ordered prefix-sum (two-phase scan) -> sequence packing
+        "pack_sequences_docs": Q.pack_sequences_docs,
         "tfidf_docs": Q.tfidf_docs,
     }
 
@@ -703,6 +705,19 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{dlq_root}/wal/segment-dirty-00001.parquet')
             WHERE url IS NULL OR warc_ts IS NULL
                OR op IS NULL OR op NOT IN ('insert','update','delete')
+        """,
+        "pack_sequences_docs": r"""
+            SELECT doc_id, n_tokens,
+                   CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT)
+                       AS cum_n_tokens,
+                   CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id)
+                               - n_tokens) / 2048) AS BIGINT) AS seq_id
+            FROM (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '[^ \t\n\r\f\v]+'))
+                          AS BIGINT) AS n_tokens
+              FROM documents
+            )
         """,
         "full_outer_join_daily_activity": """
             WITH e AS (SELECT date_trunc('day', ts) AS d,

@@ -1675,3 +1675,34 @@ def approx_distinct_events(sf_dir: str):
             "p": pa.array([14], pa.int64()),
         }
     )
+
+
+def pack_sequences_docs(sf_dir: str):
+    """Training sequence packing: assign documents to fixed token-budget
+    training sequences by greedy CONTIGUOUS packing in doc_id order —
+    ``seq_id = floor(running_tokens_before_doc / W)``.  The running sum
+    is the distributed two-phase scan (stages/analytic.ordered_cumsum):
+    per-range-bucket partials -> O(buckets) driver prefix -> in-bucket
+    vectorized cumsum.  Exact integer arithmetic; the oracle is the same
+    formula via a SQL window cumsum."""
+    from ..stages.analytic import ordered_cumsum
+    from ..stages.text import TokenCounter
+
+    W = 2048
+    toks = (
+        ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+        .map_batches(TokenCounter, batch_format="pyarrow", concurrency=(1, 8))
+        .map_batches(
+            lambda t: t.select(["doc_id", "n_tokens"]), batch_format="pyarrow"
+        )
+    )
+    cum = ordered_cumsum(toks, order_col="doc_id", value_col="n_tokens", n_buckets=64)
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = t["cum_n_tokens"].to_numpy(zero_copy_only=False)
+        v = t["n_tokens"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "seq_id", pa.array((c - v) // W, pa.int64())
+        )
+
+    return cum.map_batches(finish, batch_format="pyarrow")

@@ -137,3 +137,106 @@ def partitioned_analytics(
         .groupby("_abucket")
         .map_groups(analyze, batch_format="pyarrow")
     )
+
+
+def ordered_cumsum(
+    ds,
+    *,
+    order_col: str,
+    value_col: str,
+    n_buckets: int = 256,
+    out_col: str | None = None,
+):
+    """GLOBAL ordered running sum — ``SUM(v) OVER (ORDER BY order_col)``
+    with no key to partition by, the primitive behind training sequence
+    packing, offset assignment, and quota cuts.
+
+    A single-ordered cumsum looks inherently serial; the distributed
+    shape is the classic two-phase scan:
+
+      1. range-bucket rows on ``order_col`` (contiguous value ranges, so
+         bucket order == global order), per-batch PARTIAL sums per
+         bucket — the shuffle moves O(batches x buckets) tiny rows,
+         never the data;
+      2. driver: exclusive prefix over the B bucket sums (B ints);
+      3. one bucketed pass over the data: in-bucket vectorized cumsum +
+         the bucket's broadcast base offset.
+
+    ``order_col`` must be integer-typed with unique values (a doc_id /
+    lsn / surrogate key); ``value_col`` integer (exact int64 sums).
+    Bucket boundaries come from the column's global min/max (one
+    metadata-cheap aggregate pass).
+    """
+    out_col = out_col or f"cum_{value_col}"
+    import ray as _ray
+
+    # one cheap pass for the range bounds
+    from ray.data.aggregate import Max, Min
+
+    bounds = ds.aggregate(Min(order_col), Max(order_col))
+    lo = int(bounds[f"min({order_col})"])
+    hi = int(bounds[f"max({order_col})"])
+    span = max(hi - lo + 1, 1)
+    B = min(n_buckets, span)
+
+    def bucket_of(arr: np.ndarray) -> np.ndarray:
+        return ((arr.astype(np.int64) - lo) * B // span).astype(np.int32)
+
+    def tag(t: pa.Table) -> pa.Table:
+        o = t[order_col].to_numpy(zero_copy_only=False)
+        return t.append_column("_rbucket", pa.array(bucket_of(o), pa.int32()))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    # phase 1: per-batch partial sums per bucket (combiner), then a tiny
+    # groupby over <= B * n_batches partial rows
+    def partials(t: pa.Table) -> pa.Table:
+        b = t["_rbucket"].to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ub, inv = np.unique(b, return_inverse=True)
+        sums = np.zeros(len(ub), np.int64)
+        np.add.at(sums, inv, v)
+        return pa.table(
+            {
+                "_rbucket": pa.array(ub, pa.int32()),
+                "s": pa.array(sums, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    bucket_sums = (
+        tagged.select_columns(["_rbucket", value_col])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("_rbucket")
+        .aggregate(Sum("s", alias_name="s"))
+        .take_all()
+    )  # <= B rows on the driver — O(buckets), never O(rows)
+    sums = np.zeros(B, np.int64)
+    for r in bucket_sums:
+        sums[int(r["_rbucket"])] = int(r["s"])
+    offsets = np.concatenate(([0], np.cumsum(sums)[:-1]))
+    offsets_ref = _ray.put(offsets)
+
+    # phase 2: in-bucket ordered cumsum + broadcast base offset
+    class CumsumBucket:
+        def __init__(self):
+            self.offsets = _ray.get(offsets_ref)
+            self.__name__ = "CumsumBucket"
+
+        def __call__(self, g: pa.Table) -> pa.Table:
+            if g.num_rows == 0:
+                return g.append_column(out_col, pa.array([], pa.int64()))
+            b = int(g["_rbucket"][0].as_py())
+            o = g[order_col].to_numpy(zero_copy_only=False)
+            order = np.argsort(o, kind="stable")
+            g = g.take(pa.array(order, pa.int64()))
+            v = g[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            csum = np.cumsum(v) + self.offsets[b]
+            return g.append_column(out_col, pa.array(csum, pa.int64())).drop_columns(
+                ["_rbucket"]
+            )
+
+    return tagged.groupby("_rbucket").map_groups(
+        CumsumBucket(), batch_format="pyarrow"
+    )

@@ -111,3 +111,45 @@ def test_matches_numpy_reference(ray_session):
             assert r["cum_v"] == run
             assert r["v_prev"] == prev
             prev = int(vs[i])
+
+
+def test_ordered_cumsum_matches_numpy(ray_session):
+    import numpy as np
+    import ray
+
+    from etl_ray.stages.analytic import ordered_cumsum
+
+    rng = np.random.default_rng(5)
+    ids = rng.permutation(10_000).astype("int64")  # unique, arbitrary order
+    vals = rng.integers(0, 100, size=10_000).astype("int64")
+    import pyarrow as pa
+
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(ids), "v": pa.array(vals)})
+    ).repartition(9)
+    out = ordered_cumsum(ds, order_col="k", value_col="v", n_buckets=16)
+    t = pa.concat_tables(
+        [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+         for b in out.iter_batches(batch_format="pyarrow")]
+    )
+    got = dict(zip(t["k"].to_pylist(), t["cum_v"].to_pylist()))
+    order = np.argsort(ids)
+    expect = np.cumsum(vals[order])
+    for k, e in zip(ids[order].tolist(), expect.tolist()):
+        assert got[k] == e
+    assert len(got) == 10_000
+
+
+def test_ordered_cumsum_single_bucket_small_span(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from etl_ray.stages.analytic import ordered_cumsum
+
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array([3, 1, 2], pa.int64()),
+                  "v": pa.array([10, 1, 5], pa.int64())})
+    )
+    out = ordered_cumsum(ds, order_col="k", value_col="v", n_buckets=256)
+    rows = {r["k"]: r["cum_v"] for r in out.take_all()}
+    assert rows == {1: 1, 2: 6, 3: 16}
