@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_events": Q.approx_distinct_events,
         # global ordered prefix-sum (two-phase scan) -> sequence packing
         "pack_sequences_docs": Q.pack_sequences_docs,
+        "chunk_docs": Q.chunk_docs,
         "tfidf_docs": Q.tfidf_docs,
     }
 
@@ -705,6 +706,16 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{dlq_root}/wal/segment-dirty-00001.parquet')
             WHERE url IS NULL OR warc_ts IS NULL
                OR op IS NULL OR op NOT IN ('insert','update','delete')
+        """,
+        "chunk_docs": """
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+                   substr(text, CAST(i*400+1 AS BIGINT), 500) AS chunk
+            FROM (
+              SELECT doc_id, text,
+                     unnest(range(0, CAST(floor((len(text)-1)/400)+1
+                                          AS BIGINT))) AS i
+              FROM documents WHERE len(text) > 0
+            )
         """,
         "pack_sequences_docs": r"""
             SELECT doc_id, n_tokens,

@@ -1706,3 +1706,15 @@ def pack_sequences_docs(sf_dir: str):
         )
 
     return cum.map_batches(finish, batch_format="pyarrow")
+
+
+def chunk_docs(sf_dir: str):
+    """Context-window chunking of the documents corpus: 500-char windows
+    every 400 chars (100 overlap), one (doc_id, chunk_id, chunk) row per
+    window (stages/text.Chunker — vectorized by chunk index).  Oracle:
+    substr over generate_series in SQL, byte-identical chunks."""
+    from ..stages.text import Chunker
+
+    return ray.data.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "text"]
+    ).map_batches(Chunker, batch_format="pyarrow", concurrency=(1, 8))

@@ -353,3 +353,72 @@ class TermCounter:
                 "tf": pa.array(tf.astype(np.int64), pa.int64()),
             }
         )
+
+
+class Chunker:
+    """Context-window chunking: split each document into fixed-size
+    character windows with overlap — (doc_id, chunk_id, chunk) rows.
+
+    ``window`` chars per chunk, ``stride`` chars between chunk starts
+    (overlap = window - stride).  Chunk i covers codepoints
+    [i*stride, i*stride + window); a doc of length L emits
+    floor((L-1)/stride) + 1 chunks (empty/null docs emit none) —
+    exactly DuckDB ``substr(text, i*stride+1, window)`` over
+    ``generate_series(0, floor((len-1)/stride))``.
+
+    Vectorized by CHUNK INDEX, not by row: iteration k filters the docs
+    long enough to own a k-th chunk and slices them with one scalar
+    ``utf8_slice_codeunits`` kernel call — the loop count is bounded by
+    the longest doc / stride, never by batch size."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        window: int = 500,
+        stride: int = 400,
+    ):
+        assert 0 < stride <= window
+        self.text_col = text_col
+        self.id_col = id_col
+        self.window = window
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).combine_chunks()
+        ids = batch.column(self.id_col)
+        lens = pc.utf8_length(texts)
+        out_ids, out_cid, out_chunk = [], [], []
+        k = 0
+        while True:
+            start = k * self.stride
+            alive = pc.fill_null(pc.greater(lens, start), False)
+            n_alive = pc.sum(alive).as_py() or 0
+            if n_alive == 0:
+                break
+            sub_t = texts.filter(alive)
+            out_ids.append(ids.filter(alive))
+            out_cid.append(pa.array(np.full(n_alive, k, np.int64)))
+            out_chunk.append(
+                pc.utf8_slice_codeunits(sub_t, start=start, stop=start + self.window)
+            )
+            k += 1
+        if not out_ids:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_id": pa.array([], pa.int64()),
+                    "chunk": pa.array([], pa.string()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_ids]
+                ).cast(pa.int64()),
+                "chunk_id": pa.concat_arrays(out_cid),
+                "chunk": pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_chunk]
+                ),
+            }
+        )

@@ -89,3 +89,29 @@ def test_term_counter_empty_and_null_text_typed():
     assert t.num_rows == 0
     assert t.schema.field("token").type == pa.string()
     assert t.schema.field("tf").type == pa.int64()
+
+
+def test_chunker_window_stride_edges():
+    from etl_ray.stages.text import Chunker
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["x" * 1000, "short", "", None], pa.string()),
+        }
+    )
+    out = Chunker(window=500, stride=400)(t)
+    rows = list(
+        zip(out["doc_id"].to_pylist(), out["chunk_id"].to_pylist(),
+            [len(c) for c in out["chunk"].to_pylist()])
+    )
+    assert sorted(rows) == [(1, 0, 500), (1, 1, 500), (1, 2, 200), (2, 0, 5)]
+
+
+def test_chunker_empty_batch_typed():
+    from etl_ray.stages.text import Chunker
+
+    out = Chunker()(pa.table({"doc_id": pa.array([], pa.int64()),
+                              "text": pa.array([], pa.string())}))
+    assert out.num_rows == 0
+    assert out.schema.field("chunk").type == pa.string()
