@@ -66,14 +66,40 @@ def key_filter_join(
 
         return left.map_batches(flt, batch_format="pyarrow")
 
-    # shuffle path: each JoinOperator spawns num_partitions aggregator
-    # actors — size to the session so they schedule (see dedup.py joins)
+    # shuffle path — with a distributed Bloom prefilter (stages/bloom.py)
+    # so the exact join exchanges only the rows the filter cannot decide:
+    # bloom-NEGATIVE left rows are definite non-members (no false
+    # negatives) — an anti join emits them immediately, a semi join
+    # drops them — and only bloom-positive rows (matches + ~1% FP) pay
+    # the all-to-all exchange.  ETLRAY_BLOOM=0 disables.
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     npart = max(2, min(200, ncpu // 2))
-    return left.join(
+    use_bloom = os.environ.get("ETLRAY_BLOOM", "1") != "0"
+    undecided = left
+    passthrough = None
+    if use_bloom:
+        from .bloom import bloom_build, bloom_contains
+
+        words, k = bloom_build(keyed, right_on, n_keys=keyed.count())
+        words_ref = ray.put(words)
+
+        def split(maybe: bool):
+            def flt(t: pa.Table) -> pa.Table:
+                hit = bloom_contains(ray.get(words_ref), t[left_on], k)
+                return t.filter(pa.array(hit if maybe else ~hit))
+
+            flt.__name__ = "bloom_maybe" if maybe else "bloom_negative"
+            return flt
+
+        undecided = left.map_batches(split(True), batch_format="pyarrow")
+        if anti:
+            # definite non-members skip the exchange entirely
+            passthrough = left.map_batches(split(False), batch_format="pyarrow")
+    joined = undecided.join(
         keyed,
         "left_anti" if anti else "left_semi",
         num_partitions=npart,
         on=(left_on,),
         right_on=(right_on,),
     )
+    return joined.union(passthrough) if passthrough is not None else joined
