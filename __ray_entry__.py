@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # global ordered prefix-sum (two-phase scan) -> sequence packing
         "pack_sequences_docs": Q.pack_sequences_docs,
         "chunk_docs": Q.chunk_docs,
+        "bigram_counts_docs": Q.bigram_counts_docs,
         "tfidf_docs": Q.tfidf_docs,
     }
 
@@ -706,6 +707,18 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{dlq_root}/wal/segment-dirty-00001.parquet')
             WHERE url IS NULL OR warc_ts IS NULL
                OR op IS NULL OR op NOT IN ('insert','update','delete')
+        """,
+        "bigram_counts_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS l
+              FROM documents
+            )
+            SELECT doc_id, l[i] || ' ' || l[i+1] AS bigram,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i
+                  FROM toks WHERE len(l) > 1)
+            GROUP BY doc_id, bigram
         """,
         "chunk_docs": """
             SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,

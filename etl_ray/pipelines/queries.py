@@ -1718,3 +1718,14 @@ def chunk_docs(sf_dir: str):
     return ray.data.read_parquet(
         _p(sf_dir, "documents"), columns=["doc_id", "text"]
     ).map_batches(Chunker, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def bigram_counts_docs(sf_dir: str):
+    """Per-document bigram frequencies (stages/text.BigramCounter) —
+    vectorized adjacent-token joins; oracle: list-indexed pairs via
+    unnest(range) in SQL, exact integer counts."""
+    from ..stages.text import BigramCounter
+
+    return ray.data.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "text"]
+    ).map_batches(BigramCounter, batch_format="pyarrow", concurrency=(1, 8))

@@ -422,3 +422,70 @@ class Chunker:
                 ),
             }
         )
+
+
+class BigramCounter:
+    """Per-document bigram frequencies — (doc_id, bigram, n) rows, the
+    n-gram LM / collocation-stats building block.  Fully vectorized:
+    tokens from one regex split (ASCII-whitespace runs, the repo-wide
+    token class), adjacent pairs joined with one
+    ``binary_join_element_wise`` kernel masked to same-document
+    positions, then the TermCounter dictionary/lexsort group count."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "bigram": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        texts = batch.column(self.text_col).combine_chunks()
+        parts = pc.split_pattern_regex(texts, pattern="[ \t\n\r\f\v]+")
+        flat = pc.list_flatten(parts)
+        par = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, pa.scalar("", pa.string())).to_numpy(
+            zero_copy_only=False
+        )
+        if not keep.all():
+            idx = np.flatnonzero(keep)
+            flat = flat.take(pa.array(idx))
+            par = par[idx]
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n = len(flat)
+        if n < 2:
+            return empty
+        # adjacent positions within the same document
+        pair_ok = par[1:] == par[:-1]
+        if not pair_ok.any():
+            return empty
+        bigrams = pc.binary_join_element_wise(
+            flat.slice(0, n - 1), flat.slice(1, n), " "
+        )
+        idx = np.flatnonzero(pair_ok)
+        bigrams = bigrams.take(pa.array(idx))
+        bpar = par[idx]
+        enc = pc.dictionary_encode(
+            bigrams.combine_chunks() if isinstance(bigrams, pa.ChunkedArray) else bigrams
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((codes, bpar))
+        par_s, codes_s = bpar[order], codes[order]
+        boundary = np.concatenate(
+            ([True], (par_s[1:] != par_s[:-1]) | (codes_s[1:] != codes_s[:-1]))
+        )
+        starts = np.flatnonzero(boundary)
+        cnt = np.diff(np.append(starts, len(par_s)))
+        ids = batch.column(self.id_col).take(pa.array(par_s[starts]))
+        return pa.table(
+            {
+                "doc_id": ids.cast(pa.int64()),
+                "bigram": enc.dictionary.take(pa.array(codes_s[starts])),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )

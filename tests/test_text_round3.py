@@ -115,3 +115,13 @@ def test_chunker_empty_batch_typed():
                               "text": pa.array([], pa.string())}))
     assert out.num_rows == 0
     assert out.schema.field("chunk").type == pa.string()
+
+
+def test_bigram_counter():
+    from etl_ray.stages.text import BigramCounter
+
+    t = BigramCounter()(_docs("a b c a b", "x", ""))
+    got = sorted(
+        zip(t["doc_id"].to_pylist(), t["bigram"].to_pylist(), t["n"].to_pylist())
+    )
+    assert got == [(0, "a b", 2), (0, "b c", 1), (0, "c a", 1)]
