@@ -879,7 +879,7 @@ def pages_per_domain(sf_dir: str):
     lake_root = os.path.join(root, "lake", f"dom{os.getpid()}", "pages")
     bootstrap_lake(lake_root, os.path.join(data_dir, "base", "pages.parquet"), num_partitions=16)
     replay(lake_root, os.path.join(data_dir, "wal"))
-    return top_domains(read_table(lake_root), k=10, key="host")
+    return top_domains(read_table(lake_root, columns=["url"]), k=10, key="host")
 
 
 def quantiles_events(sf_dir: str):

@@ -629,12 +629,20 @@ class _MergedPartitionRead:
     LWW-merges one pid's base file ∪ delta chain and emits its live rows
     (the merge-on-read read path; one task per partition)."""
 
-    def __init__(self, lake_root: str, schema: pa.Schema, key: str, ts_col: str):
+    def __init__(
+        self,
+        lake_root: str,
+        schema: pa.Schema,
+        key: str,
+        ts_col: str,
+        columns: list[str] | None = None,
+    ):
         self.__name__ = "_MergedPartitionRead"
         self.lake_root = lake_root
-        self.schema = schema
+        self.schema = schema  # FULL lake schema: the LWW reduce needs key/ts
         self.key = key
         self.ts_col = ts_col
+        self.columns = columns  # output projection, applied post-merge
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import json as _json
@@ -648,9 +656,17 @@ class _MergedPartitionRead:
                 self.key, self.ts_col,
             )
             t = t.filter(pc.invert(t.column("_deleted")))
-            tables.append(t.drop_columns([c for c in INTERNAL_COLS if c in t.column_names]))
+            t = t.drop_columns([c for c in INTERNAL_COLS if c in t.column_names])
+            if self.columns is not None:
+                t = t.select(self.columns)
+            tables.append(t)
+        out_schema = (
+            pa.schema([self.schema.field(c) for c in self.columns])
+            if self.columns is not None
+            else self.schema
+        )
         if not tables:  # typed empty: keep the executor's schema stable
-            return self.schema.empty_table()
+            return out_schema.empty_table()
         return pa.concat_tables(tables, promote_options="default")
 
 
@@ -659,6 +675,7 @@ def read_table(
     at_txid: str | None = None,
     key: str = "url",
     ts_col: str = "warc_ts",
+    columns: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Stream the live rows of the lake table (manifest-resolved files,
     tombstones filtered, internal columns dropped).
@@ -672,14 +689,25 @@ def read_table(
     base ∪ chain under LWW ``(ts_col, _lsn)`` before serving — the same
     reduce the rewrite merge runs, so both merge modes serve identical
     live states.  ``key``/``ts_col`` only matter for that reduce (lakes
-    replayed with a non-pages TableSpec pass their own)."""
+    replayed with a non-pages TableSpec pass their own).
+
+    ``columns`` prunes the read at the parquet layer — a scan that needs
+    one narrow column must not ship the html/text payload through the
+    object store.  Files written under older schema versions null-fill
+    requested columns they don't carry (additive evolution)."""
     import json as _json
 
     lake = LakeTable(lake_root)
     m = lake.manifest_at(at_txid) if at_txid is not None else lake.read_manifest()
+    full_schema = lake.schema(m)
+    schema = (
+        pa.schema([full_schema.field(c) for c in columns])
+        if columns is not None
+        else full_schema
+    )
     files = lake.data_files(m)
     if not files:
-        return ray.data.from_arrow(lake.schema(m).empty_table())
+        return ray.data.from_arrow(schema.empty_table())
 
     if any(p.get("deltas") for p in m["partitions"].values()):
         items = [
@@ -688,17 +716,21 @@ def read_table(
         ]
         ds = ray.data.from_items(items, override_num_blocks=len(items))
         return ds.map_batches(
-            _MergedPartitionRead(lake_root, lake.schema(m), key, ts_col),
+            _MergedPartitionRead(lake_root, full_schema, key, ts_col, columns=columns),
             batch_format="pyarrow",
             batch_size=None,
         )
 
-    ds = ray.data.read_parquet(files)
-    drop = list(INTERNAL_COLS)
+    # explicit read schema: fragments written before an additive
+    # evolution null-fill the missing columns at the dataset layer
+    read_schema = pa.schema(
+        list(schema) + [pa.field("_deleted", pa.bool_())]
+    )
+    ds = ray.data.read_parquet(files, schema=read_schema)
 
     def live(t: pa.Table) -> pa.Table:
         t = t.filter(pc.invert(t.column("_deleted")))
-        return t.drop_columns([c for c in drop if c in t.column_names])
+        return t.drop_columns(["_deleted"])
 
     return ds.map_batches(live, batch_format="pyarrow")
 

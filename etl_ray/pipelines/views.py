@@ -131,7 +131,7 @@ def build_view(view_root: str, lake_root: str, at_txid: str | None = None) -> di
     from .replay import read_table
 
     txid = at_txid or LakeTable(lake_root).read_manifest()["txid"]
-    live = read_table(lake_root, at_txid=txid)
+    live = read_table(lake_root, at_txid=txid, columns=["url", "text"])
     parts = live.map_batches(
         lambda t: _partial(t.select(["url", "text"]), signed=False),
         batch_format="pyarrow",

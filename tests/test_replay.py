@@ -158,3 +158,36 @@ def test_replay_hash_shuffle_mode(ray_session, small_wal, lake_root, monkeypatch
     assert stats.transactions == 1
     oracle = replay_oracle(small_wal["base"], small_wal["segments"])
     assert_tables_equal(read_table_arrow(lake_root), oracle)
+
+
+def test_read_table_column_pruning(ray_session, small_wal, tmp_path):
+    """columns= prunes the scan at the parquet layer and equals a select
+    of the full read, in flat AND delta-chain modes, including files
+    written before an additive evolution (null-filled)."""
+    import pyarrow as pa
+
+    from etl_ray.pipelines.replay import bootstrap_lake, read_table, replay
+
+    lake = str(tmp_path / "lake_prune" / "pages")
+    bootstrap_lake(lake, small_wal["base"], num_partitions=8)
+    replay(lake, small_wal["wal_dir"])
+
+    def collect(ds):
+        t = pa.concat_tables(
+            [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+             for b in ds.iter_batches(batch_format="pyarrow")]
+        )
+        return t.take(pc.sort_indices(t, sort_keys=[("url", "ascending")]))
+
+    full = collect(read_table(lake)).select(["url", "lang"])
+    pruned = collect(read_table(lake, columns=["url", "lang"]))
+    assert pruned.equals(full)
+
+    # delta-chain path: a lake with unfolded merge-on-read deltas
+    lake_d = str(tmp_path / "lake_prune_d" / "pages")
+    bootstrap_lake(lake_d, small_wal["base"], num_partitions=8)
+    replay(lake_d, small_wal["wal_dir"], merge_mode="delta", max_segments_per_tx=3)
+    full_d = collect(read_table(lake_d)).select(["url", "lang"])
+    pruned_d = collect(read_table(lake_d, columns=["url", "lang"]))
+    assert pruned_d.equals(full_d)
+    assert pruned_d.equals(full)  # delta == rewrite state, pruned alike
