@@ -653,7 +653,7 @@ class _MergedPartitionRead:
         for meta_json in batch.column("meta").to_pylist():
             t = load_partition_state(
                 self.lake_root, _json.loads(meta_json), self.schema,
-                self.key, self.ts_col,
+                self.key, self.ts_col, columns=self.columns,
             )
             t = t.filter(pc.invert(t.column("_deleted")))
             t = t.drop_columns([c for c in INTERNAL_COLS if c in t.column_names])

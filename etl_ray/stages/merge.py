@@ -97,6 +97,7 @@ def load_partition_state(
     key: str = "url",
     ts_col: str = "warc_ts",
     key_in: list | None = None,
+    columns: list[str] | None = None,
 ) -> pa.Table:
     """Materialize one partition's stored state: base file ∪ merge-on-read
     delta chain, reduced under LWW ``(ts_col, _lsn)``.  The fast path (no
@@ -109,14 +110,29 @@ def load_partition_state(
     prune non-matching row groups at the I/O layer — a point lookup
     reads O(matching row groups), not the partition (the serving-path
     scale lever for ``replay.get_rows``).  Exact for LWW: an equality
-    filter retains every stored version of a requested key."""
+    filter retains every stored version of a requested key.
+
+    ``columns`` prunes the file reads to the requested payload columns
+    plus what the LWW reduce itself needs (key, ts, internals); columns
+    a pre-evolution file doesn't carry are skipped at read and
+    null-backfilled by ``conform_stored``."""
     from ..state.manifest import partition_file_list
 
     files = partition_file_list(meta)
     filters = [(key, "in", key_in)] if key_in is not None else None
+    need = None
+    if columns is not None:
+        need = list(dict.fromkeys([*columns, key, ts_col, *INTERNAL_COLS]))
+        if schema is not None:
+            schema = pa.schema([f for f in schema if f.name in set(need)])
     tables = []
     for rel in files:
-        t = pq.read_table(os.path.join(lake_root, rel), filters=filters)
+        path = os.path.join(lake_root, rel)
+        cols = None
+        if need is not None:
+            present = set(pq.read_schema(path).names)
+            cols = [c for c in need if c in present]
+        t = pq.read_table(path, filters=filters, columns=cols)
         if schema is not None:
             t = conform_stored(t, schema)
         tables.append(t)
