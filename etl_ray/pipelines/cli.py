@@ -83,6 +83,11 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--lake", required=True)
     c.add_argument("--watermark-lsn", type=int, default=None)
     c.add_argument(
+        "--lateness-us", type=int, default=None,
+        help="bounded-lateness contract: drop tombstones with event time "
+        "<= max applied event time minus this (exact under the contract)",
+    )
+    c.add_argument(
         "--assume-caught-up",
         action="store_true",
         help="WAL has ended: derive the watermark from the gap-free applied "
@@ -206,7 +211,9 @@ def main(argv: list[str] | None = None) -> int:
         from .maintenance import compact, vacuum
 
         lineage = compact(
-            args.lake, args.watermark_lsn, assume_caught_up=args.assume_caught_up
+            args.lake, args.watermark_lsn,
+            assume_caught_up=args.assume_caught_up,
+            lateness_us=args.lateness_us,
         )
         gc = vacuum(args.lake)
         print(json.dumps({**lineage, **gc}))

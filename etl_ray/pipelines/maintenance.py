@@ -29,7 +29,12 @@ from ..state.manifest import LakeTable
 
 @ray.remote
 def _compact_partition(
-    lake_root: str, txid: str, pid: int, rel_file: str, watermark_lsn: int
+    lake_root: str,
+    txid: str,
+    pid: int,
+    rel_file: str,
+    watermark_lsn: int,
+    watermark_ts_us: int | None = None,
 ) -> dict:
     from ..stages.merge import _checksum
 
@@ -38,6 +43,19 @@ def _compact_partition(
         tbl.column("_deleted"),
         pc.less_equal(tbl.column("_lsn"), pa.scalar(watermark_lsn, pa.int64())),
     )
+    if watermark_ts_us is not None:
+        # bounded-lateness rule: a tombstone at event time T <= W is
+        # EXACTLY droppable — any future event E has ts_E >= W >= T and
+        # lsn_E above every applied lsn, so E beats the tombstone under
+        # LWW (ts, lsn) whether or not the tombstone still exists
+        by_ts = pc.and_(
+            tbl.column("_deleted"),
+            pc.less_equal(
+                tbl.column("warc_ts").cast(pa.int64()),
+                pa.scalar(watermark_ts_us, pa.int64()),
+            ),
+        )
+        dead = pc.or_(dead, by_ts)
     out = tbl.filter(pc.invert(dead))
     path = os.path.join(lake_root, "staging", txid, f"part-{pid:05d}.parquet")
     os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -77,8 +95,20 @@ def compact(
     watermark_lsn: int | None = None,
     *,
     assume_caught_up: bool = False,
+    lateness_us: int | None = None,
 ) -> dict:
     """Drop tombstones at or below ``watermark_lsn``.
+
+    ``lateness_us`` adds the BOUNDED-LATENESS event-time rule: under the
+    contract "every future event's ts_col is within ``lateness_us`` of
+    the highest event time already applied" (the per-tx
+    ``event_ts_hi_us`` lineage watermark), tombstones with
+    ``warc_ts <= max_applied_ts - lateness_us`` are dropped — exact, not
+    heuristic: any in-contract future event has ts >= that watermark and
+    a higher lsn than every applied row, so it beats such a tombstone
+    under LWW (ts, lsn) whether or not the tombstone remains.  This is
+    the steady-state tailing GC (assume_caught_up is the stream-ended
+    assertion; lateness is the stream-still-running contract).
 
     Safety analysis (LWW order is EVENT TIME ``(warc_ts, lsn)``, so an
     event's lsn says nothing about its warc_ts):
@@ -109,6 +139,15 @@ def compact(
             watermark_lsn = prefix if prefix >= mx else 0
         else:
             watermark_lsn = 0
+    watermark_ts_us = None
+    if lateness_us is not None:
+        highs = [
+            int(tx["event_ts_hi_us"])
+            for tx in manifest["lineage"]
+            if tx.get("event_ts_hi_us") is not None
+        ]
+        if highs:
+            watermark_ts_us = max(highs) - int(lateness_us)
     txid = lake.next_txid(manifest)
     # Partitions carrying a merge-on-read delta chain are SKIPPED: the
     # tombstone rewrite reads only the base file, and committing it would
@@ -117,7 +156,8 @@ def compact(
     skipped = [pid for pid, meta in manifest["partitions"].items() if meta.get("deltas")]
     futs = [
         _compact_partition.remote(
-            lake_root, txid, int(pid), meta["file"], int(watermark_lsn)
+            lake_root, txid, int(pid), meta["file"], int(watermark_lsn),
+            watermark_ts_us,
         )
         for pid, meta in manifest["partitions"].items()
         if not meta.get("deltas")
@@ -132,6 +172,7 @@ def compact(
         extras={
             "compaction": True,
             "watermark_lsn": int(watermark_lsn),
+            "watermark_ts_us": watermark_ts_us,
             "tombstones_dropped": int(sum(r["tombstones_dropped"] for r in results)),
             "skipped_delta_pids": len(skipped),
         },

@@ -526,8 +526,13 @@ def _replay_one_tx(
     # (pre-compaction truth; the combiner drops superseded events so
     # group-level mins undercount).  Per-segment granularity keeps the
     # event-level dedup filter exact when segments arrive out of order.
+    # The same footers yield the EVENT-TIME high watermark (max ts_col),
+    # recorded per tx — the basis for bounded-lateness tombstone GC
+    # (maintenance.compact(lateness_us=...)).
     seg_ranges: list[tuple[int, int]] = []
-    for md, schema in zip(seg_md, seg_schemas):
+    event_ts_hi: int | None = None
+    ts_i = [s.get_field_index(spec.ts_col) for s in seg_schemas]
+    for md, schema, tsi in zip(seg_md, seg_schemas, ts_i):
         ci = schema.get_field_index("lsn")
         lo, hi = None, None
         for rg in range(md.num_row_groups):
@@ -535,6 +540,19 @@ def _replay_one_tx(
             if st is not None and st.has_min_max:
                 lo = st.min if lo is None else min(lo, st.min)
                 hi = st.max if hi is None else max(hi, st.max)
+            if tsi >= 0:
+                ts_st = md.row_group(rg).column(tsi).statistics
+                if ts_st is not None and ts_st.has_min_max:
+                    v = ts_st.max
+                    if hasattr(v, "timestamp"):  # datetime -> epoch us
+                        import calendar
+
+                        v = (
+                            calendar.timegm(v.timetuple()) * 1_000_000
+                            + v.microsecond
+                        )
+                    v = int(v)
+                    event_ts_hi = v if event_ts_hi is None else max(event_ts_hi, v)
         seg_ranges.append((int(lo or 0), int(hi or 0)))
 
     with _cpu_headroom(ncpu):
@@ -610,6 +628,7 @@ def _replay_one_tx(
             "events_per_sec": round(n_events_est / tx_seconds, 1) if tx_seconds > 0 else None,
             "salted": bool(use_salt),
             "merge_mode": merge_mode,
+            "event_ts_hi_us": event_ts_hi,
         },
         delta=(merge_mode == "delta"),
     )

@@ -266,3 +266,73 @@ def test_backfill_rederives_column_and_folds_chains(ray_session, small_wal, tmp_
     assert fsck(root)["mismatches"] == []
     # ledger untouched: replay remains a no-op
     assert replay(root, small_wal["wal_dir"]).transactions == 0
+
+
+def test_compact_bounded_lateness(ray_session, tmp_path):
+    """lateness_us compaction drops only tombstones older than
+    (max applied event time - lateness); a late event INSIDE the
+    contract replays to the identical state whether or not the
+    compaction ran first."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from etl_ray.gen import make_html
+    from etl_ray.pipelines.maintenance import compact
+    from etl_ray.pipelines.replay import bootstrap_lake, read_table_arrow, replay
+    from etl_ray.state.manifest import LakeTable
+
+    T0 = 1_700_000_000_000_000
+
+    def seg(path, rows):
+        pq_.write_table(
+            pa.table(
+                {
+                    "lsn": pa.array([r[0] for r in rows], pa.int64()),
+                    "op": pa.array([r[1] for r in rows], pa.string()),
+                    "url": pa.array([r[2] for r in rows], pa.string()),
+                    "warc_ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+                    "html": pa.array(
+                        [make_html(r[2], 1) if r[1] != "delete" else None for r in rows],
+                        pa.binary(),
+                    ),
+                }
+            ),
+            path,
+            )
+
+    u_old = "https://l.example.com/old"   # deleted long ago -> GC-able
+    u_new = "https://l.example.com/new"   # deleted recently -> must survive
+    wal1 = tmp_path / "wal1"; wal1.mkdir()
+    seg(str(wal1 / "seg-00000.parquet"), [
+        (1, "insert", u_old, T0),
+        (2, "insert", u_new, T0),
+        (3, "delete", u_old, T0 + 1_000_000),        # old tombstone
+        (4, "delete", u_new, T0 + 50_000_000),       # recent tombstone
+        (5, "insert", "https://l.example.com/live", T0 + 60_000_000),
+    ])
+
+    def build(run_compact: bool):
+        lake = str(tmp_path / f"lake_{run_compact}" / "pages")
+        bootstrap_lake(lake, None, num_partitions=4)
+        replay(lake, str(wal1))
+        if run_compact:
+            # watermark = (T0+60s) - 30s -> drops ONLY the old tombstone
+            lin = compact(lake, lateness_us=30_000_000)
+            assert lin["tombstones_dropped"] == 1
+            assert lin["watermark_ts_us"] == T0 + 30_000_000
+        # a LATE event inside the contract (ts >= watermark): tries to
+        # resurrect u_new (ts below its tombstone -> must stay deleted)
+        # and re-inserts u_old at a fresh ts (wins either way)
+        wal2 = tmp_path / f"wal2_{run_compact}"; wal2.mkdir(exist_ok=True)
+        seg(str(wal2 / "seg-00001.parquet"), [
+            (6, "update", u_new, T0 + 40_000_000),   # loses to tombstone
+            (7, "insert", u_old, T0 + 55_000_000),   # resurrects legitimately
+        ])
+        replay(lake, str(wal2))
+        return read_table_arrow(lake).select(["url", "warc_ts"])
+
+    with_gc = build(True)
+    without_gc = build(False)
+    assert with_gc.equals(without_gc)  # compaction changed nothing visible
+    urls = with_gc["url"].to_pylist()
+    assert u_old in urls and u_new not in urls
