@@ -280,8 +280,15 @@ def _make_combiner(
         if spec.normalize is not None:
             batch = spec.normalize(batch)
         # conform to the unified WAL schema (null-fills columns absent in
-        # old-schema segments when the reader didn't already)
+        # old-schema segments when the reader didn't already) — but KEEP
+        # columns the normalize hook derived beyond the WAL envelope
+        # (e.g. a surrogate composite key); normalize is deterministic,
+        # so extras appear identically in every batch
+        extras_cols = [c for c in batch.column_names if c not in unified.names]
+        kept = {c: batch.column(c) for c in extras_cols}
         batch = conform(batch, unified)
+        for c in extras_cols:
+            batch = batch.append_column(c, kept[c])
         batch = add_partition_cols(batch, num_partitions, salt, key=spec.key)
         if combine:
             # per-batch LWW compaction: the "combiner" — bounds any key's

@@ -229,3 +229,68 @@ def test_replay_many_delta_mode(ray_session, small_wal, tmp_path):
     )
     assert [r["user_id"] for r in users] == ["u1", "u3"]
     assert users[0]["score"] == 1.5
+
+
+def test_composite_key_via_normalize_surrogate(ray_session, tmp_path):
+    """Composite upsert keys ((tenant, user) here) work through the
+    TableSpec.normalize hook: derive one surrogate key column from the
+    parts and key the table on it — the documented pattern for
+    multi-column CDC keys (the engine's partition/merge machinery stays
+    single-key)."""
+    import pyarrow.parquet as pq
+
+    from etl_ray.pipelines.replay import bootstrap_lake, read_table, replay
+
+    def seg(path, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "lsn": pa.array([r[0] for r in rows], pa.int64()),
+                    "op": pa.array([r[1] for r in rows], pa.string()),
+                    "tenant": pa.array([r[2] for r in rows], pa.string()),
+                    "user": pa.array([r[3] for r in rows], pa.string()),
+                    "ts": pa.array([r[4] for r in rows], pa.timestamp("us")),
+                    "score": pa.array([r[5] for r in rows], pa.float64()),
+                }
+            ),
+            path,
+        )
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            batch.column("tenant"), batch.column("user"), "\x1f"
+        )
+        return batch.append_column("tk", k)
+
+    spec = TableSpec(
+        name="tenant_users",
+        key="tk",
+        ts_col="ts",
+        schema_v0=pa.schema(
+            [
+                ("tk", pa.string()),
+                ("tenant", pa.string()),
+                ("user", pa.string()),
+                ("ts", pa.timestamp("us")),
+                ("score", pa.float64()),
+            ]
+        ),
+        normalize=normalize,
+        derive_text=False,
+    )
+    wal = tmp_path / "wal_ck"
+    wal.mkdir()
+    seg(str(wal / "seg-00000.parquet"), [
+        (1, "insert", "t1", "alice", 100, 1.0),
+        (2, "insert", "t2", "alice", 100, 2.0),   # same user, other tenant
+        (3, "update", "t1", "alice", 200, 1.5),
+        (4, "insert", "t1", "bob", 100, 3.0),
+        (5, "delete", "t2", "alice", 300, None),
+    ])
+    root = str(tmp_path / "lake" / "tenant_users")
+    bootstrap_lake(root, None, num_partitions=4, schema=spec.schema_v0)
+    replay(root, str(wal), spec=spec)
+    rows = sorted(
+        ((r["tenant"], r["user"], r["score"]) for r in read_table(root).take_all())
+    )
+    assert rows == [("t1", "alice", 1.5), ("t1", "bob", 3.0)]
