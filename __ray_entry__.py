@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_docs": Q.pack_sequences_docs,
         "chunk_docs": Q.chunk_docs,
         "bigram_counts_docs": Q.bigram_counts_docs,
+        "decontaminate_docs": Q.decontaminate_docs,
         "tfidf_docs": Q.tfidf_docs,
     }
 
@@ -707,6 +708,23 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{dlq_root}/wal/segment-dirty-00001.parquet')
             WHERE url IS NULL OR warc_ts IS NULL
                OR op IS NULL OR op NOT IN ('insert','update','delete')
+        """,
+        "decontaminate_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS l
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(l[i:i+7], ' ') AS gram
+              FROM (SELECT doc_id, l, unnest(range(1, len(l) - 6)) AS i
+                    FROM toks WHERE len(l) >= 8)
+            ),
+            bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0)
+            SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+            FROM grams g JOIN bench b USING (gram)
+            GROUP BY g.doc_id
         """,
         "bigram_counts_docs": r"""
             WITH toks AS (

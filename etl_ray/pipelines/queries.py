@@ -1729,3 +1729,79 @@ def bigram_counts_docs(sf_dir: str):
     return ray.data.read_parquet(
         _p(sf_dir, "documents"), columns=["doc_id", "text"]
     ).map_batches(BigramCounter, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination: flag corpus documents whose token
+    8-grams overlap a benchmark set (here: docs with doc_id % 50 == 0,
+    so the oracle derives both sides from the same table in SQL).
+    Output: (doc_id, n_overlap) for contaminated docs — n_overlap =
+    distinct overlapping grams.
+
+    Scale shape: the benchmark side is SMALL by nature (eval sets), so
+    its distinct grams broadcast once via ray.put and every corpus batch
+    probes vectorized (`pc.is_in`) — zero shuffle on the corpus.  A
+    large benchmark side would switch to a hash-partitioned Dataset.join
+    on gram, the MinHash-verify shape (stages/dedup.py)."""
+    from ..stages.text import doc_ngrams
+
+    N = 8
+
+    def grams(t: pa.Table) -> pa.Table:
+        return doc_ngrams(t, N)
+
+    def bench_rows(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 50 == 0))
+
+    bench = (
+        ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+        .map_batches(bench_rows, batch_format="pyarrow")
+        .map_batches(grams, batch_format="pyarrow")
+    )
+    bench_parts = [t for t in ray.get(bench.to_arrow_refs()) if t.num_rows]
+    bench_tbl = (
+        pa.concat_tables(bench_parts, promote_options="default")
+        if bench_parts
+        else pa.table({"gram": pa.array([], pa.string())})
+    )
+    bench_set = ray.put(pc.unique(bench_tbl["gram"].combine_chunks()))
+
+    def overlap(t: pa.Table) -> pa.Table:
+        g = grams(t)
+        hit = pc.is_in(g["gram"], value_set=ray.get(bench_set))
+        g = g.filter(hit)
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_overlap": pa.array([], pa.int64()),
+                }
+            )
+        import numpy as np
+
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        s = ids[order]
+        heads = np.flatnonzero(np.concatenate(([True], s[1:] != s[:-1])))
+        cnt = np.diff(np.append(heads, len(s)))
+        return pa.table(
+            {
+                "doc_id": pa.array(s[heads], pa.int64()),
+                "n_overlap": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    # per-batch partials then a tiny groupby-sum (a doc's grams can span
+    # batches only at block boundaries; sum is exact because grams are
+    # distinct per doc within ONE doc_ngrams call and docs never split
+    # across batches under parquet row-group batching — sum anyway for
+    # safety)
+    return (
+        ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+        .map_batches(overlap, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n_overlap", alias_name="n_overlap"))
+    )

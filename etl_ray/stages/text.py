@@ -489,3 +489,56 @@ class BigramCounter:
                 "n": pa.array(cnt.astype(np.int64), pa.int64()),
             }
         )
+
+
+def doc_ngrams(batch: pa.Table, n: int, text_col: str = "text",
+               id_col: str = "doc_id", distinct: bool = True) -> pa.Table:
+    """(doc_id, gram) rows: space-joined token n-grams per document,
+    vectorized — tokens from one regex split, each gram one
+    ``binary_join_element_wise`` over n shifted views masked to
+    same-document windows; per-doc distinct via the dictionary/lexsort
+    trick.  The building block for contamination checks and n-gram LM
+    stats."""
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "gram": pa.array([], pa.string())}
+    )
+    texts = batch.column(text_col).combine_chunks()
+    parts = pc.split_pattern_regex(texts, pattern="[ \t\n\r\f\v]+")
+    flat = pc.list_flatten(parts)
+    par = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, pa.scalar("", pa.string())).to_numpy(
+        zero_copy_only=False
+    )
+    if not keep.all():
+        idx = np.flatnonzero(keep)
+        flat = flat.take(pa.array(idx))
+        par = par[idx]
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    total = len(flat)
+    if total < n:
+        return empty
+    ok = par[n - 1:] == par[: total - n + 1]  # window stays in one doc
+    if not ok.any():
+        return empty
+    views = [flat.slice(i, total - n + 1) for i in range(n)]
+    grams = views[0]
+    for v in views[1:]:
+        grams = pc.binary_join_element_wise(grams, v, " ")
+    idx = np.flatnonzero(ok)
+    grams = grams.take(pa.array(idx))
+    gpar = par[idx]
+    if isinstance(grams, pa.ChunkedArray):
+        grams = grams.combine_chunks()
+    if distinct:
+        enc = pc.dictionary_encode(grams)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((codes, gpar))
+        ps, cs = gpar[order], codes[order]
+        heads = np.flatnonzero(
+            np.concatenate(([True], (ps[1:] != ps[:-1]) | (cs[1:] != cs[:-1])))
+        )
+        gpar = ps[heads]
+        grams = enc.dictionary.take(pa.array(cs[heads]))
+    ids = batch.column(id_col).take(pa.array(gpar))
+    return pa.table({"doc_id": ids.cast(pa.int64()), "gram": grams})

@@ -125,3 +125,16 @@ def test_bigram_counter():
         zip(t["doc_id"].to_pylist(), t["bigram"].to_pylist(), t["n"].to_pylist())
     )
     assert got == [(0, "a b", 2), (0, "b c", 1), (0, "c a", 1)]
+
+
+def test_doc_ngrams_windows_and_distinct():
+    from etl_ray.stages.text import doc_ngrams
+
+    t = doc_ngrams(_docs("a b c d", "x y", "a a a"), 3)
+    got = sorted(zip(t["doc_id"].to_pylist(), t["gram"].to_pylist()))
+    assert got == [(0, "a b c"), (0, "b c d"), (2, "a a a")]
+    # distinct=False keeps duplicates
+    t2 = doc_ngrams(_docs("a a a a"), 2, distinct=False)
+    assert t2["gram"].to_pylist() == ["a a", "a a", "a a"]
+    t3 = doc_ngrams(_docs("short"), 3)
+    assert t3.num_rows == 0 and t3.schema.field("gram").type == pa.string()
