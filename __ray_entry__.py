@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": Q.chunk_docs,
         "bigram_counts_docs": Q.bigram_counts_docs,
         "decontaminate_docs": Q.decontaminate_docs,
+        "grouped_median_orders": Q.grouped_median_orders,
         "tfidf_docs": Q.tfidf_docs,
     }
 
@@ -708,6 +709,13 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{dlq_root}/wal/segment-dirty-00001.parquet')
             WHERE url IS NULL OR warc_ts IS NULL
                OR op IS NULL OR op NOT IN ('insert','update','delete')
+        """,
+        "grouped_median_orders": """
+            SELECT o_orderpriority,
+                   CAST(quantile_disc(CAST(floor(o_totalprice * 100)
+                                           AS BIGINT), 0.5) AS BIGINT)
+                       AS median_cents
+            FROM orders GROUP BY o_orderpriority
         """,
         "decontaminate_docs": r"""
             WITH toks AS (

@@ -55,6 +55,13 @@ QUERY_SUBSET = [
     "asof_join_events_orders",
     "range_join_events_sessions",
     "topk_events_per_user",
+    # round-3 additions
+    "tfidf_docs",
+    "bigram_counts_docs",
+    "chunk_docs",
+    "pack_sequences_docs",
+    "decontaminate_docs",
+    "approx_distinct_events",
 ]
 
 

@@ -1805,3 +1805,45 @@ def decontaminate_docs(sf_dir: str):
         .groupby("doc_id")
         .aggregate(Sum("n_overlap", alias_name="n_overlap"))
     )
+
+
+def grouped_median_orders(sf_dir: str):
+    """Exact per-group median (percentile_disc 0.5) of order totals in
+    integer cents, grouped by order priority — a bounded-cardinality
+    dimension (5 values), so one map_groups per group is the right
+    shape (high-cardinality keys would use the hash_bucket pattern of
+    stages/analytic.py).  Oracle: DuckDB quantile_disc."""
+    import numpy as np
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "cents": pc.cast(
+                    pc.floor(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    def median(g: pa.Table) -> pa.Table:
+        v = np.sort(g["cents"].to_numpy(zero_copy_only=False))
+        # percentile_disc(0.5): smallest value with cume_dist >= 0.5
+        m = int(v[(len(v) - 1) // 2])
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(
+                    [g["o_orderpriority"][0].as_py()], pa.string()
+                ),
+                "median_cents": pa.array([m], pa.int64()),
+            }
+        )
+
+    median.__name__ = "median"
+    return (
+        ray.data.read_parquet(
+            _p(sf_dir, "orders"), columns=["o_orderpriority", "o_totalprice"]
+        )
+        .map_batches(to_cents, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .map_groups(median, batch_format="pyarrow")
+    )
