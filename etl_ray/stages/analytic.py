@@ -146,6 +146,7 @@ def ordered_cumsum(
     value_col: str,
     n_buckets: int = 256,
     out_col: str | None = None,
+    bounds: tuple[int, int] | None = None,
 ):
     """GLOBAL ordered running sum — ``SUM(v) OVER (ORDER BY order_col)``
     with no key to partition by, the primitive behind training sequence
@@ -170,12 +171,22 @@ def ordered_cumsum(
     out_col = out_col or f"cum_{value_col}"
     import ray as _ray
 
-    # one cheap pass for the range bounds
-    from ray.data.aggregate import Max, Min
+    # the scan consumes its input THREE times (bounds, bucket sums, the
+    # final cumsum pass); pin the narrow (order, value) table once so an
+    # expensive upstream (an actor-pool tokenizer, a wide read) never
+    # re-executes.  Callers pass a PRUNED dataset — the pin is O(rows x
+    # two int columns), spill-backed.
+    ds = ds.materialize()
+    if bounds is not None:
+        lo, hi = int(bounds[0]), int(bounds[1])
+    else:
+        # one cheap pass for the range bounds (callers with parquet
+        # min/max stats in hand pass bounds= and skip it)
+        from ray.data.aggregate import Max, Min
 
-    bounds = ds.aggregate(Min(order_col), Max(order_col))
-    lo = int(bounds[f"min({order_col})"])
-    hi = int(bounds[f"max({order_col})"])
+        agg = ds.aggregate(Min(order_col), Max(order_col))
+        lo = int(agg[f"min({order_col})"])
+        hi = int(agg[f"max({order_col})"])
     span = max(hi - lo + 1, 1)
     B = min(n_buckets, span)
 
