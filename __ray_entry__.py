@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_counts_docs": Q.bigram_counts_docs,
         "decontaminate_docs": Q.decontaminate_docs,
         "grouped_median_orders": Q.grouped_median_orders,
+        "sparse_attr_latest_events": Q.sparse_attr_latest_events,
         "tfidf_docs": Q.tfidf_docs,
     }
 
@@ -709,6 +710,21 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{dlq_root}/wal/segment-dirty-00001.parquet')
             WHERE url IS NULL OR warc_ts IS NULL
                OR op IS NULL OR op NOT IN ('insert','update','delete')
+        """,
+        "sparse_attr_latest_events": """
+            SELECT user_id,
+                   arg_max(value, ts) FILTER (event_type = 'click')
+                       AS last_click_value,
+                   arg_max(value, ts) FILTER (event_type = 'error')
+                       AS last_error_value,
+                   arg_max(value, ts) FILTER (event_type = 'purchase')
+                       AS last_purchase_value,
+                   arg_max(value, ts) FILTER (event_type = 'signup')
+                       AS last_signup_value,
+                   arg_max(value, ts) FILTER (event_type = 'view')
+                       AS last_view_value,
+                   max(ts) AS ts_last
+            FROM events GROUP BY user_id
         """,
         "grouped_median_orders": """
             SELECT o_orderpriority,

@@ -1847,3 +1847,68 @@ def grouped_median_orders(sf_dir: str):
         .groupby("o_orderpriority")
         .map_groups(median, batch_format="pyarrow")
     )
+
+
+_SPARSE_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def sparse_attr_latest_events(sf_dir: str):
+    """CDC partial-image fold: per user, the value of the LATEST event of
+    each type (null if the user never emitted that type) plus the overall
+    last event time — "last non-null per attribute", the composable form
+    of a coalesce upsert (per-column filtered argmax; associative, so a
+    per-batch combiner would be exact — here one bucketed pass suffices).
+    Vectorized: one lexsort by (user, ts) per bucket, per-type masked run
+    tails, zero per-row Python.  Oracle: arg_max(...) FILTER per type."""
+    import numpy as np
+
+    from ..stages.hashutil import hash_bucket
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("_b", hash_bucket(t["user_id"], 64))
+
+    def fold(g: pa.Table) -> pa.Table:
+        out_fields = [("user_id", pa.int64())] + [
+            (f"last_{e}_value", pa.float64()) for e in _SPARSE_TYPES
+        ] + [("ts_last", pa.timestamp("us"))]
+        schema = pa.schema(out_fields)
+        g = g.drop_columns(["_b"])
+        if g.num_rows == 0:
+            return schema.empty_table()
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, uid))
+        uid_s, ts_s = uid[order], ts[order]
+        val_s = g["value"].to_numpy(zero_copy_only=False)[order]
+        et = g["event_type"].to_numpy(zero_copy_only=False)[order]
+        starts = np.flatnonzero(np.concatenate(([True], uid_s[1:] != uid_s[:-1])))
+        ends = np.append(starts[1:], len(uid_s)) - 1
+        run_id = np.zeros(len(uid_s), np.int64)
+        run_id[starts[1:]] = 1
+        run_id = np.cumsum(run_id)
+        cols = {"user_id": pa.array(uid_s[starts], pa.int64())}
+        pos = np.arange(len(uid_s))
+        for e in _SPARSE_TYPES:
+            mask = et == e
+            marker = np.where(mask, pos, -1)
+            acc = np.maximum.accumulate(marker)
+            last = acc[ends]  # last matching position per run (global max ok:
+            # runs are contiguous and pos increases, so a previous run's
+            # marker is always < this run's start)
+            valid = last >= starts
+            vals = np.where(valid, val_s[np.maximum(last, 0)], np.nan)
+            cols[f"last_{e}_value"] = pa.array(
+                vals, pa.float64(), mask=~valid
+            )
+        cols["ts_last"] = pa.array(ts_s[ends], pa.int64()).cast(pa.timestamp("us"))
+        return pa.table(cols, schema=schema)
+
+    fold.__name__ = "sparse_fold"
+    return (
+        ray.data.read_parquet(
+            _p(sf_dir, "events"), columns=["user_id", "ts", "event_type", "value"]
+        )
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(fold, batch_format="pyarrow")
+    )
