@@ -90,7 +90,7 @@ def contiguous_applied_prefix(manifest: dict) -> int:
     return cur
 
 
-def compact(
+def _compact_impl(
     lake_root: str,
     watermark_lsn: int | None = None,
     *,
@@ -211,7 +211,7 @@ def _fold_partition(
     }
 
 
-def compact_deltas(
+def _compact_deltas_impl(
     lake_root: str,
     min_chain: int = 1,
     key: str = "url",
@@ -296,7 +296,7 @@ def _backfill_partition(
     }
 
 
-def backfill(
+def _backfill_impl(
     lake_root: str,
     column: str,
     fn,
@@ -508,7 +508,7 @@ class _RepartitionWriter:
         )
 
 
-def repartition(lake_root: str, new_num_partitions: int) -> dict:
+def _repartition_impl(lake_root: str, new_num_partitions: int) -> dict:
     """Re-bucket the whole table to a different partition count as ONE
     committed transaction (grow a hot table / compact a sparse one).
 
@@ -554,3 +554,43 @@ def repartition(lake_root: str, new_num_partitions: int) -> dict:
         new_num_partitions=int(new_num_partitions),
     )
     return m["lineage"][-1]
+
+
+# -- single-writer guards ----------------------------------------------------
+# Every committing maintenance verb takes the same advisory writer lock
+# as replay(): a compaction racing a tailing replay would otherwise both
+# stage tx N+1 and the second manifest swap would discard the first
+# (state/manifest.writer_lock).
+
+def compact(lake_root, *args, **kwargs):
+    from ..state.manifest import writer_lock
+
+    with writer_lock(lake_root):
+        return _compact_impl(lake_root, *args, **kwargs)
+
+
+def compact_deltas(lake_root, *args, **kwargs):
+    from ..state.manifest import writer_lock
+
+    with writer_lock(lake_root):
+        return _compact_deltas_impl(lake_root, *args, **kwargs)
+
+
+def backfill(lake_root, *args, **kwargs):
+    from ..state.manifest import writer_lock
+
+    with writer_lock(lake_root):
+        return _backfill_impl(lake_root, *args, **kwargs)
+
+
+def repartition(lake_root, *args, **kwargs):
+    from ..state.manifest import writer_lock
+
+    with writer_lock(lake_root):
+        return _repartition_impl(lake_root, *args, **kwargs)
+
+
+compact.__doc__ = _compact_impl.__doc__
+compact_deltas.__doc__ = _compact_deltas_impl.__doc__
+backfill.__doc__ = _backfill_impl.__doc__
+repartition.__doc__ = _repartition_impl.__doc__

@@ -352,6 +352,8 @@ def replay(
     back with ``maintenance.compact_deltas``).  ``ETLRAY_MERGE_MODE``
     overrides the default when the argument is None.  Final table state
     is identical either way (differential-tested)."""
+    from ..state.manifest import writer_lock
+
     lake = LakeTable(lake_root)
     stats = ReplayStats()
     all_segs = segments if segments is not None else list_segments(wal_dir)
@@ -360,19 +362,28 @@ def replay(
     if merge_mode not in ("rewrite", "delta"):
         raise ValueError(f"merge_mode must be 'rewrite' or 'delta', got {merge_mode!r}")
 
-    while True:
-        manifest = lake.read_manifest()
-        pending = lake.pending_segments(all_segs, manifest)
-        if not pending:
-            break
-        chunk = pending if max_segments_per_tx is None else pending[:max_segments_per_tx]
-        stats.transactions += 1
-        _replay_one_tx(
-            lake, manifest, chunk, salting, salt, combine, batch_size, stats, spec,
-            merge_mode=merge_mode,
-        )
-        if max_segments_per_tx is None:
-            break
+    # single-writer guard: two uncoordinated replays would both stage
+    # tx N+1 and the loser's commit would be silently discarded by the
+    # winner's manifest swap (state/manifest.writer_lock; stale locks
+    # from crashed writers are stolen after a pid liveness check)
+    with writer_lock(lake_root):
+        while True:
+            manifest = lake.read_manifest()
+            pending = lake.pending_segments(all_segs, manifest)
+            if not pending:
+                break
+            chunk = (
+                pending
+                if max_segments_per_tx is None
+                else pending[:max_segments_per_tx]
+            )
+            stats.transactions += 1
+            _replay_one_tx(
+                lake, manifest, chunk, salting, salt, combine, batch_size,
+                stats, spec, merge_mode=merge_mode,
+            )
+            if max_segments_per_tx is None:
+                break
 
     final = lake.read_manifest()
     # In delta mode this counts stored rows (base + chains): an upper

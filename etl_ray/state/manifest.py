@@ -316,3 +316,69 @@ class LakeTable:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self.manifest_path)
+
+
+class WriterLockHeld(RuntimeError):
+    """Another live process holds the table's writer lock."""
+
+
+class writer_lock:
+    """Advisory single-writer lock for a lake table (context manager).
+
+    Two uncoordinated writers would both read manifest tx_seq N, both
+    stage tx N+1, and the second ``os.replace`` would silently discard
+    the first transaction's commit — the one lost-update hole the
+    atomic manifest swap cannot close by itself.  The lock is an
+    O_EXCL-created ``WRITER.lock`` carrying the holder's pid: creation
+    is atomic on POSIX, a crash leaves a stale file that the next
+    writer STEALS after confirming the pid is dead (os.kill(pid, 0)).
+
+    Single-node semantics: pid liveness is only meaningful on one host.
+    On a multi-node cluster run ONE driver per table (the engine's
+    deployment shape — replay_many multiplexes tables inside one
+    driver) or replace this with an external lock service.
+    """
+
+    def __init__(self, root: str):
+        self.path = os.path.join(root, "WRITER.lock")
+
+    def __enter__(self):
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        for _ in range(2):  # second try after stealing a stale lock
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as f:
+                    f.write(str(os.getpid()))
+                return self
+            except FileExistsError:
+                try:
+                    with open(self.path) as f:
+                        pid = int(f.read().strip() or "0")
+                except (OSError, ValueError):
+                    pid = 0
+                alive = False
+                if pid == os.getpid():
+                    alive = True  # our own (or a thread of ours) holds it
+                elif pid > 0:
+                    try:
+                        os.kill(pid, 0)
+                        alive = True
+                    except (ProcessLookupError, PermissionError):
+                        alive = False
+                if alive:
+                    raise WriterLockHeld(
+                        f"writer lock {self.path} held by live pid {pid}"
+                    )
+                # stale (holder crashed) — steal and retry
+                try:
+                    os.remove(self.path)
+                except FileNotFoundError:
+                    pass
+        raise WriterLockHeld(f"could not acquire {self.path}")
+
+    def __exit__(self, *exc):
+        try:
+            os.remove(self.path)
+        except FileNotFoundError:
+            pass
+        return False
