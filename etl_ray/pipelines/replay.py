@@ -713,6 +713,7 @@ def read_table(
     key: str = "url",
     ts_col: str = "warc_ts",
     columns: list[str] | None = None,
+    predicate=None,
 ) -> ray.data.Dataset:
     """Stream the live rows of the lake table (manifest-resolved files,
     tombstones filtered, internal columns dropped).
@@ -752,18 +753,28 @@ def read_table(
             for pid, meta in sorted(m["partitions"].items(), key=lambda kv: int(kv[0]))
         ]
         ds = ray.data.from_items(items, override_num_blocks=len(items))
-        return ds.map_batches(
+        out = ds.map_batches(
             _MergedPartitionRead(lake_root, full_schema, key, ts_col, columns=columns),
             batch_format="pyarrow",
             batch_size=None,
         )
+        if predicate is not None:
+            # post-merge: a version-level pushdown could drop the very
+            # row version that wins the LWW reduce
+            out = out.map_batches(
+                lambda t: t.filter(predicate), batch_format="pyarrow"
+            )
+        return out
 
     # explicit read schema: fragments written before an additive
     # evolution null-fill the missing columns at the dataset layer
     read_schema = pa.schema(
         list(schema) + [pa.field("_deleted", pa.bool_())]
     )
-    ds = ray.data.read_parquet(files, schema=read_schema)
+    # flat path: base files hold post-merge UNIQUE keys, so any row
+    # predicate is safe to push into the parquet scan (row-group stats
+    # prune at the I/O layer); delta-chain reads apply it post-merge
+    ds = ray.data.read_parquet(files, schema=read_schema, filter=predicate)
 
     def live(t: pa.Table) -> pa.Table:
         t = t.filter(pc.invert(t.column("_deleted")))

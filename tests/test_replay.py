@@ -191,3 +191,30 @@ def test_read_table_column_pruning(ray_session, small_wal, tmp_path):
     pruned_d = collect(read_table(lake_d, columns=["url", "lang"]))
     assert pruned_d.equals(full_d)
     assert pruned_d.equals(full)  # delta == rewrite state, pruned alike
+
+
+def test_read_table_predicate_pushdown(ray_session, small_wal, tmp_path):
+    """predicate= equals a post-hoc filter of the full read in flat AND
+    delta modes (flat pushes into the parquet scan; delta applies
+    post-merge so no winning version is lost)."""
+    import pyarrow.dataset as pads
+
+    from etl_ray.pipelines.replay import bootstrap_lake, read_table, replay
+
+    pred = pads.field("lang") == "en"
+
+    def collect(ds):
+        df = ds.to_pandas()
+        return df.sort_values("url").reset_index(drop=True)
+
+    lake = str(tmp_path / "lake_pred" / "pages")
+    bootstrap_lake(lake, small_wal["base"], num_partitions=8)
+    replay(lake, small_wal["wal_dir"])
+    full = collect(read_table(lake))
+    exp = full[full.lang == "en"].reset_index(drop=True)
+    assert collect(read_table(lake, predicate=pred)).equals(exp)
+
+    lake_d = str(tmp_path / "lake_pred_d" / "pages")
+    bootstrap_lake(lake_d, small_wal["base"], num_partitions=8)
+    replay(lake_d, small_wal["wal_dir"], merge_mode="delta", max_segments_per_tx=3)
+    assert collect(read_table(lake_d, predicate=pred)).equals(exp)
