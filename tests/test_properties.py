@@ -153,3 +153,44 @@ def test_unique_pairs_sum_wide_ids_match_packed_path():
 
     check_small()
     check_wide()
+
+
+_WIDEN_TYPES = [
+    pa.int8(), pa.int16(), pa.int32(), pa.int64(),
+    pa.uint8(), pa.uint16(), pa.uint32(), pa.uint64(),
+    pa.float32(), pa.float64(),
+    pa.timestamp("s"), pa.timestamp("ms"), pa.timestamp("us"),
+    pa.string(), pa.binary(),
+]
+
+
+@given(
+    a=st.sampled_from(_WIDEN_TYPES),
+    b=st.sampled_from(_WIDEN_TYPES),
+)
+@settings(max_examples=300, deadline=None)
+def test_widen_type_laws(a, b):
+    """Commutative; idempotent on equal types; the result (when any)
+    admits a LOSSLESS cast from both sides (round-trip check on
+    boundary values)."""
+    from etl_ray.state.schema_registry import widen_type
+
+    w_ab, w_ba = widen_type(a, b), widen_type(b, a)
+    assert (w_ab is None) == (w_ba is None)
+    if w_ab is not None:
+        assert w_ab.equals(w_ba)
+        assert widen_type(a, a).equals(a)
+        # both sides cast losslessly into the widened type at their extremes
+        for t in (a, b):
+            if pa.types.is_integer(t):
+                lo = 0 if pa.types.is_unsigned_integer(t) else -(2 ** (t.bit_width - 1))
+                hi = 2 ** (t.bit_width - (0 if pa.types.is_unsigned_integer(t) else 1)) - 1
+                arr = pa.array([lo, hi], t)
+                if pa.types.is_floating(w_ab):
+                    back = pc.cast(pc.cast(arr, w_ab), t)
+                else:
+                    back = pc.cast(pc.cast(arr, w_ab), t)
+                assert back.equals(arr)
+            elif pa.types.is_timestamp(t):
+                arr = pa.array([0, 1_000_000_000], t)
+                assert pc.cast(pc.cast(arr, w_ab), t).equals(arr)
