@@ -314,6 +314,16 @@ def main(argv: list[str] | None = None) -> int:
                         round(total_events / total_secs, 1) if total_secs else None
                     ),
                     "dlq_rows": sum(e["rows"] for e in m.get("dlq", [])),
+                    # event-time high watermark across applied txs — the
+                    # bounded-lateness compaction basis (compact --lateness-us)
+                    "event_ts_hi_us": max(
+                        (
+                            int(tx["event_ts_hi_us"])
+                            for tx in lin
+                            if tx.get("event_ts_hi_us") is not None
+                        ),
+                        default=None,
+                    ),
                     "per_tx": [
                         {
                             k: tx.get(k)
