@@ -110,6 +110,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": Q.decontaminate_docs,
         "grouped_median_orders": Q.grouped_median_orders,
         "sparse_attr_latest_events": Q.sparse_attr_latest_events,
+        # flagship integration: CDC replay -> live lake -> gated,
+        # exact-deduped training docs in one streaming chain
+        "lake_training_docs": Q.lake_training_docs,
         "tfidf_docs": Q.tfidf_docs,
     }
 
@@ -710,6 +713,26 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{dlq_root}/wal/segment-dirty-00001.parquet')
             WHERE url IS NULL OR warc_ts IS NULL
                OR op IS NULL OR op NOT IN ('insert','update','delete')
+        """,
+        "lake_training_docs": r"""
+            WITH w AS (
+              SELECT url, warc_ts, lsn, op, text,
+                     row_number() OVER (
+                       PARTITION BY url ORDER BY warc_ts DESC, lsn DESC) AS rn
+              FROM read_parquet('/tmp/etlray_cdc_1000_8000/data/oracle_events.parquet')
+            ),
+            live AS (SELECT url, text FROM w WHERE rn = 1 AND op <> 'delete'),
+            feat AS (
+              SELECT url,
+                     md5(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13)
+                                          || chr(11) || chr(12)))) AS md5_norm,
+                     CAST(len(regexp_extract_all(text, '[^ \t\n\r\f\v]+'))
+                          AS BIGINT) AS n_tokens
+              FROM live
+            )
+            SELECT min(url) AS url, md5_norm, min(n_tokens) AS n_tokens
+            FROM feat WHERE n_tokens >= 5
+            GROUP BY md5_norm
         """,
         "sparse_attr_latest_events": """
             SELECT user_id,

@@ -1912,3 +1912,64 @@ def sparse_attr_latest_events(sf_dir: str):
         .groupby("_b")
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+def lake_training_docs(sf_dir: str):
+    """End-to-end webtext integration: CDC replay -> live lake ->
+    training-doc prep, one streaming chain.  Replays the fixture WAL
+    into a lake, streams the live pages (column-pruned read), computes
+    token counts + normalized-text md5 in an actor pool, gates short
+    docs, and EXACT-DEDUPS by content digest keeping the smallest url —
+    the bucketed keep-min shape (hash_bucket(digest) shuffle, vectorized
+    in-bucket lexsort heads; never one dispatch per distinct digest).
+    Oracle: the LWW window SQL extended with the same expressions."""
+    import numpy as np
+
+    from ..stages.hashutil import hash_bucket
+    from ..stages.text import Fingerprinter, TokenCounter
+    from .replay import bootstrap_lake, read_table, replay
+
+    n_urls, n_events = _CDC_SIZES.get(os.path.basename(sf_dir.rstrip("/")), (300, 1500))
+    root = _cdc_fixture(n_urls, n_events)
+    data_dir = os.path.join(root, "data")
+    lake_root = os.path.join(root, "lake", f"train{os.getpid()}", "pages")
+    bootstrap_lake(lake_root, os.path.join(data_dir, "base", "pages.parquet"), num_partitions=16)
+    replay(lake_root, os.path.join(data_dir, "wal"))
+
+    fp = Fingerprinter()
+
+    def features(t: pa.Table) -> pa.Table:
+        t = TokenCounter()(t)
+        texts = t["text"].to_pylist()
+        md5s = pa.array([fp.md5_norm(x) for x in texts], pa.string())
+        keep = pc.greater_equal(t["n_tokens"], 5)  # quality gate
+        out = pa.table(
+            {"url": t["url"], "md5_norm": md5s, "n_tokens": t["n_tokens"]}
+        ).filter(keep)
+        return out.append_column("_b", hash_bucket(out["md5_norm"], 128))
+
+    def keep_min(g: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("url", pa.string()), ("md5_norm", pa.string()), ("n_tokens", pa.int64())]
+        )
+        if g.num_rows == 0:
+            return schema.empty_table()
+        g = g.drop_columns(["_b"])
+        dig = pc.dictionary_encode(g["md5_norm"].combine_chunks())
+        codes = dig.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        urls = g["url"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((urls, codes))
+        heads = np.flatnonzero(
+            np.concatenate(([True], codes[order][1:] != codes[order][:-1]))
+        )
+        return g.take(pa.array(order[heads])).select(
+            ["url", "md5_norm", "n_tokens"]
+        )
+
+    keep_min.__name__ = "dedup_keep_min_url"
+    return (
+        read_table(lake_root, columns=["url", "text"])
+        .map_batches(features, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(keep_min, batch_format="pyarrow")
+    )
