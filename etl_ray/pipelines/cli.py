@@ -144,6 +144,8 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--lake", required=True)
     ex.add_argument("--out", required=True)
     ex.add_argument("--at-txid", default=None, help="time-travel snapshot")
+    ex.add_argument("--columns", default=None,
+                    help="comma-separated column projection (pruned at the scan)")
 
     args = p.parse_args(argv)
 
@@ -271,7 +273,8 @@ def main(argv: list[str] | None = None) -> int:
 
         from .replay import read_table
 
-        ds = read_table(args.lake, at_txid=args.at_txid)
+        cols = args.columns.split(",") if args.columns else None
+        ds = read_table(args.lake, at_txid=args.at_txid, columns=cols)
         # streaming partitioned-parquet sink: one file per block; consumers
         # read the directory.  Row count comes from the written files'
         # parquet footers (metadata-only; correct under merge-on-read
