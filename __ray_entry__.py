@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship integration: CDC replay -> live lake -> gated,
         # exact-deduped training docs in one streaming chain
         "lake_training_docs": Q.lake_training_docs,
+        "mixture_exact_k_docs": Q.mixture_exact_k_docs,
         "tfidf_docs": Q.tfidf_docs,
     }
 
@@ -713,6 +714,15 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{dlq_root}/wal/segment-dirty-00001.parquet')
             WHERE url IS NULL OR warc_ts IS NULL
                OR op IS NULL OR op NOT IN ('insert','update','delete')
+        """,
+        "mixture_exact_k_docs": """
+            SELECT doc_id, source, rk FROM (
+              SELECT doc_id, source,
+                     CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR))) AS BIGINT) AS rk
+              FROM documents
+            ) WHERE rk <= 10
         """,
         "lake_training_docs": r"""
             WITH w AS (

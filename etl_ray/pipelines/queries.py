@@ -1973,3 +1973,30 @@ def lake_training_docs(sf_dir: str):
         .groupby("_b")
         .map_groups(keep_min, batch_format="pyarrow")
     )
+
+
+def mixture_exact_k_docs(sf_dir: str):
+    """Exact-count training-mixture subsample: per source, keep EXACTLY
+    the k=10 documents with the smallest md5(doc_id) — deterministic,
+    layout/parallelism-independent (the Bernoulli samplers give expected
+    rates; curriculum mixtures often need exact per-source counts).
+    Composition of the grouped-top-k stage over a hash ranking.  Oracle:
+    row_number() over the same md5 order."""
+    import hashlib
+
+    from ..stages.topk import grouped_topk
+
+    def rank_key(t: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.md5(str(i).encode()).hexdigest()
+            for i in t["doc_id"].to_pylist()
+        ]
+        return t.append_column("h", pa.array(hs, pa.string()))
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "source"]
+    ).map_batches(rank_key, batch_format="pyarrow")
+    out = grouped_topk(ds, group_col="source", order_by=[("h", "asc")], k=10)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "source", "rk"]), batch_format="pyarrow"
+    )
