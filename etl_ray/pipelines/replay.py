@@ -279,6 +279,39 @@ def _make_combiner(
             batch = batch.filter(pc.invert(bad_mask))
         if spec.normalize is not None:
             batch = spec.normalize(batch)
+            # derived-key re-check: when the upsert key only EXISTS after
+            # normalize (surrogate composite keys), the pre-normalize
+            # classifier could not apply the null_key rule — a null part
+            # yields a null surrogate that would crash the key hash
+            if spec.key in batch.column_names:
+                nk = pc.is_null(batch.column(spec.key))
+                if pc.any(nk).as_py():
+                    late_bad = batch.filter(nk)
+                    late_reasons = pa.array(
+                        ["null_key"] * late_bad.num_rows, pa.string()
+                    )
+                    batch = batch.filter(pc.invert(nk))
+                    if bad is None:
+                        bad, bad_reasons = late_bad, late_reasons
+                    else:
+                        # align: bad rows never passed normalize; keep only
+                        # shared columns (conform below re-aligns to unified)
+                        common = [
+                            c for c in bad.column_names
+                            if c in late_bad.column_names
+                        ]
+                        bad = pa.concat_tables(
+                            [bad.select(common), late_bad.select(common)],
+                            promote_options="default",
+                        )
+                        bad_reasons = pa.concat_arrays(
+                            [
+                                bad_reasons.combine_chunks()
+                                if isinstance(bad_reasons, pa.ChunkedArray)
+                                else bad_reasons,
+                                late_reasons,
+                            ]
+                        )
         # conform to the unified WAL schema (null-fills columns absent in
         # old-schema segments when the reader didn't already) — but KEEP
         # columns the normalize hook derived beyond the WAL envelope
@@ -313,6 +346,14 @@ def _make_combiner(
                     "salt", pa.array((lsn % salt).astype(np.int32), pa.int32())
                 )
             bad = bad.append_column(DLQ_COL, bad_reasons)
+            # normalize-derived extras never exist on quarantined rows
+            # (they bypass the hook, or their derivation came out null) —
+            # null-fill so both sides share one shuffle schema
+            for c in batch.column_names:
+                if c not in bad.column_names:
+                    bad = bad.append_column(
+                        c, pa.nulls(bad.num_rows, batch.schema.field(c).type)
+                    )
             batch = pa.concat_tables(
                 [batch, bad.select(batch.column_names)]
             )

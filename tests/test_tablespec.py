@@ -294,3 +294,66 @@ def test_composite_key_via_normalize_surrogate(ray_session, tmp_path):
         ((r["tenant"], r["user"], r["score"]) for r in read_table(root).take_all())
     )
     assert rows == [("t1", "alice", 1.5), ("t1", "bob", 3.0)]
+
+
+def test_composite_key_null_part_quarantined(ray_session, tmp_path):
+    """A null key PART yields a null surrogate key only AFTER normalize:
+    the post-normalize re-check must quarantine it (reason null_key)
+    instead of crashing the key hash; valid rows still apply."""
+    import pyarrow.parquet as pq
+
+    from etl_ray.pipelines.replay import bootstrap_lake, read_dlq, read_table, replay
+
+    def seg(path, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "lsn": pa.array([r[0] for r in rows], pa.int64()),
+                    "op": pa.array([r[1] for r in rows], pa.string()),
+                    "tenant": pa.array([r[2] for r in rows], pa.string()),
+                    "user": pa.array([r[3] for r in rows], pa.string()),
+                    "ts": pa.array([r[4] for r in rows], pa.timestamp("us")),
+                    "score": pa.array([r[5] for r in rows], pa.float64()),
+                }
+            ),
+            path,
+        )
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            batch.column("tenant"), batch.column("user"), "\x1f"
+        )
+        return batch.append_column("tk", k)
+
+    spec = TableSpec(
+        name="tenant_users_dlq",
+        key="tk",
+        ts_col="ts",
+        schema_v0=pa.schema(
+            [
+                ("tk", pa.string()),
+                ("tenant", pa.string()),
+                ("user", pa.string()),
+                ("ts", pa.timestamp("us")),
+                ("score", pa.float64()),
+            ]
+        ),
+        normalize=normalize,
+        derive_text=False,
+    )
+    wal = tmp_path / "wal_ckq"
+    wal.mkdir()
+    seg(str(wal / "seg-00000.parquet"), [
+        (1, "insert", "t1", "alice", 100, 1.0),
+        (2, "insert", None, "bob", 100, 2.0),     # null tenant -> null tk
+        (3, "insert", "t2", "carol", 100, 3.0),
+    ])
+    root = str(tmp_path / "lake" / "tenant_users_dlq")
+    bootstrap_lake(root, None, num_partitions=4, schema=spec.schema_v0)
+    replay(root, str(wal), spec=spec)
+    users = sorted(r["user"] for r in read_table(root).take_all())
+    assert users == ["alice", "carol"]
+    dlq = read_dlq(root)
+    assert dlq.num_rows == 1
+    assert dlq["reason"].to_pylist() == ["null_key"]
+    assert dlq["lsn"].to_pylist() == [2]
