@@ -114,6 +114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-deduped training docs in one streaming chain
         "lake_training_docs": Q.lake_training_docs,
         "mixture_exact_k_docs": Q.mixture_exact_k_docs,
+        "histogram_events": Q.histogram_events,
+        "percentile_gate_docs": Q.percentile_gate_docs,
         "tfidf_docs": Q.tfidf_docs,
     }
 
@@ -714,6 +716,21 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{dlq_root}/wal/segment-dirty-00001.parquet')
             WHERE url IS NULL OR warc_ts IS NULL
                OR op IS NULL OR op NOT IN ('insert','update','delete')
+        """,
+        "histogram_events": """
+            SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY bin
+        """,
+        "percentile_gate_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '[^ \t\n\r\f\v]+'))
+                          AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            q AS (SELECT quantile_disc(n_tokens, 0.25) AS v FROM toks)
+            SELECT doc_id, n_tokens FROM toks, q WHERE n_tokens >= v
         """,
         "mixture_exact_k_docs": """
             SELECT doc_id, source, rk FROM (

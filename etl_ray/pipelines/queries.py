@@ -2000,3 +2000,55 @@ def mixture_exact_k_docs(sf_dir: str):
     return out.map_batches(
         lambda t: t.select(["doc_id", "source", "rk"]), batch_format="pyarrow"
     )
+
+
+def histogram_events(sf_dir: str):
+    """Fixed-width histogram of the events value column: per-batch
+    partial bin counts (the combiner — shuffle moves O(bins x batches)
+    rows, never the data), then a tiny groupby-sum.  Oracle:
+    floor(value/width) group count."""
+    import numpy as np
+
+    W = 50.0
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        bins = np.floor(v / W).astype(np.int64)
+        ub, inv = np.unique(bins, return_inverse=True)
+        cnt = np.zeros(len(ub), np.int64)
+        np.add.at(cnt, inv, 1)
+        return pa.table(
+            {"bin": pa.array(ub, pa.int64()), "n": pa.array(cnt, pa.int64())}
+        )
+
+    return (
+        ray.data.read_parquet(_p(sf_dir, "events"), columns=["value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def percentile_gate_docs(sf_dir: str):
+    """Quantile-gated corpus filter: keep documents at or above the
+    corpus 25th-percentile token count — composition of the distributed
+    exact-quantile operator (sort + metadata split selection, a scalar
+    to the driver) with a broadcast filter.  The gate value is data-
+    derived, not a constant.  Oracle: quantile_disc subquery."""
+    from ..stages.quantiles import exact_quantiles
+    from ..stages.text import TokenCounter
+
+    toks = (
+        ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+        .map_batches(TokenCounter, batch_format="pyarrow", concurrency=(1, 8))
+        .map_batches(
+            lambda t: t.select(["doc_id", "n_tokens"]), batch_format="pyarrow"
+        )
+        .materialize()  # narrow (id, int); consumed by quantile AND filter
+    )
+    q = exact_quantiles(toks, "n_tokens", [0.25])
+    gate = int(q.column("value")[0].as_py())
+    return toks.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_tokens"], gate)),
+        batch_format="pyarrow",
+    )
