@@ -461,7 +461,28 @@ def vacuum(lake_root: str) -> dict:
             if seq <= committed_seq:
                 shutil.rmtree(os.path.join(lake.staging_root, d), ignore_errors=True)
                 removed_staging += 1
-    return {"removed_parts": removed_parts, "removed_staging_dirs": removed_staging}
+    # dlq orphans: a crash between DLQ-file promotion and the manifest
+    # swap leaves a dlq/ file no manifest references.  Same in-flight
+    # guard as staging: only files whose txid <= the committed tx_seq
+    # are candidates (a racing commit promotes under tx_seq + 1).
+    dlq_referenced = {os.path.basename(e["file"]) for e in manifest.get("dlq", [])}
+    removed_dlq = 0
+    if os.path.isdir(lake.dlq_dir):
+        for f in os.listdir(lake.dlq_dir):
+            if not f.endswith(".parquet") or f in dlq_referenced:
+                continue
+            try:  # dlq-{pid:05d}-tx{seq:06d}.parquet
+                seq = int(f.rsplit("-tx", 1)[1].split(".")[0])
+            except (IndexError, ValueError):
+                continue
+            if seq <= committed_seq:
+                os.remove(os.path.join(lake.dlq_dir, f))
+                removed_dlq += 1
+    return {
+        "removed_parts": removed_parts,
+        "removed_staging_dirs": removed_staging,
+        "removed_dlq": removed_dlq,
+    }
 
 
 class _RepartitionWriter:

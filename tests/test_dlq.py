@@ -190,3 +190,30 @@ def test_dlq_cli_and_fsck(ray_session, dirty_wal, tmp_path, capsys):
     os.remove(os.path.join(lake, m["dlq"][0]["file"]))
     rep2 = fsck(lake)
     assert any(p["what"] == "dlq_missing" for p in rep2["mismatches"])
+
+
+def test_vacuum_reclaims_dlq_orphans_keeps_referenced(
+    ray_session, dirty_wal, tmp_path
+):
+    from etl_ray.pipelines.maintenance import vacuum
+    from etl_ray.pipelines.replay import read_dlq
+    from etl_ray.state.manifest import LakeTable
+
+    lake = str(tmp_path / "lake" / "pages")
+    _replay_dirty(lake, dirty_wal)
+    lk = LakeTable(lake)
+
+    # plant an orphan from a "crashed" old tx and a file from an
+    # in-flight future tx — vacuum must remove the first, keep the second
+    orphan = os.path.join(lk.dlq_dir, "dlq-00003-tx000001.parquet")
+    inflight = os.path.join(lk.dlq_dir, "dlq-00004-tx999999.parquet")
+    ref = lk.dlq_files()[0]
+    shutil.copyfile(ref, orphan)
+    shutil.copyfile(ref, inflight)
+
+    rep = vacuum(lake)
+    assert rep["removed_dlq"] == 1
+    assert not os.path.exists(orphan)
+    assert os.path.exists(inflight)
+    os.remove(inflight)
+    assert read_dlq(lake).num_rows == 4  # committed quarantine intact
