@@ -100,3 +100,62 @@ def approx_distinct(ds, col: str, p: int = 14) -> float:
         return 0.0
     merged = hll_merge([np.asarray(r["regs"], dtype=np.uint8) for r in rows])
     return hll_estimate(merged)
+
+
+def heavy_hitters(ds, col: str, k: int = 20, m: int = 4096):
+    """Distributed heavy hitters with a deterministic error bound.
+
+    Each task reduces its batch to EXACT (item, count) pairs pruned to
+    its top-``m`` plus the scalar ``pruned_max`` = the largest count it
+    discarded; the driver merges by summing counts per item and summing
+    pruned_max values.  For every item, true_count <= merged_count +
+    total_pruned (an absent-from-some-partial item can have missed at
+    most that partial's pruned_max there), so the returned top-``k``
+    candidates with their (count_lo = merged, count_hi = merged +
+    total_pruned) bracket is a SUPERSET filter for any threshold above
+    total_pruned — the Misra-Gries/SpaceSaving guarantee shape without
+    per-row sequential state.  Choose m >> k (default 4096 vs 20) so
+    total_pruned stays far below real heavy-hitter counts.
+
+    Returns a pyarrow table (item, count_lo, count_hi) of the k largest
+    by count_lo, ties broken by item ascending.
+    """
+    import pyarrow.compute as _pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col_arr = batch.column(col)
+        if isinstance(col_arr, pa.ChunkedArray):
+            col_arr = col_arr.combine_chunks()
+        enc = _pc.dictionary_encode(col_arr)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(codes[codes >= 0].astype(np.int64))
+        order = np.argsort(-cnt, kind="stable")
+        keep = order[:m]
+        pruned_max = int(cnt[order[m]]) if len(order) > m else 0
+        items = enc.dictionary.take(pa.array(keep.astype(np.int64)))
+        return pa.table(
+            {
+                "item": items.cast(pa.string()),
+                "n": pa.array(cnt[keep].astype(np.int64), pa.int64()),
+                "pruned_max": pa.array(
+                    [pruned_max] + [0] * (len(keep) - 1), pa.int64()
+                ),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged: dict[str, int] = {}
+    total_pruned = 0
+    for r in rows:
+        merged[r["item"]] = merged.get(r["item"], 0) + int(r["n"])
+        total_pruned += int(r["pruned_max"])
+    top = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pa.table(
+        {
+            "item": pa.array([t[0] for t in top], pa.string()),
+            "count_lo": pa.array([t[1] for t in top], pa.int64()),
+            "count_hi": pa.array(
+                [t[1] + total_pruned for t in top], pa.int64()
+            ),
+        }
+    )

@@ -180,3 +180,57 @@ def test_replay_type_widening_mid_stream(ray_session, tmp_path):
     m = LakeTable(root).read_manifest()
     assert m["schema_version"] == 1  # the widening bumped the version
     assert LakeTable(root).schema(m).field("score").type == pa.int64()
+
+
+def test_replay_type_widening_delta_mode(ray_session, tmp_path):
+    """Widening works identically when the second transaction lands as a
+    merge-on-read DELTA (the chain-merging read casts old-type base
+    files up)."""
+    import pyarrow.parquet as pq
+
+    from etl_ray.config import TableSpec
+    from etl_ray.pipelines.replay import bootstrap_lake, read_table, replay
+    from etl_ray.state.manifest import LakeTable
+
+    def seg(path, rows, int_type):
+        pq.write_table(
+            pa.table(
+                {
+                    "lsn": pa.array([r[0] for r in rows], pa.int64()),
+                    "op": pa.array([r[1] for r in rows], pa.string()),
+                    "k": pa.array([r[2] for r in rows], pa.string()),
+                    "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+                    "score": pa.array([r[4] for r in rows], int_type),
+                }
+            ),
+            path,
+        )
+
+    spec = TableSpec(
+        name="widen_delta",
+        key="k",
+        ts_col="ts",
+        schema_v0=pa.schema(
+            [("k", pa.string()), ("ts", pa.timestamp("us")), ("score", pa.int32())]
+        ),
+        derive_text=False,
+    )
+    wal = tmp_path / "wal_wd"
+    wal.mkdir()
+    seg(str(wal / "seg-00000.parquet"),
+        [(1, "insert", "a", 100, 7), (2, "insert", "b", 100, 8)], pa.int32())
+    seg(str(wal / "seg-00001.parquet"),
+        [(3, "update", "a", 200, 2**40), (4, "insert", "c", 100, 9)], pa.int64())
+
+    root = str(tmp_path / "lake" / "widen_delta")
+    bootstrap_lake(root, None, num_partitions=4, schema=spec.schema_v0)
+    # tx1 rewrite (int32 base), tx2 DELTA carrying the widened int64
+    replay(root, str(wal), spec=spec,
+           segments=[str(wal / "seg-00000.parquet")])
+    replay(root, str(wal), spec=spec, merge_mode="delta",
+           segments=[str(wal / "seg-00000.parquet"), str(wal / "seg-00001.parquet")])
+    rows = {r["k"]: r["score"] for r in
+            read_table(root, key="k", ts_col="ts").take_all()}
+    assert rows == {"a": 2**40, "b": 8, "c": 9}
+    m = LakeTable(root).read_manifest()
+    assert LakeTable(root).schema(m).field("score").type == pa.int64()

@@ -58,3 +58,34 @@ def test_approx_distinct_dataset(ray_session):
     ds = ray.data.range(100_000)  # column "id", all distinct
     est = approx_distinct(ds, "id", p=14)
     assert _err(est, 100_000) < 0.05
+
+
+def test_heavy_hitters_superset_and_bounds(ray_session):
+    import numpy as np
+    import ray
+
+    # skewed corpus: zipf-ish — a few hot items dominate
+    rng = np.random.default_rng(3)
+    hot = np.repeat([f"hot{i}" for i in range(5)], [40_000, 20_000, 10_000, 5_000, 2_500])
+    cold = np.array([f"cold{i}" for i in rng.integers(0, 50_000, size=80_000)])
+    vals = np.concatenate([hot, cold])
+    rng.shuffle(vals)
+    t = pa.table({"w": pa.array(vals.tolist(), pa.string())})
+    ds = ray.data.from_arrow(t).repartition(8)
+
+    from etl_ray.stages.sketch import heavy_hitters
+
+    out = heavy_hitters(ds, "w", k=10, m=2048)
+    got = dict(zip(out["item"].to_pylist(), out["count_lo"].to_pylist()))
+    # exact truth
+    import collections
+
+    truth = collections.Counter(vals.tolist())
+    for i in range(5):
+        name = f"hot{i}"
+        assert name in got  # superset property for real heavy hitters
+        lo = got[name]
+        hi = dict(zip(out["item"].to_pylist(), out["count_hi"].to_pylist()))[name]
+        assert lo <= truth[name] <= hi  # bracket holds
+    # hot items in rank order at the top
+    assert out["item"].to_pylist()[:5] == [f"hot{i}" for i in range(5)]
