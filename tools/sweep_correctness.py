@@ -17,8 +17,14 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import sys
 import traceback
+
+# Invoked as `python tools/sweep_correctness.py`, sys.path[0] is tools/;
+# __ray_entry__ and etl_ray live one level up (cwd must still be the repo
+# root so Ray WORKERS can import etl_ray).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import pandas as pd
