@@ -35,6 +35,8 @@ def _compact_partition(
     rel_file: str,
     watermark_lsn: int,
     watermark_ts_us: int | None = None,
+    key: str = "url",
+    ts_col: str = "warc_ts",
 ) -> dict:
     from ..stages.merge import _checksum
 
@@ -51,7 +53,7 @@ def _compact_partition(
         by_ts = pc.and_(
             tbl.column("_deleted"),
             pc.less_equal(
-                tbl.column("warc_ts").cast(pa.int64()),
+                tbl.column(ts_col).cast(pa.int64()),
                 pa.scalar(watermark_ts_us, pa.int64()),
             ),
         )
@@ -63,8 +65,8 @@ def _compact_partition(
     live = out.filter(pc.invert(out.column("_deleted")))
     lsn_np = out.column("_lsn").to_numpy(zero_copy_only=False)
     ck = _checksum(
-        live.column("url"),
-        live.column("warc_ts").cast(pa.int64()).to_numpy(zero_copy_only=False),
+        live.column(key),
+        live.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False),
         live.column("_lsn").to_numpy(zero_copy_only=False),
     )
     return {
@@ -96,6 +98,8 @@ def _compact_impl(
     *,
     assume_caught_up: bool = False,
     lateness_us: int | None = None,
+    key: str = "url",
+    ts_col: str = "warc_ts",
 ) -> dict:
     """Drop tombstones at or below ``watermark_lsn``.
 
@@ -157,7 +161,7 @@ def _compact_impl(
     futs = [
         _compact_partition.remote(
             lake_root, txid, int(pid), meta["file"], int(watermark_lsn),
-            watermark_ts_us,
+            watermark_ts_us, key, ts_col,
         )
         for pid, meta in manifest["partitions"].items()
         if not meta.get("deltas")

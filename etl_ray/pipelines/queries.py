@@ -966,15 +966,15 @@ def embedding_neardup_pairs(sf_dir: str):
     def pairs(batch: pa.Table) -> pa.Table:
         all_ids, all_m = ray.get(m_ref)
         bid = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        bm = _normalize(_to_matrix(batch, "embedding").astype(np.float64)) if len(bid) else np.zeros((0, all_m.shape[1]))
-        out_a, out_b = [], []
+        out_a = np.empty(0, np.int64)
+        out_b = np.empty(0, np.int64)
         if len(bid):
+            bm = _normalize(_to_matrix(batch, "embedding").astype(np.float64))
             sims = bm @ all_m.T  # (B, N)
             ii, jj = np.nonzero(sims >= 0.42)
-            for i, j in zip(ii.tolist(), jj.tolist()):
-                if bid[i] < all_ids[j]:
-                    out_a.append(int(bid[i]))
-                    out_b.append(int(all_ids[j]))
+            keep = bid[ii] < all_ids[jj]  # i<j once, vectorized
+            out_a = bid[ii][keep].astype(np.int64)
+            out_b = all_ids[jj][keep].astype(np.int64)
         return pa.table(
             {"id_a": pa.array(out_a, pa.int64()), "id_b": pa.array(out_b, pa.int64())}
         )

@@ -237,7 +237,10 @@ def ordered_cumsum(
 
         def __call__(self, g: pa.Table) -> pa.Table:
             if g.num_rows == 0:
-                return g.append_column(out_col, pa.array([], pa.int64()))
+                # match the non-empty branch's schema (_rbucket dropped)
+                return g.drop_columns(["_rbucket"]).append_column(
+                    out_col, pa.array([], pa.int64())
+                )
             b = int(g["_rbucket"][0].as_py())
             o = g[order_col].to_numpy(zero_copy_only=False)
             order = np.argsort(o, kind="stable")

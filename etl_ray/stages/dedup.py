@@ -508,7 +508,8 @@ def shingle_jaccard_pairs(
     # pair/marker partials once instead of re-running explode+shuffle twice.
     # Coalesce the 1024 bucket-group blocks first — downstream groupbys over
     # a thousand tiny blocks pay O(blocks^2) shuffle-fragment overhead.
-    tagged = tagged.repartition(32).materialize()
+    ncpu_blocks = int(ray.cluster_resources().get("CPU", 8))
+    tagged = tagged.repartition(max(8, min(256, ncpu_blocks))).materialize()
 
     # High-cardinality reduction: Ray's groupby().aggregate() costs
     # ~100us PER GROUP (measured: 1.3M distinct 2-int keys = 160s!), so

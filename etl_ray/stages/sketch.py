@@ -138,7 +138,8 @@ def heavy_hitters(ds, col: str, k: int = 20, m: int = 4096):
                 "item": items.cast(pa.string()),
                 "n": pa.array(cnt[keep].astype(np.int64), pa.int64()),
                 "pruned_max": pa.array(
-                    [pruned_max] + [0] * (len(keep) - 1), pa.int64()
+                    [pruned_max] + [0] * (len(keep) - 1) if len(keep) else [],
+                    pa.int64(),
                 ),
             }
         )

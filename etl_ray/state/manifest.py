@@ -369,9 +369,19 @@ class writer_lock:
                     raise WriterLockHeld(
                         f"writer lock {self.path} held by live pid {pid}"
                     )
-                # stale (holder crashed) — steal and retry
+                # Stale (holder crashed) — steal by ATOMICALLY renaming the
+                # stale file aside to a name unique to this stealer.  Two
+                # racing stealers both calling os.remove could each delete
+                # the OTHER's freshly created lock (TOCTOU); rename is
+                # atomic, so exactly one stealer wins the rename and the
+                # loser's retry sees whatever lock the winner creates.
+                aside = f"{self.path}.stale.{os.getpid()}"
                 try:
-                    os.remove(self.path)
+                    os.rename(self.path, aside)
+                except (FileNotFoundError, OSError):
+                    continue  # another stealer won the rename; retry
+                try:
+                    os.remove(aside)
                 except FileNotFoundError:
                     pass
         raise WriterLockHeld(f"could not acquire {self.path}")

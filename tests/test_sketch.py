@@ -89,3 +89,18 @@ def test_heavy_hitters_superset_and_bounds(ray_session):
         assert lo <= truth[name] <= hi  # bracket holds
     # hot items in rank order at the top
     assert out["item"].to_pylist()[:5] == [f"hot{i}" for i in range(5)]
+
+
+def test_heavy_hitters_empty_batch(ray_session):
+    """An empty block must not break the per-batch partial (round-3
+    advice: pruned_max had length 1 on a 0-row batch)."""
+    import ray
+
+    from etl_ray.stages.sketch import heavy_hitters
+
+    t = pa.table({"w": pa.array(["a", "a", "b"], pa.string())})
+    empty = pa.table({"w": pa.array([], pa.string())})
+    ds = ray.data.from_arrow([t, empty])
+    out = heavy_hitters(ds, "w", k=2, m=16)
+    assert out["item"].to_pylist() == ["a", "b"]
+    assert out["count_lo"].to_pylist() == [2, 1]

@@ -357,3 +357,25 @@ def test_composite_key_null_part_quarantined(ray_session, tmp_path):
     assert dlq.num_rows == 1
     assert dlq["reason"].to_pylist() == ["null_key"]
     assert dlq["lsn"].to_pylist() == [2]
+
+
+def test_compact_custom_tablespec(ray_session, tmp_path):
+    """compact(lateness_us=...) must honor a custom TableSpec's ts_col
+    (round-3 advice: the by_ts rule hardcoded warc_ts and KeyError'd)."""
+    from etl_ray.pipelines.maintenance import compact
+    from etl_ray.pipelines.replay import bootstrap_lake, read_table, replay
+
+    spec = _users_spec()
+    wal = tmp_path / "wal_c"
+    wal.mkdir()
+    _write_users_wal(wal)
+    root = str(tmp_path / "lake" / "users_c")
+    bootstrap_lake(root, None, num_partitions=4, schema=spec.schema_v0)
+    replay(root, str(wal), spec=spec)
+
+    # u2's tombstone (ts=300) is droppable under lateness 0: watermark =
+    # max applied event ts (300) - 0 = 300 >= 300
+    lin = compact(root, lateness_us=0, key="user_id", ts_col="ts")
+    assert lin["tombstones_dropped"] == 1
+    rows = sorted(r["user_id"] for r in read_table(root).take_all())
+    assert rows == ["u1", "u3"]

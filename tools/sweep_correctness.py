@@ -75,6 +75,10 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()  # also builds /tmp fixtures (cached)
+    only = os.environ.get("ETLRAY_SWEEP_ONLY")
+    if only:
+        names = {n.strip() for n in only.split(",") if n.strip()}
+        queries = {k: v for k, v in queries.items() if k in names}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
