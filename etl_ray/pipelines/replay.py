@@ -433,6 +433,64 @@ def _use_narrow(spec: TableSpec, unified: pa.Schema, n_events: int) -> bool:
     return wide and n_events >= int(os.environ.get("ETLRAY_NARROW_MIN", "1000000"))
 
 
+def _make_fused_read(combiner, batch_size: int, columns: list[str] | None = None):
+    """Task body fusing the segment READ into the combiner.
+
+    Ray 2.49's planner never fuses ReadParquet with a downstream
+    MapBatches (measured: the read always materializes its output
+    blocks), so the wide WAL payload would round-trip the object store
+    once before the combiner even runs — at the bench fixture that is
+    ~2.4 GB of pure plasma traffic, and at 10^10 events it is the
+    corpus.  Feeding a dataset of (path, row-group range) items to ONE
+    map_batches that reads and combines in the same task removes that
+    round trip; each task streams its row groups through the combiner
+    and yields compacted batches straight into the shuffle.
+    """
+
+    def read_combine(items: pa.Table):
+        for path, lo, hi in zip(
+            items.column("path").to_pylist(),
+            items.column("rg_lo").to_pylist(),
+            items.column("rg_hi").to_pylist(),
+        ):
+            pf = pq.ParquetFile(path)
+            cols = (
+                [c for c in columns if c in pf.schema_arrow.names]
+                if columns is not None
+                else None
+            )
+            for rb in pf.iter_batches(
+                batch_size=batch_size,
+                row_groups=list(range(lo, hi)),
+                columns=cols,
+            ):
+                out = combiner(pa.Table.from_batches([rb]))
+                if out.num_rows:
+                    yield out
+
+    return read_combine
+
+
+def _fused_read_items(
+    chunk: list[str], seg_md, ncpu: int, n_blocks: int
+) -> list[dict]:
+    """Split segments into ~n_blocks read units on row-group boundaries
+    so one giant segment cannot serialize the scan."""
+    total_rgs = sum(md.num_row_groups for md in seg_md)
+    per_unit = max(1, total_rgs // max(n_blocks, 1))
+    items = []
+    for path, md in zip(chunk, seg_md):
+        nrg = md.num_row_groups
+        lo = 0
+        while lo < nrg:
+            hi = min(nrg, lo + per_unit)
+            items.append({"path": path, "rg_lo": lo, "rg_hi": hi})
+            lo = hi
+        if nrg == 0:
+            items.append({"path": path, "rg_lo": 0, "rg_hi": 0})
+    return items
+
+
 def _make_winner_filter(winner_ref):
     """Per-batch membership filter against the broadcast sorted winner-LSN
     array (ray.put once per tx; zero-copy numpy view in every task)."""
@@ -467,6 +525,12 @@ def replay(
     already-applied segments are skipped via the manifest ledger; a crash
     between staging and commit leaves the previous state intact.
 
+    ``wal_dir`` accepts a directory path or any
+    ``sources.wal.SegmentSource`` implementation (e.g. a broker-backed
+    source with consumer-offset semantics); replay consumes only the
+    protocol's ``pending(applied)`` and re-asks after every transaction,
+    so segments may keep arriving — in any order — while the loop runs.
+
     ``merge_mode``: ``"rewrite"`` (default) rewrites each touched
     partition's full state per transaction; ``"delta"`` stages only the
     tx's compacted change rows as merge-on-read delta files (O(changes)
@@ -474,11 +538,20 @@ def replay(
     back with ``maintenance.compact_deltas``).  ``ETLRAY_MERGE_MODE``
     overrides the default when the argument is None.  Final table state
     is identical either way (differential-tested)."""
+    from ..sources.wal import DirectorySource, StaticSource
     from ..state.manifest import writer_lock
 
     lake = LakeTable(lake_root)
     stats = ReplayStats()
-    all_segs = segments if segments is not None else list_segments(wal_dir)
+    # wal_dir may be a directory path OR any SegmentSource implementation
+    # (sources/wal.py protocol, duck-typed on pending()) — replay
+    # consumes only pending()
+    if hasattr(wal_dir, "pending"):
+        source = wal_dir
+    elif segments is not None:
+        source = StaticSource(segments)
+    else:
+        source = DirectorySource(wal_dir)
     if merge_mode is None:
         merge_mode = os.environ.get("ETLRAY_MERGE_MODE", "rewrite")
     if merge_mode not in ("rewrite", "delta"):
@@ -491,7 +564,10 @@ def replay(
     with writer_lock(lake_root):
         while True:
             manifest = lake.read_manifest()
-            pending = lake.pending_segments(all_segs, manifest)
+            applied = {
+                os.path.basename(s) for s in manifest["applied_segments"]
+            }
+            pending = source.pending(applied)
             if not pending:
                 break
             chunk = (
@@ -526,6 +602,8 @@ def follow(
     max_polls: int | None = None,
     idle_exit_after: int | None = None,
     fold_chain_over: int | None = None,
+    metrics: "callable | None" = None,
+    metrics_path: str | None = None,
     **replay_kwargs,
 ) -> ReplayStats:
     """Continuous tailing: poll the WAL dir for new segments and replay
@@ -540,14 +618,27 @@ def follow(
     ``fold_chain_over``: with ``merge_mode="delta"``, automatically fold
     any partition whose merge-on-read chain exceeds this many delta
     files after a poll that applied segments (bounds read amplification
-    during indefinite tailing; each fold is its own manifest tx)."""
+    during indefinite tailing; each fold is its own manifest tx).
+
+    **Metrics**: every poll emits one JSON-able record — throughput
+    (events applied this poll, seconds, events/s), lag (pending segments
+    and their total rows, from footers), merge-on-read chain lengths
+    (max/total deltas), cumulative DLQ row count, live rows and schema
+    version — the reference's aspirational "pipeline throughput metrics"
+    (`/root/reference/README.md:168`) done continuously.  Provide a
+    ``metrics`` callback and/or a ``metrics_path`` file (one JSON line
+    per poll, append).
+    """
+    import json as _json
     import time
 
     total = ReplayStats()
     idle = 0
     polls = 0
     while True:
+        t0 = time.perf_counter()
         stats = replay(lake_root, wal_dir, **replay_kwargs)
+        dt = time.perf_counter() - t0
         total.transactions += stats.transactions
         total.events_applied += stats.events_applied
         total.segments_applied += stats.segments_applied
@@ -565,12 +656,70 @@ def follow(
             )
         idle = idle + 1 if stats.segments_applied == 0 else 0
         polls += 1
+        if metrics is not None or metrics_path is not None:
+            rec = _follow_metrics_record(
+                lake_root, wal_dir, stats, dt, polls,
+                segments=replay_kwargs.get("segments"),
+            )
+            if metrics is not None:
+                metrics(rec)
+            if metrics_path is not None:
+                with open(metrics_path, "a") as f:
+                    f.write(_json.dumps(rec) + "\n")
         if idle_exit_after is not None and idle >= idle_exit_after:
             break
         if max_polls is not None and polls >= max_polls:
             break
         time.sleep(poll_interval)
     return total
+
+
+def _follow_metrics_record(
+    lake_root: str,
+    wal_dir,
+    stats: ReplayStats,
+    seconds: float,
+    poll: int,
+    segments: list[str] | None = None,
+) -> dict:
+    """One poll's observability record (see follow()).  Lag rows come
+    from pending segments' parquet footers — O(pending) metadata reads,
+    no data scanned."""
+    from ..sources.wal import (
+        DirectorySource,
+        StaticSource,
+        segment_row_count,
+    )
+
+    if hasattr(wal_dir, "pending"):
+        source = wal_dir
+    elif segments is not None:
+        source = StaticSource(segments)
+    else:
+        source = DirectorySource(wal_dir)
+    lake = LakeTable(lake_root)
+    m = lake.read_manifest()
+    applied = {os.path.basename(s) for s in m["applied_segments"]}
+    pending = source.pending(applied)
+    lag_rows = sum(segment_row_count(p) for p in pending)
+    chains = [len(p.get("deltas", [])) for p in m["partitions"].values()]
+    return {
+        "poll": poll,
+        "transactions": stats.transactions,
+        "events_applied": stats.events_applied,
+        "segments_applied": stats.segments_applied,
+        "seconds": round(seconds, 3),
+        "events_per_sec": round(stats.events_applied / seconds, 1)
+        if seconds > 0
+        else None,
+        "lag_segments": len(pending),
+        "lag_rows": int(lag_rows),
+        "chain_max": max(chains) if chains else 0,
+        "chain_total": sum(chains),
+        "dlq_rows": int(sum(e.get("rows", 0) for e in m.get("dlq", []))),
+        "rows_live": stats.rows_live,
+        "schema_version": stats.schema_version,
+    }
 
 
 @dataclass
@@ -696,6 +845,13 @@ def _replay_one_tx(
         seg_ranges.append((int(lo or 0), int(hi or 0)))
 
     use_narrow = _use_narrow(spec, unified_wal, n_events_est)
+    # fused read (default on; ETLRAY_FUSED_READ=0 reverts to the
+    # ReadParquet operator): see _make_fused_read
+    fused_items = (
+        _fused_read_items(chunk, seg_md, ncpu, n_blocks)
+        if os.environ.get("ETLRAY_FUSED_READ", "1") != "0"
+        else None
+    )
     with _cpu_headroom(ncpu):
         winner_ref = None
         if use_narrow:
@@ -708,21 +864,30 @@ def _replay_one_tx(
 
             ncols = _narrow_event_cols(spec)
             nschema = pa.schema([unified_wal.field(c) for c in ncols])
-            with _plan_lock:
-                nds = ray.data.read_parquet(
-                    chunk, schema=nschema, columns=ncols,
-                    override_num_blocks=n_blocks,
-                )
-            nds = nds.map_batches(
-                _make_combiner(
-                    num_partitions, eff_salt, nschema, combine, spec,
-                    applied_ranges=_merged_lsn_ranges(
-                        manifest["applied_lsn_ranges"]
-                    ),
+            comb1 = _make_combiner(
+                num_partitions, eff_salt, nschema, combine, spec,
+                applied_ranges=_merged_lsn_ranges(
+                    manifest["applied_lsn_ranges"]
                 ),
-                batch_format="pyarrow",
-                batch_size=batch_size,
             )
+            if fused_items is not None:
+                with _plan_lock:
+                    nds = ray.data.from_items(
+                        fused_items, override_num_blocks=len(fused_items)
+                    )
+                nds = nds.map_batches(
+                    _make_fused_read(comb1, batch_size, columns=ncols),
+                    batch_format="pyarrow",
+                )
+            else:
+                with _plan_lock:
+                    nds = ray.data.read_parquet(
+                        chunk, schema=nschema, columns=ncols,
+                        override_num_blocks=n_blocks,
+                    )
+                nds = nds.map_batches(
+                    comb1, batch_format="pyarrow", batch_size=batch_size
+                )
             if use_salt:
                 nds = nds.groupby(["pid", "salt"]).map_groups(
                     _make_salted_reduce(spec), batch_format="pyarrow"
@@ -750,9 +915,14 @@ def _replay_one_tx(
             winner_ref = _ray.put(wlsns)
 
         with _plan_lock:
-            ds = ray.data.read_parquet(
-                chunk, schema=unified_wal, override_num_blocks=n_blocks
-            )
+            if fused_items is not None:
+                ds = ray.data.from_items(
+                    fused_items, override_num_blocks=len(fused_items)
+                )
+            else:
+                ds = ray.data.read_parquet(
+                    chunk, schema=unified_wal, override_num_blocks=n_blocks
+                )
         # Shuffle strategy for the pid exchange (ETLRAY_SHUFFLE=hash|sort,
         # default sort).  hash = streaming hash-shuffle into aggregator
         # actors (no global sort barrier; merge can overlap the read +
@@ -784,28 +954,40 @@ def _replay_one_tx(
             # no per-batch combine and no salt (winners are one row per
             # key; identical redelivered copies inside one chunk are
             # deduped by MergePartition's entry compaction).
-            ds = ds.map_batches(
-                _make_winner_filter(winner_ref),
-                batch_format="pyarrow",
-                batch_size=batch_size,
+            wfilter = _make_winner_filter(winner_ref)
+            comb2 = _make_combiner(
+                num_partitions, 0, unified_wal, False, spec,
+                applied_ranges=None,
             )
-            ds = ds.map_batches(
-                _make_combiner(
-                    num_partitions, 0, unified_wal, False, spec,
-                    applied_ranges=None,
-                ),
-                batch_format="pyarrow",
-                batch_size=batch_size,
-            )
+            if fused_items is not None:
+
+                def filtered_comb2(batch: pa.Table) -> pa.Table:
+                    return comb2(wfilter(batch))
+
+                ds = ds.map_batches(
+                    _make_fused_read(filtered_comb2, batch_size),
+                    batch_format="pyarrow",
+                )
+            else:
+                ds = ds.map_batches(
+                    wfilter, batch_format="pyarrow", batch_size=batch_size
+                )
+                ds = ds.map_batches(
+                    comb2, batch_format="pyarrow", batch_size=batch_size
+                )
         else:
-            ds = ds.map_batches(
-                _make_combiner(
-                    num_partitions, eff_salt, unified_wal, combine, spec,
-                    applied_ranges=_merged_lsn_ranges(manifest["applied_lsn_ranges"]),
-                ),
-                batch_format="pyarrow",
-                batch_size=batch_size,
+            comb = _make_combiner(
+                num_partitions, eff_salt, unified_wal, combine, spec,
+                applied_ranges=_merged_lsn_ranges(manifest["applied_lsn_ranges"]),
             )
+            if fused_items is not None:
+                ds = ds.map_batches(
+                    _make_fused_read(comb, batch_size), batch_format="pyarrow"
+                )
+            else:
+                ds = ds.map_batches(
+                    comb, batch_format="pyarrow", batch_size=batch_size
+                )
             if use_salt:
                 ds = ds.groupby(["pid", "salt"], num_partitions=gb_parts).map_groups(
                     _make_salted_reduce(spec), batch_format="pyarrow"

@@ -46,3 +46,58 @@ def read_segments(paths: list[str], schema=None):
     import ray.data
 
     return ray.data.read_parquet(paths, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# pluggable segment source protocol
+# ---------------------------------------------------------------------------
+
+
+class SegmentSource:
+    """Minimal protocol between ``replay``/``follow`` and whatever
+    publishes WAL segments.
+
+    ``pending(applied)`` returns the ordered list of segment paths/URIs
+    that are published but whose ids (basenames) are not in ``applied``
+    (the lake ledger's committed set).  ``replay`` re-asks after every
+    transaction, so a source may keep publishing — including OUT OF
+    ORDER — while a replay loop runs; event-level exactly-once and
+    per-segment LSN ranges make late/out-of-order publication safe.
+
+    A message-broker implementation maps naturally: topic partitions
+    -> segment ids, consumer committed offsets -> the ``applied`` set
+    (the reference's consumer group protocol,
+    `src/pipeline/core/kafka_multi_consumer.py:33-129` in
+    /root/reference).  The directory listing below is the default.
+    """
+
+    def pending(self, applied: set[str]) -> list[str]:  # pragma: no cover
+        raise NotImplementedError
+
+
+class DirectorySource(SegmentSource):
+    """The simulated-WAL default: a directory of parquet segments; the
+    new-file predicate is a listing diff against the ledger (reference:
+    `src/pipeline/core/client_clickhouse.py:193`)."""
+
+    def __init__(self, wal_dir: str):
+        self.wal_dir = wal_dir
+
+    def pending(self, applied: set[str]) -> list[str]:
+        return [
+            s
+            for s in list_segments(self.wal_dir)
+            if os.path.basename(s) not in applied
+        ]
+
+
+class StaticSource(SegmentSource):
+    """A fixed, explicitly ordered segment list (replay(segments=...))."""
+
+    def __init__(self, segments: list[str]):
+        self.segments = list(segments)
+
+    def pending(self, applied: set[str]) -> list[str]:
+        return [
+            s for s in self.segments if os.path.basename(s) not in applied
+        ]

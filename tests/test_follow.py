@@ -39,3 +39,82 @@ def test_follow_picks_up_new_segments(ray_session, small_wal, tmp_path):
     assert stats.transactions >= 2  # applied across multiple polls
     oracle = replay_oracle(small_wal["base"], segs)
     assert read_table_arrow(root).equals(oracle)
+
+
+class _FakeBroker:
+    """In-memory broker-style SegmentSource: segments become visible in
+    explicit publish() bursts — including OUT OF ORDER relative to their
+    WAL (lsn) order — mimicking a consumer seeing late partitions."""
+
+    def __init__(self):
+        self.published: list[str] = []
+
+    def publish(self, *paths: str):
+        self.published.extend(paths)
+
+    def pending(self, applied: set[str]) -> list[str]:
+        return [
+            s
+            for s in self.published
+            if os.path.basename(s) not in applied
+        ]
+
+
+def test_fake_broker_source_out_of_order(ray_session, small_wal, tmp_path):
+    """replay consumes only SegmentSource.pending(); out-of-order segment
+    publication across replay calls still converges to the oracle."""
+    from etl_ray.pipelines.replay import bootstrap_lake, read_table_arrow, replay
+
+    root = str(tmp_path / "lake_broker" / "pages")
+    bootstrap_lake(root, small_wal["base"], num_partitions=8)
+    segs = small_wal["segments"]
+
+    broker = _FakeBroker()
+    # publish LAST segments first, then the earlier ones — late events
+    # (older warc_ts in earlier segments) must not win over the applied
+    broker.publish(*segs[3:])
+    s1 = replay(root, broker)
+    assert s1.segments_applied == len(segs) - 3
+    broker.publish(*segs[:3])  # older segments arrive late
+    s2 = replay(root, broker)
+    assert s2.segments_applied == 3
+
+    oracle = replay_oracle(small_wal["base"], segs)
+    assert read_table_arrow(root).equals(oracle)
+    # broker source replays are idempotent too
+    assert replay(root, broker).transactions == 0
+
+
+def test_follow_emits_metrics(ray_session, small_wal, tmp_path):
+    """Per-poll observability records: throughput, lag, chains, DLQ."""
+    import json
+
+    from etl_ray.pipelines.replay import bootstrap_lake, follow
+
+    root = str(tmp_path / "lake_metrics" / "pages")
+    bootstrap_lake(root, small_wal["base"], num_partitions=8)
+    wal = str(tmp_path / "wal_metrics")
+    os.makedirs(wal)
+    segs = small_wal["segments"]
+    for s in segs[:2]:
+        shutil.copy(s, wal)
+
+    records = []
+    mpath = str(tmp_path / "metrics.jsonl")
+    follow(
+        root, wal, poll_interval=0.1, idle_exit_after=2,
+        metrics=records.append, metrics_path=mpath,
+        max_segments_per_tx=1,
+    )
+    assert len(records) >= 2
+    first = records[0]
+    assert first["segments_applied"] == 2
+    assert first["transactions"] == 2  # max_segments_per_tx=1
+    assert first["events_applied"] > 0
+    assert first["events_per_sec"] > 0
+    assert first["lag_segments"] == 0 and first["lag_rows"] == 0
+    assert first["dlq_rows"] == 0 and first["chain_max"] == 0
+    assert records[-1]["segments_applied"] == 0  # idle polls report too
+    # file sink carries the same records
+    lines = [json.loads(l) for l in open(mpath)]
+    assert lines == records
