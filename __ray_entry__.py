@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram_events": Q.histogram_events,
         "percentile_gate_docs": Q.percentile_gate_docs,
         "tfidf_docs": Q.tfidf_docs,
+        # column-level partial-image upserts (coalesce merge) — round 4
+        "coalesce_upsert_users": Q.coalesce_upsert_users,
     }
 
 
@@ -136,6 +138,7 @@ def oracle_sql() -> dict[str, str]:
     Q._pii_fixture_path()
     Q._cdc_fixture(*Q._CDC_SIZES["sf0.01"])
     dlq_root = Q._dlq_fixture()
+    partial_root = Q._partial_wal_fixture()
     truth = Q._dedup_truth_fixture("/root/testdata/sf0.01")
     return {
         "q1_pricing_summary": """
@@ -721,6 +724,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
                    CAST(count(*) AS BIGINT) AS n
             FROM events GROUP BY bin
+        """,
+        # per-column arg_max after the key's last delete — the SQL
+        # statement of the coalesce (partial-image) merge contract
+        "coalesce_upsert_users": f"""
+            WITH ev AS (
+              SELECT *, CAST(epoch_us(ts) AS HUGEINT) * 1000000 + lsn AS p
+              FROM read_parquet('{partial_root}/wal/*.parquet')
+            ),
+            d AS (
+              SELECT user_id,
+                     coalesce(max(p) FILTER (op = 'delete'),
+                              CAST(-1 AS HUGEINT)) AS dp
+              FROM ev GROUP BY user_id
+            ),
+            u AS (
+              SELECT e.user_id,
+                     arg_max(e.ts, e.p) FILTER (
+                       e.op <> 'delete' AND e.p > d.dp) AS ts,
+                     arg_max(e.email, e.p) FILTER (e.op <> 'delete'
+                       AND e.p > d.dp AND e.email IS NOT NULL) AS email,
+                     arg_max(e.city, e.p) FILTER (e.op <> 'delete'
+                       AND e.p > d.dp AND e.city IS NOT NULL) AS city,
+                     arg_max(e.score, e.p) FILTER (e.op <> 'delete'
+                       AND e.p > d.dp AND e.score IS NOT NULL) AS score,
+                     count(*) FILTER (
+                       e.op <> 'delete' AND e.p > d.dp) AS n_up
+              FROM ev e JOIN d USING (user_id)
+              GROUP BY e.user_id
+            )
+            SELECT user_id, ts, email, city, score
+            FROM u WHERE n_up > 0
         """,
         "percentile_gate_docs": r"""
             WITH toks AS (

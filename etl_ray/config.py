@@ -31,6 +31,12 @@ class TableSpec:
     # (null key, null ts, op outside insert/update/delete) —
     # stages/validate.event_reasons
     validate: Callable[[pa.Table], pa.Array] | None = None
+    # column-level partial-image upserts: update events carry only the
+    # changed columns non-null; the merge coalesces per column (latest
+    # non-null under (ts_col, lsn), deletes reset) instead of whole-row
+    # LWW — stages/coalesce.py.  Rewrite merge mode only; incompatible
+    # with derive_text (a coalesced html could silently orphan text).
+    coalesce_partial: bool = False
 
 
 REGISTRY: dict[str, TableSpec] = {}

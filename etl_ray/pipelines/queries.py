@@ -2052,3 +2052,112 @@ def percentile_gate_docs(sf_dir: str):
         lambda t: t.filter(pc.greater_equal(t["n_tokens"], gate)),
         batch_format="pyarrow",
     )
+
+
+def _partial_wal_fixture() -> str:
+    """Deterministic partial-image CDC WAL fixture (user profiles):
+    4000 events over 200 users in 8 segments; updates set a random
+    non-empty column subset (unset columns null = "unchanged"), ~8%
+    deletes.  Shared by the engine query and the DuckDB oracle (the
+    per-column arg_max SQL) — fixed size at every sf.  Atomic publish."""
+    import random
+    import tempfile
+
+    import pyarrow.parquet as pq_
+
+    root = os.path.join(tempfile.gettempdir(), "etlray_partialwal_v1")
+    wal = os.path.join(root, "wal")
+    if not os.path.exists(wal):
+        tmp_root = f"{root}.tmp.{os.getpid()}"
+        os.makedirs(os.path.join(tmp_root, "wal"), exist_ok=True)
+        rng = random.Random(404)
+        cols = ["email", "city", "score"]
+        schema = pa.schema(
+            [
+                ("lsn", pa.int64()),
+                ("op", pa.string()),
+                ("user_id", pa.string()),
+                ("ts", pa.timestamp("us")),
+                ("email", pa.string()),
+                ("city", pa.string()),
+                ("score", pa.float64()),
+            ]
+        )
+        evs = []
+        for i in range(4000):
+            uid = f"u{rng.randrange(200):04d}"
+            ts = 1_700_000_000_000_000 + rng.randrange(20_000) * 1_000_000
+            if rng.random() < 0.08:
+                evs.append(dict(lsn=i + 1, op="delete", user_id=uid, ts=ts))
+                continue
+            ev = dict(
+                lsn=i + 1,
+                op=rng.choice(["insert", "update"]),
+                user_id=uid,
+                ts=ts,
+            )
+            subset = [c for c in cols if rng.random() < 0.5] or [
+                rng.choice(cols)
+            ]
+            for c in subset:
+                ev[c] = (
+                    round(rng.uniform(0, 100), 6)
+                    if c == "score"
+                    else f"{c}-{rng.randrange(64)}"
+                )
+            evs.append(ev)
+        per = 500
+        for s in range(8):
+            part = evs[s * per : (s + 1) * per]
+            tbl = pa.table(
+                {
+                    f.name: pa.array([e.get(f.name) for e in part], f.type)
+                    for f in schema
+                },
+                schema=schema,
+            )
+            pq_.write_table(
+                tbl, os.path.join(tmp_root, "wal", f"seg-{s:05d}.parquet")
+            )
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp_root, ignore_errors=True)
+    return root
+
+
+def coalesce_upsert_users(sf_dir: str):
+    """Column-level partial-image upserts end-to-end
+    (TableSpec.coalesce_partial, stages/coalesce.py): replay the partial
+    WAL fixture into a fresh lake — per key and per column the latest
+    non-null value under (ts, lsn) after the key's last delete — and
+    serve the live rows.  Oracle: per-column arg_max FILTER SQL over the
+    same segment files.  Reference analogue: per-row ALTER TABLE UPDATE
+    of selected columns (`src/pipeline/core/spark.py:160-176`)."""
+    from ..config import TableSpec
+    from .replay import bootstrap_lake, read_table_arrow, replay
+
+    root = _partial_wal_fixture()
+    spec = TableSpec(
+        name="users_partial",
+        key="user_id",
+        ts_col="ts",
+        schema_v0=pa.schema(
+            [
+                ("user_id", pa.string()),
+                ("ts", pa.timestamp("us")),
+                ("email", pa.string()),
+                ("city", pa.string()),
+                ("score", pa.float64()),
+            ]
+        ),
+        derive_text=False,
+        coalesce_partial=True,
+    )
+    lake_root = os.path.join(root, "lake", f"c{os.getpid()}", "users")
+    bootstrap_lake(lake_root, None, num_partitions=8, schema=spec.schema_v0)
+    replay(lake_root, os.path.join(root, "wal"), spec=spec)
+    out = read_table_arrow(lake_root, key="user_id", ts_col="ts")
+    return out.select(["user_id", "ts", "email", "city", "score"])

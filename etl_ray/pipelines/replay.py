@@ -322,8 +322,25 @@ def _make_combiner(
         batch = conform(batch, unified)
         for c in extras_cols:
             batch = batch.append_column(c, kept[c])
+        if spec.coalesce_partial:
+            # partial-image tables ship STATE ROWS through the shuffle
+            # (per-column (ts, lsn) positions — stages/coalesce.py); the
+            # per-batch fold is the coalesce analogue of lww_compact
+            from ..stages.coalesce import fold_states, to_state
+
+            pcols = [
+                c
+                for c in batch.column_names
+                if c not in ("lsn", "op", spec.key, spec.ts_col)
+            ]
+            batch = to_state(batch, spec.key, spec.ts_col, pcols)
+            if combine:
+                batch = fold_states(batch, spec.key, spec.ts_col, pcols)
+            batch = batch.append_column(
+                "op", pa.nulls(batch.num_rows, pa.string())
+            )
         batch = add_partition_cols(batch, num_partitions, salt, key=spec.key)
-        if combine:
+        if combine and not spec.coalesce_partial:
             # per-batch LWW compaction: the "combiner" — bounds any key's
             # post-shuffle row count by the number of batches, shrinking
             # both the shuffle and hot-key groups (SURVEY.md §4 skew row)
@@ -366,7 +383,57 @@ def _make_salted_reduce(spec: TableSpec):
     def salted_reduce(group: pa.Table) -> pa.Table:
         return lww_compact(group, spec.key, order_by=(spec.ts_col, "lsn"))
 
-    return salted_reduce
+    if not spec.coalesce_partial:
+        return salted_reduce
+
+    def salted_coalesce(group: pa.Table) -> pa.Table:
+        # state rows: the fold is the salted pre-reduce (associative);
+        # quarantined rows and the carried pid/salt/op pass through
+        from ..stages.coalesce import fold_states
+        from ..stages.validate import DLQ_COL
+
+        carried = [
+            c for c in ("pid", "salt", "op", DLQ_COL)
+            if c in group.column_names
+        ]
+        if group.num_rows == 0:
+            return group
+        bad_mask = (
+            pc.is_valid(group.column(DLQ_COL))
+            if DLQ_COL in group.column_names
+            else None
+        )
+        bad = None
+        if bad_mask is not None and pc.any(bad_mask).as_py():
+            bad = group.filter(bad_mask)
+            group = group.filter(pc.invert(bad_mask))
+        pcols = [
+            c
+            for c in group.column_names
+            if c not in (spec.key, spec.ts_col, "lsn", *carried)
+            and not c.startswith(("_cts__", "_clsn__", "_up_", "_del_"))
+        ]
+        body = group.drop_columns(carried)
+        folded = fold_states(body, spec.key, spec.ts_col, pcols)
+        n = folded.num_rows
+        for c in carried:
+            if c in ("pid", "salt"):
+                # constant within a (pid, salt) group
+                folded = folded.append_column(
+                    c, pa.array([group.column(c)[0].as_py()] * n, pa.int32())
+                )
+            else:
+                folded = folded.append_column(
+                    c, pa.nulls(n, group.schema.field(c).type)
+                )
+        folded = folded.select(group.column_names)
+        return (
+            pa.concat_tables([folded, bad.select(group.column_names)])
+            if bad is not None
+            else folded
+        )
+
+    return salted_coalesce
 
 
 # ---------------------------------------------------------------------------
@@ -411,6 +478,11 @@ def _use_narrow(spec: TableSpec, unified: pa.Schema, n_events: int) -> bool:
     if env == "0":
         return False
     if spec.normalize is not None or spec.validate is not None:
+        return False
+    if spec.coalesce_partial:
+        # a partial image is NOT superseded by a later event unless that
+        # event sets the same columns — winner-only fetch would drop
+        # contributing images
         return False
     need = _narrow_event_cols(spec)
     if any(c not in unified.names for c in need):
@@ -556,6 +628,19 @@ def replay(
         merge_mode = os.environ.get("ETLRAY_MERGE_MODE", "rewrite")
     if merge_mode not in ("rewrite", "delta"):
         raise ValueError(f"merge_mode must be 'rewrite' or 'delta', got {merge_mode!r}")
+    if spec.coalesce_partial:
+        if merge_mode == "delta":
+            raise NotImplementedError(
+                "coalesce_partial tables support rewrite merge mode only "
+                "(a delta chain would need the coalesce fold on the read "
+                "path; fold chains are a future capability)"
+            )
+        if spec.derive_text:
+            raise NotImplementedError(
+                "coalesce_partial is incompatible with derive_text: a "
+                "partial image updating html would silently orphan the "
+                "derived text — set derive_text=False on the TableSpec"
+            )
 
     # single-writer guard: two uncoordinated replays would both stage
     # tx N+1 and the loser's commit would be silently discarded by the
@@ -997,6 +1082,7 @@ def _replay_one_tx(
             lake.root, txid, target_schema, manifest["partitions"],
             key=spec.key, ts_col=spec.ts_col, derive_text=spec.derive_text,
             delta=(merge_mode == "delta"),
+            coalesce=spec.coalesce_partial,
         )
         # retry application exceptions too: a merge task is side-effect-safe
         # (deterministic staging path, overwrite on retry), so transient I/O
@@ -1213,18 +1299,23 @@ def get_rows(
     return out.take(pc.sort_indices(out, sort_keys=[(key, "ascending")]))
 
 
-def read_table_arrow(lake_root: str, at_txid: str | None = None) -> pa.Table:
-    """Materialized, url-sorted snapshot — for tests/small results only."""
+def read_table_arrow(
+    lake_root: str,
+    at_txid: str | None = None,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+) -> pa.Table:
+    """Materialized, key-sorted snapshot — for tests/small results only."""
     lake = LakeTable(lake_root)
     schema = lake.schema(lake.manifest_at(at_txid)) if at_txid is not None else lake.schema()
     batches = [
         b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        for b in read_table(lake_root, at_txid).iter_batches(batch_format="pyarrow")
+        for b in read_table(lake_root, at_txid, key=key, ts_col=ts_col).iter_batches(batch_format="pyarrow")
     ]
     if not batches:
         return schema.empty_table()
     out = pa.concat_tables([conform(b, schema) for b in batches])
-    return out.take(pc.sort_indices(out, sort_keys=[("url", "ascending")]))
+    return out.take(pc.sort_indices(out, sort_keys=[(key, "ascending")]))
 
 
 def read_dlq(lake_root: str) -> pa.Table:

@@ -197,8 +197,11 @@ class MergePartition:
         ts_col: str = "warc_ts",
         derive_text: bool = True,
         delta: bool = False,
+        coalesce: bool = False,
     ):
-        self.__name__ = "MergeDelta" if delta else "MergePartition"
+        self.__name__ = "MergeDelta" if delta else (
+            "MergeCoalesce" if coalesce else "MergePartition"
+        )
         self.lake_root = lake_root
         self.txid = txid
         self.schema = target_schema
@@ -207,6 +210,7 @@ class MergePartition:
         self.ts_col = ts_col
         self.derive_text = derive_text
         self.delta = delta
+        self.coalesce = coalesce
 
     def __call__(self, group: pa.Table) -> pa.Table:
         from ..state.schema_registry import conform
@@ -222,6 +226,19 @@ class MergePartition:
         changes, dlq = split_dlq(changes)
         dlq_rows = 0
         if dlq is not None:
+            if self.coalesce:
+                # quarantined rows ride the state-row shuffle with unset
+                # per-column metadata — drop it from the staged DLQ file
+                from .coalesce import STATE_META
+
+                dlq = dlq.drop_columns(
+                    [
+                        c
+                        for c in dlq.column_names
+                        if c in STATE_META
+                        or c.startswith(("_cts__", "_clsn__"))
+                    ]
+                )
             dlq = dlq.rename_columns(
                 [
                     "reason" if c == "_dlq_reason" else c
@@ -234,6 +251,8 @@ class MergePartition:
             os.makedirs(os.path.dirname(dlq_path), exist_ok=True)
             pq.write_table(dlq, dlq_path)  # deterministic path: retry-safe
             dlq_rows = dlq.num_rows
+        if self.coalesce:
+            return self._merge_coalesce(pid, changes, dlq_rows)
         changes = lww_compact(changes, self.key, order_by=(self.ts_col, "lsn"))
 
         ops = changes.column("op")
@@ -317,3 +336,122 @@ class MergePartition:
 
     def _lww_stored(self, tbl: pa.Table) -> pa.Table:
         return lww_compact(tbl, self.key, order_by=(self.ts_col, "_lsn"))
+
+    # -- column-level partial-image merge (stages/coalesce.py) ------------
+
+    def _align_state(self, state: pa.Table, pcols: list[str]) -> pa.Table:
+        """Project state rows to the target payload schema's columns and
+        types (null+UNSET-fill columns the rows never saw — additive
+        schema evolution)."""
+        from .coalesce import STATE_META, UNSET, col_meta_names
+
+        n = state.num_rows
+        cols: dict = {
+            self.key: state.column(self.key).cast(
+                self.schema.field(self.key).type
+            ),
+            self.ts_col: state.column(self.ts_col).cast(
+                self.schema.field(self.ts_col).type
+            ),
+        }
+        for m in STATE_META:
+            cols[m] = state.column(m)
+        cols["lsn"] = state.column("lsn")
+        unset = pa.array(np.full(n, UNSET, np.int64), pa.int64())
+        for c in pcols:
+            typ = self.schema.field(c).type
+            cts, clsn = col_meta_names(c)
+            if c in state.column_names and not pa.types.is_null(
+                state.column(c).type
+            ):
+                cols[c] = state.column(c).cast(typ)
+            else:
+                cols[c] = pa.nulls(n, typ)
+            if cts in state.column_names:
+                cols[cts] = state.column(cts)
+                cols[clsn] = state.column(clsn)
+            else:
+                cols[cts] = unset
+                cols[clsn] = unset
+        return pa.table(cols)
+
+    def _merge_coalesce(
+        self, pid: int, changes: pa.Table, dlq_rows: int
+    ) -> pa.Table:
+        """Per-partition coalesce merge: fold incoming state rows with the
+        stored state (same associative kernel as the combiner), stage the
+        folded state file, return the lineage row."""
+        from ..state.schema_registry import conform  # noqa: F401 (parity)
+        from .coalesce import conform_state, finalize_states, fold_states, payload_columns
+
+        pcols = payload_columns(self.schema, self.key, self.ts_col)
+        ch = changes.drop_columns(
+            [c for c in ("op",) if c in changes.column_names]
+        )
+        inputs = []
+        if ch.num_rows:
+            inputs.append(self._align_state(ch, pcols))
+        cur_meta = self.partitions.get(str(pid))
+        if cur_meta is not None:
+            cur = pq.read_table(os.path.join(self.lake_root, cur_meta["file"]))
+            cur = conform_state(cur, self.key, self.ts_col, pcols)
+            inputs.append(self._align_state(cur, pcols))
+        if not inputs:
+            # every row of this group quarantined, no stored state: stage
+            # an empty state file (uniform lineage accounting)
+            from .coalesce import STATE_META
+
+            cols = {
+                self.key: pa.array([], self.schema.field(self.key).type),
+                self.ts_col: pa.array([], self.schema.field(self.ts_col).type),
+            }
+            for m in STATE_META:
+                cols[m] = pa.array([], pa.int64())
+            cols["lsn"] = pa.array([], pa.int64())
+            inputs.append(self._align_state(pa.table(cols), pcols))
+        states = (
+            pa.concat_tables(inputs) if len(inputs) > 1 else inputs[0]
+        )
+        folded = fold_states(states, self.key, self.ts_col, pcols)
+        merged = finalize_states(folded, self.key, self.ts_col, pcols)
+
+        out_path = os.path.join(
+            self.lake_root, "staging", self.txid, f"part-{pid:05d}.parquet"
+        )
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        merged = merged.take(
+            pc.sort_indices(merged, sort_keys=[(self.key, "ascending")])
+        )
+        pq.write_table(merged, out_path, row_group_size=1 << 17)
+
+        live = merged.filter(pc.invert(merged.column("_deleted")))
+        lsn_np = merged.column("_lsn").to_numpy(zero_copy_only=False)
+        ck = _checksum(
+            live.column(self.key),
+            live.column(self.ts_col).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            ),
+            live.column("_lsn").to_numpy(zero_copy_only=False),
+        )
+        ev_lsn = changes.column("lsn").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "pid": pa.array([pid], pa.int32()),
+                "rows": pa.array([live.num_rows], pa.int64()),
+                "tombstones": pa.array(
+                    [merged.num_rows - live.num_rows], pa.int64()
+                ),
+                "checksum": pa.array([ck], pa.uint64()),
+                "lsn_hi": pa.array(
+                    [int(lsn_np.max()) if len(lsn_np) else 0], pa.int64()
+                ),
+                "events_applied": pa.array([int(len(ev_lsn))], pa.int64()),
+                "lsn_lo_applied": pa.array(
+                    [int(ev_lsn.min()) if len(ev_lsn) else 0], pa.int64()
+                ),
+                "lsn_hi_applied": pa.array(
+                    [int(ev_lsn.max()) if len(ev_lsn) else 0], pa.int64()
+                ),
+                "dlq_rows": pa.array([dlq_rows], pa.int64()),
+            }
+        )
