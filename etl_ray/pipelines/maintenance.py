@@ -40,7 +40,12 @@ def _compact_partition(
 ) -> dict:
     from ..stages.merge import _checksum
 
-    tbl = pq.read_table(os.path.join(lake_root, rel_file))
+    from ..state.fs import resolve as _resolve
+
+    _fs = _resolve(None)
+    tbl = pq.read_table(
+        os.path.join(lake_root, rel_file), filesystem=_fs.pyarrow_fs
+    )
     dead = pc.and_(
         tbl.column("_deleted"),
         pc.less_equal(tbl.column("_lsn"), pa.scalar(watermark_lsn, pa.int64())),
@@ -60,8 +65,8 @@ def _compact_partition(
         dead = pc.or_(dead, by_ts)
     out = tbl.filter(pc.invert(dead))
     path = os.path.join(lake_root, "staging", txid, f"part-{pid:05d}.parquet")
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    pq.write_table(out, path)
+    _fs.makedirs(os.path.dirname(path))
+    pq.write_table(out, path, filesystem=_fs.pyarrow_fs)
     live = out.filter(pc.invert(out.column("_deleted")))
     lsn_np = out.column("_lsn").to_numpy(zero_copy_only=False)
     ck = _checksum(
@@ -196,8 +201,11 @@ def _fold_partition(
     tbl = load_partition_state(lake_root, meta, schema=None, key=key, ts_col=ts_col)
     tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[(key, "ascending")]))
     path = os.path.join(lake_root, "staging", txid, f"part-{pid:05d}.parquet")
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    pq.write_table(tbl, path)
+    from ..state.fs import resolve as _resolve
+
+    _fs = _resolve(None)
+    _fs.makedirs(os.path.dirname(path))
+    pq.write_table(tbl, path, filesystem=_fs.pyarrow_fs)
     live = tbl.filter(pc.invert(tbl.column("_deleted")))
     lsn_np = tbl.column("_lsn").to_numpy(zero_copy_only=False)
     ck = _checksum(
@@ -282,8 +290,11 @@ def _backfill_partition(
     tbl = tbl.set_column(tbl.column_names.index(column), column, newcol)
     tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[(key, "ascending")]))
     path = os.path.join(lake_root, "staging", txid, f"part-{pid:05d}.parquet")
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    pq.write_table(tbl, path)
+    from ..state.fs import resolve as _resolve
+
+    _fs = _resolve(None)
+    _fs.makedirs(os.path.dirname(path))
+    pq.write_table(tbl, path, filesystem=_fs.pyarrow_fs)
     live = tbl.filter(pc.invert(tbl.column("_deleted")))
     lsn_np = tbl.column("_lsn").to_numpy(zero_copy_only=False)
     ck = _checksum(
@@ -351,7 +362,9 @@ def _fsck_partition(
     for label, ent in entries:
         path = os.path.join(lake_root, ent["file"])
         try:
-            tbl = pq.read_table(path)
+            from ..state.fs import resolve as _resolve
+
+            tbl = pq.read_table(path, filesystem=_resolve(None).pyarrow_fs)
         except Exception as e:  # missing/corrupt file
             problems.append(
                 {"pid": pid, "file": ent["file"], "what": f"unreadable: {e}"}
@@ -437,8 +450,6 @@ def vacuum(lake_root: str) -> dict:
     Note: vacuum reclaims the part files that historical snapshots
     reference — time-travel reads (``read_table(at_txid=...)``) are only
     valid for transactions newer than the last vacuum."""
-    import shutil
-
     from ..state.manifest import partition_file_list
 
     lake = LakeTable(lake_root)
@@ -449,21 +460,21 @@ def vacuum(lake_root: str) -> dict:
         for rel in partition_file_list(p)
     }
     removed_parts = 0
-    if os.path.isdir(lake.parts_dir):
-        for f in os.listdir(lake.parts_dir):
+    if lake.fs.exists(lake.parts_dir):
+        for f in lake.fs.listdir(lake.parts_dir):
             if f.endswith(".parquet") and f not in referenced:
-                os.remove(os.path.join(lake.parts_dir, f))
+                lake.fs.remove(os.path.join(lake.parts_dir, f))
                 removed_parts += 1
     removed_staging = 0
     committed_seq = int(manifest["tx_seq"])
-    if os.path.isdir(lake.staging_root):
-        for d in os.listdir(lake.staging_root):
+    if lake.fs.exists(lake.staging_root):
+        for d in lake.fs.listdir(lake.staging_root):
             try:
                 seq = int(d.removeprefix("tx"))
             except ValueError:
                 continue  # unknown dir — leave it
             if seq <= committed_seq:
-                shutil.rmtree(os.path.join(lake.staging_root, d), ignore_errors=True)
+                lake.fs.rmtree(os.path.join(lake.staging_root, d))
                 removed_staging += 1
     # dlq orphans: a crash between DLQ-file promotion and the manifest
     # swap leaves a dlq/ file no manifest references.  Same in-flight
@@ -471,8 +482,8 @@ def vacuum(lake_root: str) -> dict:
     # are candidates (a racing commit promotes under tx_seq + 1).
     dlq_referenced = {os.path.basename(e["file"]) for e in manifest.get("dlq", [])}
     removed_dlq = 0
-    if os.path.isdir(lake.dlq_dir):
-        for f in os.listdir(lake.dlq_dir):
+    if lake.fs.exists(lake.dlq_dir):
+        for f in lake.fs.listdir(lake.dlq_dir):
             if not f.endswith(".parquet") or f in dlq_referenced:
                 continue
             try:  # dlq-{pid:05d}-tx{seq:06d}.parquet
@@ -480,7 +491,7 @@ def vacuum(lake_root: str) -> dict:
             except (IndexError, ValueError):
                 continue
             if seq <= committed_seq:
-                os.remove(os.path.join(lake.dlq_dir, f))
+                lake.fs.remove(os.path.join(lake.dlq_dir, f))
                 removed_dlq += 1
     return {
         "removed_parts": removed_parts,
@@ -512,8 +523,11 @@ class _RepartitionWriter:
         out = os.path.join(
             self.lake_root, "staging", self.txid, f"part-{pid:05d}.parquet"
         )
-        os.makedirs(os.path.dirname(out), exist_ok=True)
-        pq.write_table(body, out)
+        from ..state.fs import resolve as _resolve
+
+        _fs = _resolve(None)
+        _fs.makedirs(os.path.dirname(out))
+        pq.write_table(body, out, filesystem=_fs.pyarrow_fs)
         live = body.filter(pc.invert(body.column("_deleted")))
         lsn_np = body.column("_lsn").to_numpy(zero_copy_only=False)
         ck = _checksum(

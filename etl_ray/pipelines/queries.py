@@ -32,6 +32,28 @@ def _p(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 
 
+def _read_parquet(paths, **kw):
+    """ray.data.read_parquet with table-level schema METADATA stripped.
+
+    Input parquet written by pandas carries a b'pandas' schema-metadata
+    dict; pyarrow makes such schemas UNHASHABLE, so every Ray Data block
+    concat/unify logs 'Failed to hash the schemas (for deduplication):
+    unhashable type: dict' (transform_pyarrow.py:181) and skips its
+    fast-path dedup.  Passing an explicit metadata-free schema keeps the
+    blocks clean end-to-end."""
+    if "schema" not in kw:
+        import pyarrow.parquet as pq_
+
+        p0 = paths[0] if isinstance(paths, (list, tuple)) else paths
+        s = pq_.read_schema(p0)
+        if s.metadata:
+            cols = kw.get("columns")
+            if cols is not None:
+                s = pa.schema([s.field(c) for c in cols])
+            kw["schema"] = s.remove_metadata()
+    return ray.data.read_parquet(paths, **kw)
+
+
 def _cents(arr) -> pa.Array:
     """floor(x*100) as int64 — deterministic money representation."""
     return pc.cast(pc.floor(pc.multiply(arr, pa.scalar(100.0))), pa.int64())
@@ -45,7 +67,7 @@ def _cents(arr) -> pa.Array:
 def q1_pricing_summary(sf_dir: str):
     """Grouped aggregate with per-batch partial pre-aggregation (A1;
     reference `src/pipeline/core/spark.py:448-451`)."""
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         _p(sf_dir, "lineitem"),
         columns=[
             "l_returnflag", "l_linestatus", "l_quantity",
@@ -82,7 +104,7 @@ def q1_pricing_summary(sf_dir: str):
 
 def project_cast_lineitem(sf_dir: str):
     """Rename+cast projection w/ derived columns (M4/M5/M9)."""
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         _p(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_linenumber", "l_quantity",
                  "l_extendedprice", "l_discount", "l_shipdate"],
@@ -105,7 +127,7 @@ def project_cast_lineitem(sf_dir: str):
 
 def filter_click_events(sf_dir: str):
     """Vectorized predicate filter (M16/M17)."""
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         _p(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "value"]
     )
     return ds.map_batches(
@@ -124,7 +146,7 @@ def anti_join_customers_without_orders(sf_dir: str):
     ``left_anti`` Dataset.join when it does not (stages/joins.py)."""
     from ..stages.joins import key_filter_join
 
-    okeys = ray.data.read_parquet(
+    okeys = _read_parquet(
         _p(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"]
     ).map_batches(
         lambda t: t.filter(
@@ -132,7 +154,7 @@ def anti_join_customers_without_orders(sf_dir: str):
         ).select(["o_custkey"]),
         batch_format="pyarrow",
     )
-    left = ray.data.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    left = _read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
     return key_filter_join(left, okeys, left_on="c_custkey", right_on="o_custkey", anti=True)
 
 
@@ -140,13 +162,13 @@ def semi_join_customers_with_open_orders(sf_dir: str):
     """Semi join (J2; reference `spark.py:140`), same switched operator."""
     from ..stages.joins import key_filter_join
 
-    open_orders = ray.data.read_parquet(
+    open_orders = _read_parquet(
         _p(sf_dir, "orders"), columns=["o_custkey", "o_orderstatus"]
     ).map_batches(
         lambda t: t.filter(pc.equal(t["o_orderstatus"], pa.scalar("O"))).select(["o_custkey"]),
         batch_format="pyarrow",
     )
-    left = ray.data.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    left = _read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
     return key_filter_join(left, open_orders, left_on="c_custkey", right_on="o_custkey")
 
 
@@ -155,7 +177,7 @@ def upsert_lww_events(sf_dir: str):
     log keyed by user_id, LWW-ordered by (ts, event_id) — per-batch
     combiner then per-key reduce, exactly the CDC merge shape (K3/A4/D2;
     reference chains upsert `src/pipeline/core/spark.py:134-177`)."""
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         _p(sf_dir, "events"), columns=["event_id", "ts", "user_id", "event_type", "value"]
     )
 
@@ -183,23 +205,23 @@ def upsert_lww_events(sf_dir: str):
 
 def topk_orders(sf_dir: str):
     """Global sort + limit (O; verification-style)."""
-    ds = ray.data.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    ds = _read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(100)
 
 
 def distinct_segments(sf_dir: str):
     """Distinct values of one column (D-family)."""
-    ds = ray.data.read_parquet(_p(sf_dir, "customer"), columns=["c_mktsegment"])
+    ds = _read_parquet(_p(sf_dir, "customer"), columns=["c_mktsegment"])
     vals = sorted(ds.unique("c_mktsegment"))
     return pa.table({"c_mktsegment": pa.array(vals, pa.string())})
 
 
 def union_distinct_ids(sf_dir: str):
     """Union + distinct across two sources."""
-    a = ray.data.read_parquet(_p(sf_dir, "events"), columns=["user_id"]).map_batches(
+    a = _read_parquet(_p(sf_dir, "events"), columns=["user_id"]).map_batches(
         lambda t: pa.table({"id": pc.cast(t["user_id"], pa.int64())}), batch_format="pyarrow"
     )
-    b = ray.data.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey"]).map_batches(
+    b = _read_parquet(_p(sf_dir, "customer"), columns=["c_custkey"]).map_batches(
         lambda t: pa.table({"id": pc.cast(t["c_custkey"], pa.int64())}), batch_format="pyarrow"
     )
     vals = sorted(a.union(b).unique("id"))
@@ -212,7 +234,7 @@ def hourly_event_stats(sf_dir: str):
     reusable `stages.windows.tumbling` operator."""
     from ..stages.windows import tumbling
 
-    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["ts", "event_type", "value"])
+    ds = _read_parquet(_p(sf_dir, "events"), columns=["ts", "event_type", "value"])
 
     def prep(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -234,7 +256,7 @@ def revenue_by_segment(sf_dir: str):
     pre-aggregation shrinks the shuffle to |segments| rows per block."""
     cust = pa.concat_tables(
         ray.get(
-            ray.data.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]).to_arrow_refs()
+            _read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]).to_arrow_refs()
         )
     )
     seg_ref = ray.put(
@@ -255,7 +277,7 @@ def revenue_by_segment(sf_dir: str):
         ).rename_columns(["c_mktsegment", "partial_cents", "partial_n"])
 
     return (
-        ray.data.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+        _read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
         .map_batches(join_and_partial, batch_format="pyarrow")
         .groupby("c_mktsegment")
         .aggregate(
@@ -268,10 +290,10 @@ def revenue_by_segment(sf_dir: str):
 def customers_per_region(sf_dir: str):
     """Join chain over two broadcast dims (region->nation->customer)."""
     nation = pa.concat_tables(
-        ray.get(ray.data.read_parquet(_p(sf_dir, "nation")).to_arrow_refs())
+        ray.get(_read_parquet(_p(sf_dir, "nation")).to_arrow_refs())
     )
     region = pa.concat_tables(
-        ray.get(ray.data.read_parquet(_p(sf_dir, "region")).to_arrow_refs())
+        ray.get(_read_parquet(_p(sf_dir, "region")).to_arrow_refs())
     )
     # pre-join the two tiny dims driver-side (nation -> region name), then
     # broadcast (key array, value array) for a vectorized index_in lookup
@@ -289,7 +311,7 @@ def customers_per_region(sf_dir: str):
         return pa.table({"r_name": pc.take(vals, pos)})
 
     return (
-        ray.data.read_parquet(_p(sf_dir, "customer"), columns=["c_nationkey"])
+        _read_parquet(_p(sf_dir, "customer"), columns=["c_nationkey"])
         .map_batches(tag, batch_format="pyarrow")
         .groupby("r_name")
         .aggregate(Count(alias_name="n_customers"))
@@ -298,7 +320,7 @@ def customers_per_region(sf_dir: str):
 
 def json_extract_props(sf_dir: str):
     """Per-batch JSON parse (M1/M11-style escape hatch)."""
-    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["event_id", "props"])
+    ds = _read_parquet(_p(sf_dir, "events"), columns=["event_id", "props"])
 
     def ext(t: pa.Table) -> pa.Table:
         ks = [json.loads(p).get("k") if p else None for p in t["props"].to_pylist()]
@@ -315,7 +337,7 @@ def json_extract_props(sf_dir: str):
 def token_count_docs(sf_dir: str):
     from ..stages.text import TokenCounter
 
-    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     return ds.map_batches(TokenCounter, batch_format="pyarrow", concurrency=(1, 8)).map_batches(
         lambda t: t.select(["doc_id", "n_tokens"]), batch_format="pyarrow"
     )
@@ -324,7 +346,7 @@ def token_count_docs(sf_dir: str):
 def quality_docs(sf_dir: str):
     from ..stages.text import QualityScorer
 
-    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     return ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 8)).map_batches(
         lambda t: t.select(["doc_id", "n_chars_counted", "n_alpha", "n_punct", "alpha_ratio"]),
         batch_format="pyarrow",
@@ -334,7 +356,7 @@ def quality_docs(sf_dir: str):
 def fingerprint_docs(sf_dir: str):
     from ..stages.text import Fingerprinter
 
-    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     fp = Fingerprinter()
 
     def add(t: pa.Table) -> pa.Table:
@@ -351,7 +373,7 @@ def fingerprint_docs(sf_dir: str):
 def dedup_docs_exact(sf_dir: str):
     from ..stages.dedup import exact_dedup
 
-    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     # return_rows=False: downstream only needs the keep-set, so nothing
     # but (id, digest) ever shuffles
     return exact_dedup(ds, return_rows=False)
@@ -360,7 +382,7 @@ def dedup_docs_exact(sf_dir: str):
 def shingle_jaccard_docs(sf_dir: str):
     from ..stages.dedup import shingle_jaccard_pairs
 
-    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     return shingle_jaccard_pairs(ds, ngram=3, max_df=64, threshold=0.5)
 
 
@@ -372,7 +394,7 @@ def dup_clusters_docs(sf_dir: str):
     predicate."""
     from ..stages.dedup import dup_clusters, shingle_jaccard_pairs
 
-    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     pairs = shingle_jaccard_pairs(ds, ngram=3, max_df=64, threshold=0.5)
     return dup_clusters(pairs)
 
@@ -402,10 +424,10 @@ def range_join_events_sessions(sf_dir: str):
     plus segment expansion for the one-to-many window."""
     from ..stages.asof import interval_join
 
-    left = ray.data.read_parquet(
+    left = _read_parquet(
         _p(sf_dir, "events"), columns=["event_id", "ts", "user_id"]
     )
-    right = ray.data.read_parquet(
+    right = _read_parquet(
         _p(sf_dir, "events"), columns=["event_id", "ts", "user_id"]
     ).map_batches(
         lambda t: pa.table(
@@ -432,7 +454,7 @@ def topk_events_per_user(sf_dir: str):
     Ray groupby would be ruinous at 10^8 users)."""
     from ..stages.topk import grouped_topk
 
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         _p(sf_dir, "events"), columns=["event_id", "user_id", "value"]
     )
     return grouped_topk(
@@ -451,10 +473,10 @@ def asof_join_events_orders(sf_dir: str):
     searchsorted merge per bucket."""
     from ..stages.asof import asof_join
 
-    left = ray.data.read_parquet(
+    left = _read_parquet(
         _p(sf_dir, "events"), columns=["event_id", "ts", "user_id"]
     )
-    right = ray.data.read_parquet(
+    right = _read_parquet(
         _p(sf_dir, "orders"),
         columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"],
     ).map_batches(
@@ -477,7 +499,7 @@ def knn_brute_embeddings(sf_dir: str):
     from ..stages.similarity import knn_brute
 
     queries = _query_vectors(sf_dir, 4)
-    ds = ray.data.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     out = knn_brute(ds, queries, k=10)
     return out.map_batches(lambda t: t.select(["query_id", "vec_id"]), batch_format="pyarrow")
 
@@ -492,7 +514,7 @@ def text_profile_docs(sf_dir: str):
     stays a pytest-only column on TokenCounter."""
     from ..stages.text import LangId, QualityScorer
 
-    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     out = (
         ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 8))
         .map_batches(LangId, batch_format="pyarrow", concurrency=(1, 8))
@@ -624,14 +646,14 @@ def _dedup_truth_fixture(sf_dir: str) -> str:
 def minhash_pairs_docs(sf_dir: str):
     from ..stages.dedup import minhash_lsh_pairs
 
-    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     return minhash_lsh_pairs(ds, threshold=0.6)
 
 
 def simhash_groups_docs(sf_dir: str):
     from ..stages.dedup import simhash_dup_groups
 
-    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     out = simhash_dup_groups(ds)
     return out.map_batches(
         lambda t: t.select(["simhash", "n"]), batch_format="pyarrow"
@@ -646,7 +668,7 @@ def knn_lsh_embeddings(sf_dir: str):
     from ..stages.similarity import knn_lsh
 
     queries = _query_vectors(sf_dir, 4)
-    ds = ray.data.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     out = knn_lsh(ds, queries, k=10, bits=5, probe_radius=5)
     return out.map_batches(lambda t: t.select(["query_id", "vec_id"]), batch_format="pyarrow")
 
@@ -681,7 +703,7 @@ def multimodal_features(sf_dir: str):
     """Actor-pool decode/feature plumbing over deterministic fake media."""
     from ..stages.multimodal import FeatureExtractor, ImageDecoder
 
-    ds = ray.data.read_parquet(_media_fixture_path())
+    ds = _read_parquet(_media_fixture_path())
     out = ds.map_batches(
         ImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=(1, 8)
     ).map_batches(FeatureExtractor, batch_format="pyarrow", batch_size=64, concurrency=(1, 8))
@@ -702,7 +724,7 @@ def training_prep_docs(sf_dir: str):
     from ..stages.dedup import exact_dedup
     from ..stages.text import Fingerprinter, QualityScorer, TokenCounter
 
-    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     scored = ds.map_batches(TokenCounter, batch_format="pyarrow", concurrency=(1, 8)).map_batches(
         QualityScorer, batch_format="pyarrow", concurrency=(1, 8)
     )
@@ -750,7 +772,7 @@ def multimodal_frames(sf_dir: str):
     DuckDB oracle can reproduce them from octet_length(payload)."""
     from ..stages.multimodal import FrameSampler
 
-    ds = ray.data.read_parquet(_media_fixture_path())
+    ds = _read_parquet(_media_fixture_path())
     sampled = ds.map_batches(
         FrameSampler, batch_format="pyarrow", batch_size=64, concurrency=(1, 8)
     )
@@ -887,7 +909,7 @@ def quantiles_events(sf_dir: str):
     metadata split selection; stages/quantiles.py)."""
     from ..stages.quantiles import exact_quantiles
 
-    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["value"])
+    ds = _read_parquet(_p(sf_dir, "events"), columns=["value"])
     return exact_quantiles(ds, "value", [0.25, 0.5, 0.9, 0.99])
 
 
@@ -915,10 +937,10 @@ def join_orders_lineitem_native(sf_dir: str):
     """Large-side equi join via Ray's native hash-partitioned Dataset.join
     (both sides stream; num_partitions bounds per-partition memory).
     Result: revenue cents per order priority."""
-    orders = ray.data.read_parquet(
+    orders = _read_parquet(
         _p(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
     )
-    li = ray.data.read_parquet(
+    li = _read_parquet(
         _p(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
@@ -957,7 +979,7 @@ def embedding_neardup_pairs(sf_dir: str):
     m = _normalize(_to_matrix(tbl, "embedding").astype(np.float64))
     m_ref = ray.put((ids, m))
 
-    ds = ray.data.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     ds = ds.map_batches(
         lambda t: t.filter(pc.less(t["vec_id"], pa.scalar(1000))),
         batch_format="pyarrow",
@@ -988,7 +1010,7 @@ def sliding_window_events(sf_dir: str):
     windows via a per-batch flat-map, then one bounded groupby."""
     from ..stages.windows import sliding
 
-    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["ts", "event_type", "value"])
+    ds = _read_parquet(_p(sf_dir, "events"), columns=["ts", "event_type", "value"])
 
     def prep(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -1010,7 +1032,7 @@ def session_windows_events(sf_dir: str):
     reproduces it with lag() + cumulative sum)."""
     from ..stages.windows import sessionize
 
-    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
+    ds = _read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
     return sessionize(ds, key_col="user_id", ts_col="ts", order_cols=("event_id",))
 
 
@@ -1022,7 +1044,7 @@ def knn_ivf_embeddings(sf_dir: str):
     from ..stages.similarity import knn_ivf
 
     queries = _query_vectors(sf_dir, 4)
-    ds = ray.data.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     out = knn_ivf(ds, queries, k=10, n_lists=8, nprobe=8)
     return out.map_batches(lambda t: t.select(["query_id", "vec_id"]), batch_format="pyarrow")
 
@@ -1034,7 +1056,7 @@ def sample_docs_hash(sf_dir: str):
     predicate in SQL via DuckDB md5()."""
     from ..stages.sampling import hash_sample
 
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         _p(sf_dir, "documents"), columns=["doc_id", "lang", "source"]
     )
     return hash_sample(ds, "doc_id", 0.25)
@@ -1046,7 +1068,7 @@ def stratified_sample_docs(sf_dir: str):
     training-mix operation, still one streaming row-local filter."""
     from ..stages.sampling import stratified_sample
 
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         _p(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"]
     )
     return stratified_sample(
@@ -1061,7 +1083,7 @@ def train_eval_split_docs(sf_dir: str):
     (the oracle's CASE expression checks exactly that)."""
     from ..stages.sampling import split
 
-    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "lang"])
+    ds = _read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "lang"])
     train, ev = split(ds, "doc_id", eval_rate=0.2)
     tag = lambda name: (  # noqa: E731
         lambda t: t.append_column(
@@ -1120,7 +1142,7 @@ def user_event_analytics(sf_dir: str):
     cumsums are engine-order-sensitive)."""
     from ..stages.analytic import partitioned_analytics
 
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         _p(sf_dir, "events"), columns=["event_id", "ts", "user_id", "value"]
     )
 
@@ -1165,7 +1187,7 @@ def pivot_orders_status(sf_dir: str):
     partials, so the shuffle carries |segments| rows per block."""
     cust = pa.concat_tables(
         ray.get(
-            ray.data.read_parquet(
+            _read_parquet(
                 _p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
             ).to_arrow_refs()
         )
@@ -1208,7 +1230,7 @@ def pivot_orders_status(sf_dir: str):
         )
 
     return (
-        ray.data.read_parquet(
+        _read_parquet(
             _p(sf_dir, "orders"), columns=["o_custkey", "o_orderstatus", "o_totalprice"]
         )
         .map_batches(partial, batch_format="pyarrow")
@@ -1230,10 +1252,10 @@ def rollup_customers_region_segment(sf_dir: str):
     by |regions| x |segments| — driver-side by design, not a scale
     leak."""
     nation = pa.concat_tables(
-        ray.get(ray.data.read_parquet(_p(sf_dir, "nation")).to_arrow_refs())
+        ray.get(_read_parquet(_p(sf_dir, "nation")).to_arrow_refs())
     )
     region = pa.concat_tables(
-        ray.get(ray.data.read_parquet(_p(sf_dir, "region")).to_arrow_refs())
+        ray.get(_read_parquet(_p(sf_dir, "region")).to_arrow_refs())
     )
     rpos = pc.index_in(
         nation["n_regionkey"], value_set=region["r_regionkey"].combine_chunks()
@@ -1257,7 +1279,7 @@ def rollup_customers_region_segment(sf_dir: str):
         )
 
     detail = (
-        ray.data.read_parquet(
+        _read_parquet(
             _p(sf_dir, "customer"),
             columns=["c_nationkey", "c_mktsegment", "c_acctbal"],
         )
@@ -1311,7 +1333,7 @@ def vocab_topk_docs(sf_dir: str):
     groupby, then a tiny sort+limit."""
     from ..stages.text import VocabPartials
 
-    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+    ds = _read_parquet(_p(sf_dir, "documents"), columns=["text"])
     return (
         ds.map_batches(VocabPartials, batch_format="pyarrow", concurrency=(1, 8))
         .groupby("token")
@@ -1326,7 +1348,7 @@ def repetition_docs(sf_dir: str):
     token totals, top-token count, distinct-token count per document."""
     from ..stages.text import RepetitionProfiler
 
-    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     out = ds.map_batches(RepetitionProfiler, batch_format="pyarrow", concurrency=(1, 8))
     return out.map_batches(
         lambda t: t.select(["doc_id", "n_tokens", "top_token_n", "n_distinct"]),
@@ -1341,7 +1363,7 @@ def inverted_index_docs(sf_dir: str):
     groupby(token) at vocab-bounded cost."""
     from ..stages.text import PostingLister
 
-    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     return ds.map_batches(PostingLister, batch_format="pyarrow", concurrency=(1, 8))
 
 
@@ -1375,7 +1397,7 @@ def scd2_history_pages(sf_dir: str):
         t = conform(t, uni)
         return t.select(["url", "warc_ts", "lsn", "op", "lang"])
 
-    wal = ray.data.read_parquet(segs, schema=uni).map_batches(
+    wal = _read_parquet(segs, schema=uni).map_batches(
         wal_prep, batch_format="pyarrow"
     )
 
@@ -1390,7 +1412,7 @@ def scd2_history_pages(sf_dir: str):
             }
         )
 
-    base = ray.data.read_parquet(
+    base = _read_parquet(
         os.path.join(data_dir, "base", "pages.parquet"),
         columns=["url", "warc_ts", "lang"],
     ).map_batches(base_prep, batch_format="pyarrow")
@@ -1465,7 +1487,7 @@ def pii_redact_docs(sf_dir: str):
     nested regexp_replace."""
     from ..stages.text import PiiRedactor
 
-    ds = ray.data.read_parquet(_pii_fixture_path())
+    ds = _read_parquet(_pii_fixture_path())
     out = ds.map_batches(PiiRedactor, batch_format="pyarrow", concurrency=(1, 8))
     return out.map_batches(
         lambda t: t.select(["doc_id", "text_redacted", "n_emails", "n_phones"]),
@@ -1480,11 +1502,11 @@ def left_join_customer_order_counts(sf_dir: str):
     custkey before the join, so the exchange moves |customers| rows, not
     |orders|."""
     counts = (
-        ray.data.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey"])
+        _read_parquet(_p(sf_dir, "orders"), columns=["o_custkey"])
         .groupby("o_custkey")
         .aggregate(Count(alias_name="cnt"))
     )
-    cust = ray.data.read_parquet(
+    cust = _read_parquet(
         _p(sf_dir, "customer"), columns=["c_custkey", "c_name"]
     )
     joined = cust.join(
@@ -1512,14 +1534,14 @@ def tfidf_docs(sf_dir: str):
     engines.  Both sides stream; the df side is vocab-bounded."""
     from ..stages.text import PostingLister, TermCounter
 
-    tf = ray.data.read_parquet(
+    tf = _read_parquet(
         _p(sf_dir, "documents"), columns=["doc_id", "text"]
     ).map_batches(TermCounter, batch_format="pyarrow", concurrency=(1, 8))
     # df from its own streaming pass over the source (classic two-pass
     # TF-IDF): re-reading beats pinning the full doc-term table in the
     # object store or re-executing the actor pool for two consumers
     df = (
-        ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+        _read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
         .map_batches(PostingLister, batch_format="pyarrow", concurrency=(1, 8))
         .groupby("token")
         .aggregate(Count(alias_name="df"))
@@ -1540,7 +1562,7 @@ def full_outer_join_daily_activity(sf_dir: str):
     to one row per day before the exchange, so the join moves |days|
     rows, not |facts|."""
     ev = (
-        ray.data.read_parquet(_p(sf_dir, "events"), columns=["ts"])
+        _read_parquet(_p(sf_dir, "events"), columns=["ts"])
         .map_batches(
             lambda t: pa.table({"d": pc.floor_temporal(t["ts"], unit="day")}),
             batch_format="pyarrow",
@@ -1549,7 +1571,7 @@ def full_outer_join_daily_activity(sf_dir: str):
         .aggregate(Count(alias_name="n_events"))
     )
     od = (
-        ray.data.read_parquet(_p(sf_dir, "orders"), columns=["o_orderdate"])
+        _read_parquet(_p(sf_dir, "orders"), columns=["o_orderdate"])
         .map_batches(
             lambda t: pa.table(
                 {"d": pc.floor_temporal(t["o_orderdate"], unit="day")}
@@ -1667,7 +1689,7 @@ def approx_distinct_events(sf_dir: str):
     count so the driver's rows-only check still sees a stable shape."""
     from ..stages.sketch import approx_distinct
 
-    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["event_id"])
+    ds = _read_parquet(_p(sf_dir, "events"), columns=["event_id"])
     est = approx_distinct(ds, "event_id", p=14)
     return pa.table(
         {
@@ -1690,7 +1712,7 @@ def pack_sequences_docs(sf_dir: str):
 
     W = 2048
     toks = (
-        ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+        _read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
         .map_batches(TokenCounter, batch_format="pyarrow", concurrency=(1, 8))
         .map_batches(
             lambda t: t.select(["doc_id", "n_tokens"]), batch_format="pyarrow"
@@ -1715,7 +1737,7 @@ def chunk_docs(sf_dir: str):
     substr over generate_series in SQL, byte-identical chunks."""
     from ..stages.text import Chunker
 
-    return ray.data.read_parquet(
+    return _read_parquet(
         _p(sf_dir, "documents"), columns=["doc_id", "text"]
     ).map_batches(Chunker, batch_format="pyarrow", concurrency=(1, 8))
 
@@ -1726,7 +1748,7 @@ def bigram_counts_docs(sf_dir: str):
     unnest(range) in SQL, exact integer counts."""
     from ..stages.text import BigramCounter
 
-    return ray.data.read_parquet(
+    return _read_parquet(
         _p(sf_dir, "documents"), columns=["doc_id", "text"]
     ).map_batches(BigramCounter, batch_format="pyarrow", concurrency=(1, 8))
 
@@ -1757,7 +1779,7 @@ def decontaminate_docs(sf_dir: str):
         return t.filter(pa.array(ids % 50 == 0))
 
     bench = (
-        ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+        _read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
         .map_batches(bench_rows, batch_format="pyarrow")
         .map_batches(grams, batch_format="pyarrow")
     )
@@ -1800,7 +1822,7 @@ def decontaminate_docs(sf_dir: str):
     # across batches under parquet row-group batching — sum anyway for
     # safety)
     return (
-        ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+        _read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
         .map_batches(overlap, batch_format="pyarrow")
         .groupby("doc_id")
         .aggregate(Sum("n_overlap", alias_name="n_overlap"))
@@ -1840,7 +1862,7 @@ def grouped_median_orders(sf_dir: str):
 
     median.__name__ = "median"
     return (
-        ray.data.read_parquet(
+        _read_parquet(
             _p(sf_dir, "orders"), columns=["o_orderpriority", "o_totalprice"]
         )
         .map_batches(to_cents, batch_format="pyarrow")
@@ -1905,7 +1927,7 @@ def sparse_attr_latest_events(sf_dir: str):
 
     fold.__name__ = "sparse_fold"
     return (
-        ray.data.read_parquet(
+        _read_parquet(
             _p(sf_dir, "events"), columns=["user_id", "ts", "event_type", "value"]
         )
         .map_batches(tag, batch_format="pyarrow")
@@ -1993,7 +2015,7 @@ def mixture_exact_k_docs(sf_dir: str):
         ]
         return t.append_column("h", pa.array(hs, pa.string()))
 
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         _p(sf_dir, "documents"), columns=["doc_id", "source"]
     ).map_batches(rank_key, batch_format="pyarrow")
     out = grouped_topk(ds, group_col="source", order_by=[("h", "asc")], k=10)
@@ -2022,7 +2044,7 @@ def histogram_events(sf_dir: str):
         )
 
     return (
-        ray.data.read_parquet(_p(sf_dir, "events"), columns=["value"])
+        _read_parquet(_p(sf_dir, "events"), columns=["value"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("bin")
         .aggregate(Sum("n", alias_name="n"))
@@ -2039,7 +2061,7 @@ def percentile_gate_docs(sf_dir: str):
     from ..stages.text import TokenCounter
 
     toks = (
-        ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+        _read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
         .map_batches(TokenCounter, batch_format="pyarrow", concurrency=(1, 8))
         .map_batches(
             lambda t: t.select(["doc_id", "n_tokens"]), batch_format="pyarrow"

@@ -140,11 +140,15 @@ def list_segments(wal_dir: str) -> list[str]:
 class _BootstrapPartition:
     """map_groups callable: write one pid's base rows as a staged file."""
 
-    def __init__(self, lake_root: str, txid: str, schema: pa.Schema):
+    def __init__(
+        self, lake_root: str, txid: str, schema: pa.Schema,
+        fs_spec: str = "local-os",
+    ):
         self.__name__ = "_BootstrapPartition"
         self.lake_root = lake_root
         self.txid = txid
         self.schema = schema
+        self.fs_spec = fs_spec
 
     def __call__(self, group: pa.Table) -> pa.Table:
         import numpy as np
@@ -156,9 +160,12 @@ class _BootstrapPartition:
         body = body.append_column("_lsn", pa.array(np.zeros(body.num_rows, np.int64)))
         body = body.append_column("_deleted", pa.array(np.zeros(body.num_rows, bool)))
         body = body.take(pc.sort_indices(body, sort_keys=[("url", "ascending")]))
+        from ..state.fs import resolve
+
+        fs = resolve(self.fs_spec)
         out = os.path.join(self.lake_root, "staging", self.txid, f"part-{pid:05d}.parquet")
-        os.makedirs(os.path.dirname(out), exist_ok=True)
-        pq.write_table(body, out)
+        fs.makedirs(os.path.dirname(out))
+        pq.write_table(body, out, filesystem=fs.pyarrow_fs)
         ck = _checksum(
             body.column("url"),
             body.column("warc_ts").cast(pa.int64()).to_numpy(zero_copy_only=False),
@@ -180,9 +187,12 @@ def bootstrap_lake(
     base_parquet: str | None,
     num_partitions: int = 32,
     schema: pa.Schema | None = None,
+    fs=None,
 ) -> LakeTable:
-    """Create the lake table; if ``base_parquet`` given, load it as tx 1."""
-    lake = LakeTable(lake_root, num_partitions)
+    """Create the lake table; if ``base_parquet`` given, load it as tx 1.
+    ``fs``: filesystem adapter or spec string (state/fs.py); None
+    consults ETLRAY_FS (default local-os)."""
+    lake = LakeTable(lake_root, num_partitions, fs=fs)
     schema = schema or PAGES_SCHEMA
     manifest = lake.init(schema, num_partitions)
     if base_parquet is None:
@@ -200,7 +210,8 @@ def bootstrap_lake(
         batch_format="pyarrow",
     )
     lineage_ds = ds.groupby("pid").map_groups(
-        _BootstrapPartition(lake_root, txid, schema), batch_format="pyarrow"
+        _BootstrapPartition(lake_root, txid, schema, fs_spec=lake.fs.spec),
+        batch_format="pyarrow"
     )
     lineage = lineage_ds.take_all()  # <= num_partitions tiny rows
     lake.commit(manifest, txid, lineage, applied_segments=["__base__"], applied_lsn_range=(0, 0))
@@ -592,6 +603,7 @@ def replay(
     batch_size: int = 32768,
     spec: TableSpec = PAGES,
     merge_mode: str | None = None,
+    fs=None,
 ) -> ReplayStats:
     """Replay all pending WAL segments into the lake. Idempotent/resumable:
     already-applied segments are skipped via the manifest ledger; a crash
@@ -613,7 +625,7 @@ def replay(
     from ..sources.wal import DirectorySource, StaticSource
     from ..state.manifest import writer_lock
 
-    lake = LakeTable(lake_root)
+    lake = LakeTable(lake_root, fs=fs)
     stats = ReplayStats()
     # wal_dir may be a directory path OR any SegmentSource implementation
     # (sources/wal.py protocol, duck-typed on pending()) — replay
@@ -1083,6 +1095,7 @@ def _replay_one_tx(
             key=spec.key, ts_col=spec.ts_col, derive_text=spec.derive_text,
             delta=(merge_mode == "delta"),
             coalesce=spec.coalesce_partial,
+            fs_spec=lake.fs.spec,
         )
         # retry application exceptions too: a merge task is side-effect-safe
         # (deterministic staging path, overwrite on retry), so transient I/O
@@ -1138,6 +1151,7 @@ class _MergedPartitionRead:
         key: str,
         ts_col: str,
         columns: list[str] | None = None,
+        fs_spec: str = "local-os",
     ):
         self.__name__ = "_MergedPartitionRead"
         self.lake_root = lake_root
@@ -1145,6 +1159,7 @@ class _MergedPartitionRead:
         self.key = key
         self.ts_col = ts_col
         self.columns = columns  # output projection, applied post-merge
+        self.fs_spec = fs_spec
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import json as _json
@@ -1156,6 +1171,7 @@ class _MergedPartitionRead:
             t = load_partition_state(
                 self.lake_root, _json.loads(meta_json), self.schema,
                 self.key, self.ts_col, columns=self.columns,
+                fs=self.fs_spec,
             )
             t = t.filter(pc.invert(t.column("_deleted")))
             t = t.drop_columns([c for c in INTERNAL_COLS if c in t.column_names])
@@ -1179,6 +1195,7 @@ def read_table(
     ts_col: str = "warc_ts",
     columns: list[str] | None = None,
     predicate=None,
+    fs=None,
 ) -> ray.data.Dataset:
     """Stream the live rows of the lake table (manifest-resolved files,
     tombstones filtered, internal columns dropped).
@@ -1200,7 +1217,7 @@ def read_table(
     requested columns they don't carry (additive evolution)."""
     import json as _json
 
-    lake = LakeTable(lake_root)
+    lake = LakeTable(lake_root, fs=fs)
     m = lake.manifest_at(at_txid) if at_txid is not None else lake.read_manifest()
     full_schema = lake.schema(m)
     schema = (
@@ -1219,7 +1236,10 @@ def read_table(
         ]
         ds = ray.data.from_items(items, override_num_blocks=len(items))
         out = ds.map_batches(
-            _MergedPartitionRead(lake_root, full_schema, key, ts_col, columns=columns),
+            _MergedPartitionRead(
+                lake_root, full_schema, key, ts_col, columns=columns,
+                fs_spec=lake.fs.spec,
+            ),
             batch_format="pyarrow",
             batch_size=None,
         )
@@ -1239,7 +1259,10 @@ def read_table(
     # flat path: base files hold post-merge UNIQUE keys, so any row
     # predicate is safe to push into the parquet scan (row-group stats
     # prune at the I/O layer); delta-chain reads apply it post-merge
-    ds = ray.data.read_parquet(files, schema=read_schema, filter=predicate)
+    ds = ray.data.read_parquet(
+        files, schema=read_schema, filter=predicate,
+        filesystem=lake.fs.pyarrow_fs,
+    )
 
     def live(t: pa.Table) -> pa.Table:
         t = t.filter(pc.invert(t.column("_deleted")))
@@ -1254,6 +1277,7 @@ def get_rows(
     at_txid: str | None = None,
     key: str = "url",
     ts_col: str = "warc_ts",
+    fs=None,
 ) -> pa.Table:
     """Point lookup: live rows for the given keys, reading ONLY the
     partitions those keys hash to (pid = crc32(key) % P from the
@@ -1267,7 +1291,7 @@ def get_rows(
     from ..stages.merge import load_partition_state
     from ..stages.partition import url_pid
 
-    lake = LakeTable(lake_root)
+    lake = LakeTable(lake_root, fs=fs)
     m = lake.manifest_at(at_txid) if at_txid is not None else lake.read_manifest()
     schema = lake.schema(m)
     P = int(m["num_partitions"])
@@ -1284,7 +1308,8 @@ def get_rows(
         # by key, so row-group stats prune non-matching groups at the I/O
         # layer — O(matching row groups) per lookup, not O(partition)
         t = load_partition_state(
-            lake_root, meta, schema, key, ts_col, key_in=by_pid[pid]
+            lake_root, meta, schema, key, ts_col, key_in=by_pid[pid],
+            fs=lake.fs,
         )
         t = t.filter(
             pc.and_(
@@ -1304,13 +1329,16 @@ def read_table_arrow(
     at_txid: str | None = None,
     key: str = "url",
     ts_col: str = "warc_ts",
+    fs=None,
 ) -> pa.Table:
     """Materialized, key-sorted snapshot — for tests/small results only."""
-    lake = LakeTable(lake_root)
+    lake = LakeTable(lake_root, fs=fs)
     schema = lake.schema(lake.manifest_at(at_txid)) if at_txid is not None else lake.schema()
     batches = [
         b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        for b in read_table(lake_root, at_txid, key=key, ts_col=ts_col).iter_batches(batch_format="pyarrow")
+        for b in read_table(
+            lake_root, at_txid, key=key, ts_col=ts_col, fs=fs
+        ).iter_batches(batch_format="pyarrow")
     ]
     if not batches:
         return schema.empty_table()
@@ -1318,18 +1346,19 @@ def read_table_arrow(
     return out.take(pc.sort_indices(out, sort_keys=[(key, "ascending")]))
 
 
-def read_dlq(lake_root: str) -> pa.Table:
+def read_dlq(lake_root: str, fs=None) -> pa.Table:
     """Quarantined (dead-letter) change events across all transactions:
     raw WAL columns + ``reason`` (stages/validate.py), sorted by lsn.
     Committed atomically with the transaction that rejected them, so the
     DLQ is exactly-once too (a redelivered segment never re-quarantines).
     Driver-local table read — DLQ volume is O(malformed rows); for a
     pathological feed wrap the file list in ``ray.data.read_parquet``."""
-    lake = LakeTable(lake_root)
+    lake = LakeTable(lake_root, fs=fs)
     files = lake.dlq_files()
     if not files:
         return pa.schema([("reason", pa.string()), ("lsn", pa.int64())]).empty_table()
     out = pa.concat_tables(
-        [pq.read_table(f) for f in files], promote_options="default"
+        [pq.read_table(f, filesystem=lake.fs.pyarrow_fs) for f in files],
+        promote_options="default",
     )
     return out.take(pc.sort_indices(out, sort_keys=[("lsn", "ascending")]))

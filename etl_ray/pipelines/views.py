@@ -106,23 +106,25 @@ def _reduce(parts: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def _view_file(view_root: str) -> tuple[str, str] | None:
+    from ..state.fs import resolve
+
+    fs = resolve(None)
     meta_path = os.path.join(view_root, "VIEW.json")
-    if not os.path.exists(meta_path):
+    if not fs.exists(meta_path):
         return None
-    with open(meta_path) as f:
-        meta = json.load(f)
+    meta = fs.read_json(meta_path)
     return os.path.join(view_root, meta["file"]), meta["txid"]
 
 
 def _publish(view_root: str, ds: ray.data.Dataset, txid: str) -> dict:
-    os.makedirs(view_root, exist_ok=True)
+    from ..state.fs import resolve
+
+    fs = resolve(None)
+    fs.makedirs(view_root)
     out_dir = os.path.join(view_root, f"view-{txid}")
     ds.write_parquet(out_dir)
     meta = {"txid": txid, "file": f"view-{txid}"}
-    tmp = os.path.join(view_root, "VIEW.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(view_root, "VIEW.json"))
+    fs.write_json_atomic(os.path.join(view_root, "VIEW.json"), meta)
     return meta
 
 

@@ -98,6 +98,7 @@ def load_partition_state(
     ts_col: str = "warc_ts",
     key_in: list | None = None,
     columns: list[str] | None = None,
+    fs=None,
 ) -> pa.Table:
     """Materialize one partition's stored state: base file ∪ merge-on-read
     delta chain, reduced under LWW ``(ts_col, _lsn)``.  The fast path (no
@@ -116,8 +117,11 @@ def load_partition_state(
     plus what the LWW reduce itself needs (key, ts, internals); columns
     a pre-evolution file doesn't carry are skipped at read and
     null-backfilled by ``conform_stored``."""
+    from ..state.fs import resolve
     from ..state.manifest import partition_file_list
 
+    adapter = fs if (fs is not None and not isinstance(fs, str)) else resolve(fs)
+    pafs = adapter.pyarrow_fs
     files = partition_file_list(meta)
     filters = [(key, "in", key_in)] if key_in is not None else None
     need = None
@@ -130,9 +134,9 @@ def load_partition_state(
         path = os.path.join(lake_root, rel)
         cols = None
         if need is not None:
-            present = set(pq.read_schema(path).names)
+            present = set(pq.read_schema(path, filesystem=pafs).names)
             cols = [c for c in need if c in present]
-        t = pq.read_table(path, filters=filters, columns=cols)
+        t = pq.read_table(path, filters=filters, columns=cols, filesystem=pafs)
         if schema is not None:
             t = conform_stored(t, schema)
         tables.append(t)
@@ -198,6 +202,7 @@ class MergePartition:
         derive_text: bool = True,
         delta: bool = False,
         coalesce: bool = False,
+        fs_spec: str = "local-os",
     ):
         self.__name__ = "MergeDelta" if delta else (
             "MergeCoalesce" if coalesce else "MergePartition"
@@ -211,6 +216,16 @@ class MergePartition:
         self.derive_text = derive_text
         self.delta = delta
         self.coalesce = coalesce
+        self.fs_spec = fs_spec  # adapter reconstructed worker-side
+        self._fs = None
+
+    @property
+    def fs(self):
+        if self._fs is None:
+            from ..state.fs import resolve
+
+            self._fs = resolve(self.fs_spec)
+        return self._fs
 
     def __call__(self, group: pa.Table) -> pa.Table:
         from ..state.schema_registry import conform
@@ -248,8 +263,9 @@ class MergePartition:
             dlq_path = os.path.join(
                 self.lake_root, "staging", self.txid, f"dlq-{pid:05d}.parquet"
             )
-            os.makedirs(os.path.dirname(dlq_path), exist_ok=True)
-            pq.write_table(dlq, dlq_path)  # deterministic path: retry-safe
+            self.fs.makedirs(os.path.dirname(dlq_path))
+            pq.write_table(dlq, dlq_path, filesystem=self.fs.pyarrow_fs)
+            # deterministic path: retry-safe
             dlq_rows = dlq.num_rows
         if self.coalesce:
             return self._merge_coalesce(pid, changes, dlq_rows)
@@ -272,7 +288,8 @@ class MergePartition:
         cur_meta = None if self.delta else self.partitions.get(str(pid))
         if cur_meta is not None:
             cur = load_partition_state(
-                self.lake_root, cur_meta, self.schema, self.key, self.ts_col
+                self.lake_root, cur_meta, self.schema, self.key, self.ts_col,
+                fs=self.fs,
             )
             merged = pa.concat_tables([cur, body], promote_options="default")
         else:
@@ -300,7 +317,7 @@ class MergePartition:
         out_path = os.path.join(
             self.lake_root, "staging", self.txid, f"part-{pid:05d}.parquet"
         )
-        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        self.fs.makedirs(os.path.dirname(out_path))
         # store sorted by key for mergeable reads (reference keeps MergeTree
         # ORDER BY, src/pipeline/sql/create_tables.sql:20)
         merged = merged.take(pc.sort_indices(merged, sort_keys=[(self.key, "ascending")]))
@@ -308,7 +325,10 @@ class MergePartition:
         # point-lookup pruning unit (load_partition_state key_in) — the
         # pyarrow default of 1Mi rows would make each file one unprunable
         # group at scale.  No effect below 128k rows per partition.
-        pq.write_table(merged, out_path, row_group_size=1 << 17)
+        pq.write_table(
+            merged, out_path, row_group_size=1 << 17,
+            filesystem=self.fs.pyarrow_fs,
+        )
 
         live = merged.filter(pc.invert(merged.column("_deleted")))
         lsn_np = merged.column("_lsn").to_numpy(zero_copy_only=False)
@@ -393,7 +413,10 @@ class MergePartition:
             inputs.append(self._align_state(ch, pcols))
         cur_meta = self.partitions.get(str(pid))
         if cur_meta is not None:
-            cur = pq.read_table(os.path.join(self.lake_root, cur_meta["file"]))
+            cur = pq.read_table(
+                os.path.join(self.lake_root, cur_meta["file"]),
+                filesystem=self.fs.pyarrow_fs,
+            )
             cur = conform_state(cur, self.key, self.ts_col, pcols)
             inputs.append(self._align_state(cur, pcols))
         if not inputs:
@@ -418,11 +441,14 @@ class MergePartition:
         out_path = os.path.join(
             self.lake_root, "staging", self.txid, f"part-{pid:05d}.parquet"
         )
-        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        self.fs.makedirs(os.path.dirname(out_path))
         merged = merged.take(
             pc.sort_indices(merged, sort_keys=[(self.key, "ascending")])
         )
-        pq.write_table(merged, out_path, row_group_size=1 << 17)
+        pq.write_table(
+            merged, out_path, row_group_size=1 << 17,
+            filesystem=self.fs.pyarrow_fs,
+        )
 
         live = merged.filter(pc.invert(merged.column("_deleted")))
         lsn_np = merged.column("_lsn").to_numpy(zero_copy_only=False)

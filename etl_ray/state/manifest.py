@@ -30,7 +30,6 @@ from __future__ import annotations
 import base64
 import json
 import os
-import shutil
 
 import pyarrow as pa
 
@@ -58,10 +57,18 @@ def _schema_from_json(d: dict) -> pa.Schema:
 
 
 class LakeTable:
-    """Manifest-governed partitioned Parquet table."""
+    """Manifest-governed partitioned Parquet table.
 
-    def __init__(self, root: str, num_partitions: int = 32):
+    All lake I/O goes through a filesystem adapter (``state/fs.py``):
+    ``fs`` may be an adapter instance or a spec string
+    (``"local-os"``/``"pyarrow-local"``); None consults ``ETLRAY_FS``.
+    Merge tasks reconstruct the adapter worker-side from ``fs.spec``."""
+
+    def __init__(self, root: str, num_partitions: int = 32, fs=None):
+        from .fs import resolve
+
         self.root = root
+        self.fs = fs if fs is not None and not isinstance(fs, str) else resolve(fs)
         self.parts_dir = os.path.join(root, "parts")
         self.dlq_dir = os.path.join(root, "dlq")
         self.staging_root = os.path.join(root, "staging")
@@ -72,12 +79,12 @@ class LakeTable:
     # -- init / read ------------------------------------------------------
 
     def exists(self) -> bool:
-        return os.path.exists(self.manifest_path)
+        return self.fs.exists(self.manifest_path)
 
     def init(self, schema: pa.Schema, num_partitions: int | None = None) -> dict:
         """Create an empty table (txid tx000000, no partitions yet)."""
         for d in (self.parts_dir, self.staging_root, self.manifests_dir):
-            os.makedirs(d, exist_ok=True)
+            self.fs.makedirs(d)
         manifest = {
             "txid": "tx000000",
             "tx_seq": 0,
@@ -93,8 +100,7 @@ class LakeTable:
         return manifest
 
     def read_manifest(self) -> dict:
-        with open(self.manifest_path) as f:
-            return json.load(f)
+        return self.fs.read_json(self.manifest_path)
 
     def schema(self, manifest: dict | None = None) -> pa.Schema:
         m = manifest or self.read_manifest()
@@ -118,7 +124,7 @@ class LakeTable:
 
     def staging_dir(self, txid: str) -> str:
         d = os.path.join(self.staging_root, txid)
-        os.makedirs(d, exist_ok=True)
+        self.fs.makedirs(d)
         return d
 
     def staging_path(self, txid: str, pid: int) -> str:
@@ -180,8 +186,8 @@ class LakeTable:
             stem = "delta" if delta else "part"
             rel = os.path.join("parts", f"{stem}-{pid:05d}-{txid}.parquet")
             dst = os.path.join(self.root, rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            os.replace(src, dst)
+            self.fs.makedirs(os.path.dirname(dst))
+            self.fs.replace(src, dst)
             entry = {
                 "file": rel,
                 "rows": int(res["rows"]),
@@ -211,8 +217,8 @@ class LakeTable:
             pid = int(res["pid"])
             src = self.dlq_staging_path(txid, pid)
             rel = os.path.join("dlq", f"dlq-{pid:05d}-{txid}.parquet")
-            os.makedirs(self.dlq_dir, exist_ok=True)
-            os.replace(src, os.path.join(self.root, rel))
+            self.fs.makedirs(self.dlq_dir)
+            self.fs.replace(src, os.path.join(self.root, rel))
             dlq_entries.append(
                 {"file": rel, "rows": int(res["dlq_rows"]), "pid": pid, "txid": txid}
             )
@@ -258,9 +264,10 @@ class LakeTable:
             ),
             "num_partitions": m["num_partitions"],
         }
-        os.makedirs(self.manifests_dir, exist_ok=True)
-        with open(os.path.join(self.manifests_dir, f"{txid}.json"), "w") as f:
-            json.dump(tx_record, f, indent=1)
+        self.fs.makedirs(self.manifests_dir)
+        self.fs.write_json(
+            os.path.join(self.manifests_dir, f"{txid}.json"), tx_record
+        )
 
         m["txid"] = txid
         m["tx_seq"] = manifest["tx_seq"] + 1
@@ -283,15 +290,16 @@ class LakeTable:
         ]
         self._atomic_write(m)
         # post-commit GC of this tx's staging dir (safe: manifest is durable)
-        shutil.rmtree(os.path.join(self.staging_root, txid), ignore_errors=True)
+        self.fs.rmtree(os.path.join(self.staging_root, txid))
         return m
 
     def manifest_at(self, txid: str) -> dict:
         """Reconstruct the committed state as of ``txid`` from its
         immutable per-tx snapshot (time travel).  Raises FileNotFoundError
         for unknown txids and KeyError for pre-snapshot-era records."""
-        with open(os.path.join(self.manifests_dir, f"{txid}.json")) as f:
-            rec = json.load(f)
+        rec = self.fs.read_json(
+            os.path.join(self.manifests_dir, f"{txid}.json")
+        )
         snap = rec["snapshot"]
         return {
             "txid": txid,
@@ -310,12 +318,7 @@ class LakeTable:
     # -- internals --------------------------------------------------------
 
     def _atomic_write(self, manifest: dict) -> None:
-        tmp = self.manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self.manifest_path)
+        self.fs.write_json_atomic(self.manifest_path, manifest)
 
 
 class WriterLockHeld(RuntimeError):
