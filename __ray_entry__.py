@@ -119,6 +119,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_docs": Q.tfidf_docs,
         # column-level partial-image upserts (coalesce merge) — round 4
         "coalesce_upsert_users": Q.coalesce_upsert_users,
+        # same merge in merge-on-read delta mode (chains left unfolded;
+        # the read path folds base ∪ chain) — same SQL oracle by design
+        "coalesce_upsert_users_delta": Q.coalesce_upsert_users_delta,
     }
 
 
@@ -728,6 +731,35 @@ def oracle_sql() -> dict[str, str]:
         # per-column arg_max after the key's last delete — the SQL
         # statement of the coalesce (partial-image) merge contract
         "coalesce_upsert_users": f"""
+            WITH ev AS (
+              SELECT *, CAST(epoch_us(ts) AS HUGEINT) * 1000000 + lsn AS p
+              FROM read_parquet('{partial_root}/wal/*.parquet')
+            ),
+            d AS (
+              SELECT user_id,
+                     coalesce(max(p) FILTER (op = 'delete'),
+                              CAST(-1 AS HUGEINT)) AS dp
+              FROM ev GROUP BY user_id
+            ),
+            u AS (
+              SELECT e.user_id,
+                     arg_max(e.ts, e.p) FILTER (
+                       e.op <> 'delete' AND e.p > d.dp) AS ts,
+                     arg_max(e.email, e.p) FILTER (e.op <> 'delete'
+                       AND e.p > d.dp AND e.email IS NOT NULL) AS email,
+                     arg_max(e.city, e.p) FILTER (e.op <> 'delete'
+                       AND e.p > d.dp AND e.city IS NOT NULL) AS city,
+                     arg_max(e.score, e.p) FILTER (e.op <> 'delete'
+                       AND e.p > d.dp AND e.score IS NOT NULL) AS score,
+                     count(*) FILTER (
+                       e.op <> 'delete' AND e.p > d.dp) AS n_up
+              FROM ev e JOIN d USING (user_id)
+              GROUP BY e.user_id
+            )
+            SELECT user_id, ts, email, city, score
+            FROM u WHERE n_up > 0
+        """,
+"coalesce_upsert_users_delta": f"""
             WITH ev AS (
               SELECT *, CAST(epoch_us(ts) AS HUGEINT) * 1000000 + lsn AS p
               FROM read_parquet('{partial_root}/wal/*.parquet')

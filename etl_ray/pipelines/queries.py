@@ -2183,3 +2183,38 @@ def coalesce_upsert_users(sf_dir: str):
     replay(lake_root, os.path.join(root, "wal"), spec=spec)
     out = read_table_arrow(lake_root, key="user_id", ts_col="ts")
     return out.select(["user_id", "ts", "email", "city", "score"])
+
+
+def coalesce_upsert_users_delta(sf_dir: str):
+    """coalesce_upsert_users in merge-on-read delta mode, deliberately
+    left unfolded (4 incremental transactions, chains in place): readers
+    fold base ∪ chain under the associative coalesce fold, so the final
+    state is identical to rewrite mode — same SQL oracle by design."""
+    from ..config import TableSpec
+    from .replay import bootstrap_lake, read_table_arrow, replay
+
+    root = _partial_wal_fixture()
+    spec = TableSpec(
+        name="users_partial",
+        key="user_id",
+        ts_col="ts",
+        schema_v0=pa.schema(
+            [
+                ("user_id", pa.string()),
+                ("ts", pa.timestamp("us")),
+                ("email", pa.string()),
+                ("city", pa.string()),
+                ("score", pa.float64()),
+            ]
+        ),
+        derive_text=False,
+        coalesce_partial=True,
+    )
+    lake_root = os.path.join(root, "lake", f"cd{os.getpid()}", "users")
+    bootstrap_lake(lake_root, None, num_partitions=8, schema=spec.schema_v0)
+    replay(
+        lake_root, os.path.join(root, "wal"), spec=spec,
+        merge_mode="delta", max_segments_per_tx=2,
+    )
+    out = read_table_arrow(lake_root, key="user_id", ts_col="ts")
+    return out.select(["user_id", "ts", "email", "city", "score"])

@@ -641,12 +641,6 @@ def replay(
     if merge_mode not in ("rewrite", "delta"):
         raise ValueError(f"merge_mode must be 'rewrite' or 'delta', got {merge_mode!r}")
     if spec.coalesce_partial:
-        if merge_mode == "delta":
-            raise NotImplementedError(
-                "coalesce_partial tables support rewrite merge mode only "
-                "(a delta chain would need the coalesce fold on the read "
-                "path; fold chains are a future capability)"
-            )
         if spec.derive_text:
             raise NotImplementedError(
                 "coalesce_partial is incompatible with derive_text: a "
@@ -1183,6 +1177,10 @@ class _MergedPartitionRead:
             if self.columns is not None
             else self.schema
         )
+        # coalesce state rows carry per-column position metadata beyond
+        # the payload schema; conform projects it away (and casts the
+        # null-typed columns an evolution-era file never carried)
+        tables = [conform(t, out_schema) for t in tables]
         if not tables:  # typed empty: keep the executor's schema stable
             return out_schema.empty_table()
         return pa.concat_tables(tables, promote_options="default")

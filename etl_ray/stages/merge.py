@@ -129,6 +129,18 @@ def load_partition_state(
         need = list(dict.fromkeys([*columns, key, ts_col, *INTERNAL_COLS]))
         if schema is not None:
             schema = pa.schema([f for f in schema if f.name in set(need)])
+    # coalesce (partial-image) tables are SELF-DESCRIBING: their state
+    # files carry per-column position metadata (_up_ts etc,
+    # stages/coalesce.py); base ∪ chain then reduces under the coalesce
+    # fold, not whole-row LWW
+    coalesce_files = any(
+        "_up_ts" in pq.read_schema(os.path.join(lake_root, rel), filesystem=pafs).names
+        for rel in files
+    )
+    if coalesce_files:
+        return _load_coalesce_chain(
+            lake_root, files, schema, key, ts_col, pafs, filters
+        )
     tables = []
     for rel in files:
         path = os.path.join(lake_root, rel)
@@ -147,6 +159,71 @@ def load_partition_state(
         return tables[0]
     merged = pa.concat_tables(tables, promote_options="default")
     return lww_compact(merged, key, order_by=(ts_col, "_lsn"))
+
+
+def _load_coalesce_chain(
+    lake_root: str,
+    files: list[str],
+    schema: pa.Schema | None,
+    key: str,
+    ts_col: str,
+    pafs,
+    filters,
+) -> pa.Table:
+    """base ∪ delta chain of a coalesce table, reduced under the
+    coalesce fold; returns finalized state rows (payload + per-column
+    metadata + _lsn/_deleted) so fold-back maintenance can persist them
+    unchanged.  Column pruning is NOT applied here (the fold needs every
+    column's metadata); readers project afterwards."""
+    from .coalesce import (
+        STATE_META,
+        conform_state,
+        finalize_states,
+        fold_states,
+        payload_columns,
+    )
+
+    if schema is None:
+        # derive the payload schema from the files (fold-back maintenance
+        # passes schema=None): union of value columns across the chain,
+        # first typed occurrence wins
+        fields: dict[str, pa.Field] = {}
+        for rel in files:
+            for f in pq.read_schema(
+                os.path.join(lake_root, rel), filesystem=pafs
+            ):
+                if (
+                    f.name in INTERNAL_COLS
+                    or f.name in STATE_META
+                    or f.name.startswith(("_cts__", "_clsn__"))
+                ):
+                    continue
+                cur = fields.get(f.name)
+                if cur is None or pa.types.is_null(cur.type):
+                    fields[f.name] = f
+        schema = pa.schema(list(fields.values()))
+    payload_schema = pa.schema(
+        [f for f in schema if f.name not in INTERNAL_COLS]
+    )
+    pcols = payload_columns(payload_schema, key, ts_col)
+    tables = [
+        conform_state(
+            pq.read_table(
+                os.path.join(lake_root, rel), filters=filters, filesystem=pafs
+            ),
+            key,
+            ts_col,
+            pcols,
+        )
+        for rel in files
+    ]
+    states = (
+        pa.concat_tables(tables, promote_options="default")
+        if len(tables) > 1
+        else tables[0]
+    )
+    folded = fold_states(states, key, ts_col, pcols)
+    return finalize_states(folded, key, ts_col, pcols)
 
 
 def conform_stored(cur: pa.Table, schema: pa.Schema) -> pa.Table:
@@ -411,14 +488,20 @@ class MergePartition:
         inputs = []
         if ch.num_rows:
             inputs.append(self._align_state(ch, pcols))
-        cur_meta = self.partitions.get(str(pid))
+        # delta mode: stage only this tx's folded state rows (O(changes)
+        # write amplification); readers fold base ∪ chain (the coalesce
+        # fold is associative, so chain order is irrelevant)
+        cur_meta = None if self.delta else self.partitions.get(str(pid))
         if cur_meta is not None:
-            cur = pq.read_table(
-                os.path.join(self.lake_root, cur_meta["file"]),
-                filesystem=self.fs.pyarrow_fs,
-            )
-            cur = conform_state(cur, self.key, self.ts_col, pcols)
-            inputs.append(self._align_state(cur, pcols))
+            from ..state.manifest import partition_file_list
+
+            for rel in partition_file_list(cur_meta):
+                cur = pq.read_table(
+                    os.path.join(self.lake_root, rel),
+                    filesystem=self.fs.pyarrow_fs,
+                )
+                cur = conform_state(cur, self.key, self.ts_col, pcols)
+                inputs.append(self._align_state(cur, pcols))
         if not inputs:
             # every row of this group quarantined, no stored state: stage
             # an empty state file (uniform lineage accounting)

@@ -82,7 +82,7 @@ def gen_events(n, n_users, seed, lsn0=1, cols=COLS_V0, del_rate=0.08):
     return evs
 
 
-def write_segments(evs, wal_dir, n_segments, cols=COLS_V0, extra=()):
+def write_segments(evs, wal_dir, n_segments, cols=COLS_V0, extra=(), prefix="seg"):
     os.makedirs(wal_dir, exist_ok=True)
     schema = _wal_schema(extra)
     per = (len(evs) + n_segments - 1) // n_segments
@@ -95,7 +95,7 @@ def write_segments(evs, wal_dir, n_segments, cols=COLS_V0, extra=()):
         for f in schema:
             vals = [e.get(f.name) for e in part]
             arrs[f.name] = pa.array(vals, f.type)
-        p = os.path.join(wal_dir, f"seg-{s:05d}.parquet")
+        p = os.path.join(wal_dir, f"{prefix}-{s:05d}.parquet")
         pq.write_table(pa.table(arrs, schema=schema), p)
         paths.append(p)
     return paths
@@ -267,6 +267,52 @@ def test_coalesce_guards(ray_session, tmp_path):
     wal = str(tmp_path / "walg")
     write_segments(gen_events(10, 5, 3), wal, 1)
     with pytest.raises(NotImplementedError):
-        replay(root, wal, spec=spec, merge_mode="delta")
-    with pytest.raises(NotImplementedError):
         replay(root, wal, spec=replace(spec, derive_text=True))
+
+
+def test_coalesce_delta_mode(ray_session, tmp_path):
+    """Merge-on-read deltas for partial-image tables: per-tx folded state
+    rows append to the chain; readers fold base ∪ chain (the coalesce
+    fold is associative) — final state identical to rewrite mode and the
+    oracle; compact_deltas folds the chain back losslessly."""
+    from etl_ray.pipelines.maintenance import compact_deltas
+    from etl_ray.pipelines.replay import bootstrap_lake, replay
+    from etl_ray.state.manifest import LakeTable
+
+    evs = gen_events(2400, 100, 31)
+    wal = str(tmp_path / "wald")
+    write_segments(evs, wal, 8)
+    spec = _spec()
+
+    root_d = str(tmp_path / "lake" / "up_delta")
+    bootstrap_lake(root_d, None, num_partitions=8, schema=spec.schema_v0)
+    stats = replay(
+        root_d, wal, spec=spec, merge_mode="delta", max_segments_per_tx=2
+    )
+    assert stats.transactions == 4
+    m = LakeTable(root_d).read_manifest()
+    assert any(p.get("deltas") for p in m["partitions"].values())
+    oracle = oracle_fold(evs, COLS_V0)
+    assert_equal(engine_rows(root_d, COLS_V0), oracle, COLS_V0)
+
+    # rewrite mode reaches the identical state
+    root_r = str(tmp_path / "lake" / "up_rewrite")
+    bootstrap_lake(root_r, None, num_partitions=8, schema=spec.schema_v0)
+    replay(root_r, wal, spec=spec, max_segments_per_tx=2)
+    assert engine_rows(root_r, COLS_V0) == engine_rows(root_d, COLS_V0)
+
+    # folding the chains preserves state (and the folded base keeps the
+    # per-column metadata, so later partial images still coalesce)
+    compact_deltas(root_d, key="user_id", ts_col="ts")
+    m2 = LakeTable(root_d).read_manifest()
+    assert not any(p.get("deltas") for p in m2["partitions"].values())
+    assert_equal(engine_rows(root_d, COLS_V0), oracle, COLS_V0)
+
+    # late partial images applied AFTER the fold still coalesce column-wise
+    late = gen_events(400, 100, 32, lsn0=100_001)
+    wal2 = str(tmp_path / "wald2")
+    write_segments(late, wal2, 2, prefix="late")
+    replay(root_d, wal2, spec=spec, merge_mode="delta")
+    assert_equal(
+        engine_rows(root_d, COLS_V0), oracle_fold(evs + late, COLS_V0), COLS_V0
+    )
