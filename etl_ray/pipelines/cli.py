@@ -73,6 +73,9 @@ def main(argv: list[str] | None = None) -> int:
         "whose delta chain exceeds N files after an applying poll",
     )
     r.add_argument("--poll-interval", type=float, default=5.0)
+    r.add_argument("--metrics-path", default=None,
+                   help="with --follow: append one JSON metrics record "
+                        "per poll (events/s, lag, chain lengths, DLQ)")
     r.add_argument("--idle-exit-after", type=int, default=None,
                    help="exit after N idle polls (default: run forever)")
 
@@ -188,6 +191,7 @@ def main(argv: list[str] | None = None) -> int:
                 poll_interval=args.poll_interval,
                 idle_exit_after=args.idle_exit_after,
                 fold_chain_over=args.fold_chain_over,
+                metrics_path=args.metrics_path,
                 **kw,
             )
         else:

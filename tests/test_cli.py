@@ -95,3 +95,24 @@ def test_cli_delta_mode_and_get(ray_session, tmp_path, capsys):
     assert read_table_arrow(lake).equals(full)
     got2 = _run(capsys, "get", "--lake", lake, "--url", url)
     assert got2["found"] == 1
+
+
+def test_cli_follow_metrics_path(ray_session, tmp_path, capsys):
+    """replay --follow --metrics-path emits per-poll JSONL records."""
+    import json as _json
+
+    data = str(tmp_path / "cdcm")
+    lake = str(tmp_path / "lakem" / "pages")
+    _run(capsys, "gen", "--out", data, "--urls", "100", "--events", "500",
+         "--segments", "2")
+    _run(capsys, "bootstrap", "--lake", lake,
+         "--base", f"{data}/base/pages.parquet", "--partitions", "4")
+    mpath = str(tmp_path / "follow_metrics.jsonl")
+    rep = _run(capsys, "replay", "--lake", lake, "--wal", f"{data}/wal",
+               "--follow", "--poll-interval", "0.1",
+               "--idle-exit-after", "1", "--metrics-path", mpath)
+    assert rep["segments_applied"] == 3  # 2 + redelivered
+    recs = [_json.loads(l) for l in open(mpath)]
+    assert recs and recs[0]["segments_applied"] == 3
+    assert recs[0]["events_per_sec"] > 0
+    assert recs[-1]["lag_segments"] == 0
