@@ -122,6 +122,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # same merge in merge-on-read delta mode (chains left unfolded;
         # the read path folds base ∪ chain) — same SQL oracle by design
         "coalesce_upsert_users_delta": Q.coalesce_upsert_users_delta,
+        # round-4 sampling / extraction / trace / robust-stats additions
+        "weighted_sample_docs": Q.weighted_sample_docs,
+        # A-ES race key is a float (libm log): pinned by a
+        # same-arithmetic differential pytest, not a SQL oracle
+        "weighted_topk_docs": Q.weighted_topk_docs,
+        "regex_extract_docs": Q.regex_extract_docs,
+        "journey_concat_users": Q.journey_concat_users,
+        "mad_outliers_events": Q.mad_outliers_events,
     }
 
 
@@ -924,6 +932,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT tf.doc_id, tf.token,
                    CAST(tf.c AS BIGINT) AS tf, CAST(df.d AS BIGINT) AS df
             FROM tf JOIN df USING (token)
+        """,
+        # weighted Bernoulli sample: the engine's keep predicate is
+        # digest32 * scale < n_chars * 2^32 in pure integer arithmetic
+        # (stages/sampling.weighted_mask) — the identical expression runs
+        # here (BIGINT is wide enough: digest32*400 < 2^41)
+        "weighted_sample_docs": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE ('0x' || substr(md5('wb1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  * 400 < n_chars * 4294967296
+        """,
+        # parallel unnests in one SELECT zip positionally: term list and
+        # its 1-based ordinal stay aligned
+        "regex_extract_docs": """
+            SELECT doc_id,
+                   unnest(regexp_extract_all(text, '[a-z]{8,}')) AS term,
+                   unnest(range(1, len(regexp_extract_all(text, '[a-z]{8,}')) + 1)) AS idx
+            FROM documents
+            WHERE len(regexp_extract_all(text, '[a-z]{8,}')) > 0
+        """,
+        "journey_concat_users": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY ts, event_id) AS journey
+            FROM events GROUP BY user_id
+        """,
+        # median/MAD gate: every step (IEEE subtract, abs, 3*MAD, compare)
+        # is correctly rounded, so the float threshold is bit-identical to
+        # the engine's — unlike mean/stddev, whose summation order differs
+        "mad_outliers_events": """
+            WITH med AS (SELECT quantile_disc(value, 0.5) AS m FROM events),
+                 mad AS (SELECT quantile_disc(abs(value - med.m), 0.5) AS d
+                         FROM events, med)
+            SELECT event_id, value FROM events, med, mad
+            WHERE abs(value - med.m) > 3 * mad.d
         """,
     }
 

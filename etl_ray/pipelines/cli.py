@@ -149,6 +149,9 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--at-txid", default=None, help="time-travel snapshot")
     ex.add_argument("--columns", default=None,
                     help="comma-separated column projection (pruned at the scan)")
+    ex.add_argument("--resumable", action="store_true",
+                    help="one dir per lake partition with atomic per-partition "
+                         "publish; a re-run skips finished partitions")
 
     args = p.parse_args(argv)
 
@@ -278,6 +281,14 @@ def main(argv: list[str] | None = None) -> int:
         from .replay import read_table
 
         cols = args.columns.split(",") if args.columns else None
+        if args.resumable:
+            from .maintenance import export_partitioned
+
+            rep = export_partitioned(
+                args.lake, args.out, at_txid=args.at_txid, columns=cols
+            )
+            print(json.dumps({"out": args.out, **rep}))
+            return 0
         ds = read_table(args.lake, at_txid=args.at_txid, columns=cols)
         # streaming partitioned-parquet sink: one file per block; consumers
         # read the directory.  Row count comes from the written files'

@@ -633,3 +633,128 @@ compact.__doc__ = _compact_impl.__doc__
 compact_deltas.__doc__ = _compact_deltas_impl.__doc__
 backfill.__doc__ = _backfill_impl.__doc__
 repartition.__doc__ = _repartition_impl.__doc__
+
+
+class _ExportPartition:
+    """map_batches callable over partition items: LWW-load one pid's live
+    rows, write them to ``out_dir/pid=NNNNN/part-<txid>.parquet`` via
+    tmp-file + atomic rename, emit one lineage row.  Deterministic
+    target path per (pid, lake txid) = idempotent under task retry."""
+
+    def __init__(
+        self,
+        lake_root: str,
+        out_dir: str,
+        txid: str,
+        schema: pa.Schema,
+        key: str,
+        ts_col: str,
+        columns: list[str] | None,
+        fs_spec: str = "local-os",
+    ):
+        self.__name__ = "_ExportPartition"
+        self.lake_root = lake_root
+        self.out_dir = out_dir
+        self.txid = txid
+        self.schema = schema
+        self.key = key
+        self.ts_col = ts_col
+        self.columns = columns
+        self.fs_spec = fs_spec
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json as _json
+
+        from ..stages.merge import INTERNAL_COLS, load_partition_state
+
+        pids, rows, skipped = [], [], []
+        for pid, meta_json in zip(
+            batch.column("pid").to_pylist(), batch.column("meta").to_pylist()
+        ):
+            pdir = os.path.join(self.out_dir, f"pid={pid:05d}")
+            final = os.path.join(pdir, f"part-{self.txid}.parquet")
+            if os.path.exists(final):  # resumed run: partition is done
+                pids.append(pid)
+                rows.append(pq.read_metadata(final).num_rows)
+                skipped.append(True)
+                continue
+            t = load_partition_state(
+                self.lake_root, _json.loads(meta_json), self.schema,
+                self.key, self.ts_col, columns=self.columns, fs=self.fs_spec,
+            )
+            t = t.filter(pc.invert(t.column("_deleted")))
+            t = t.drop_columns([c for c in INTERNAL_COLS if c in t.column_names])
+            if self.columns is not None:
+                t = t.select(self.columns)
+            os.makedirs(pdir, exist_ok=True)
+            tmp = f"{final}.tmp.{os.getpid()}"
+            pq.write_table(t, tmp)
+            os.replace(tmp, final)  # publish is atomic; crash leaves tmp only
+            pids.append(pid)
+            rows.append(t.num_rows)
+            skipped.append(False)
+        return pa.table(
+            {
+                "pid": pa.array(pids, pa.int64()),
+                "rows": pa.array(rows, pa.int64()),
+                "skipped": pa.array(skipped, pa.bool_()),
+            }
+        )
+
+
+def export_partitioned(
+    lake_root: str,
+    out_dir: str,
+    *,
+    at_txid: str | None = None,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    columns: list[str] | None = None,
+    fs=None,
+) -> dict:
+    """RESUMABLE partitioned export of the lake's live rows: one output
+    directory per lake partition (``out/pid=NNNNN/part-<txid>.parquet``),
+    one Ray task per partition, atomic per-partition publish.
+
+    A re-run after a crash skips every partition whose file for the same
+    lake transaction already exists — finished work is never redone and
+    never rewritten (the brief's resumable-output requirement: a failed
+    100 TB export resumes at O(missing partitions), not from byte 0).
+    The export is consistent by construction: all partitions render the
+    SAME committed manifest (``at_txid`` defaults to the current tx), so
+    a resume after more replays still exports the original snapshot.
+
+    Returns ``{"txid", "partitions", "written", "skipped", "rows"}``.
+    """
+    import json as _json
+
+    lake = LakeTable(lake_root, fs=fs)
+    m = lake.manifest_at(at_txid) if at_txid is not None else lake.read_manifest()
+    schema = lake.schema(m)
+    items = [
+        {"pid": int(pid), "meta": _json.dumps(meta)}
+        for pid, meta in sorted(m["partitions"].items(), key=lambda kv: int(kv[0]))
+    ]
+    if not items:
+        return {
+            "txid": m["txid"], "partitions": 0, "written": 0,
+            "skipped": 0, "rows": 0,
+        }
+    ds = ray.data.from_items(items, override_num_blocks=len(items))
+    lineage = ds.map_batches(
+        _ExportPartition(
+            lake_root, out_dir, m["txid"], schema, key, ts_col, columns,
+            fs_spec=lake.fs.spec,
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+        max_retries=3,
+        retry_exceptions=True,
+    ).take_all()  # tiny: one row per partition
+    return {
+        "txid": m["txid"],
+        "partitions": len(lineage),
+        "written": sum(1 for r in lineage if not r["skipped"]),
+        "skipped": sum(1 for r in lineage if r["skipped"]),
+        "rows": int(sum(r["rows"] for r in lineage)),
+    }

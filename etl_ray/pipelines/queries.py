@@ -2218,3 +2218,108 @@ def coalesce_upsert_users_delta(sf_dir: str):
     )
     out = read_table_arrow(lake_root, key="user_id", ts_col="ts")
     return out.select(["user_id", "ts", "email", "city", "score"])
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions
+# ---------------------------------------------------------------------------
+
+
+def weighted_sample_docs(sf_dir: str):
+    """Importance sample: keep each document with probability
+    min(1, n_chars/400) — inclusion proportional to length, the standard
+    quality/length-weighted training-mix draw.  INTEGER-EXACT md5
+    predicate (stages/sampling.weighted_mask), so the identical
+    arithmetic runs in DuckDB: shuffle-free, row-local, reproducible
+    across runs and cluster widths."""
+    from ..stages.sampling import weighted_sample
+
+    ds = _read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"]
+    )
+    return weighted_sample(ds, "doc_id", "n_chars", scale=400)
+
+
+def weighted_topk_docs(sf_dir: str):
+    """Exactly-100-document weighted sample WITHOUT replacement
+    (Efraimidis–Spirakis A-ES race over md5-derived uniforms, weights =
+    n_chars).  Per-batch top-k prune bounds the final sort+limit to
+    k × num_batches narrow rows.  The race key is a float (libm log), so
+    this is pinned by a same-arithmetic differential pytest rather than
+    a cross-engine SQL oracle — see stages/sampling.weighted_topk."""
+    from ..stages.sampling import weighted_topk
+
+    ds = _read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"]
+    )
+    return weighted_topk(ds, "doc_id", "n_chars", k=100)
+
+
+def regex_extract_docs(sf_dir: str):
+    """Span harvesting: explode every >=8-letter lowercase word into
+    (doc_id, term, idx) rows in document order — the pattern-extraction
+    flat_map (URLs/citations/identifiers in real corpora).  Actor pool
+    compiles the pattern once; output is bounded by match count.
+    Oracle: unnest(regexp_extract_all) zipped with its ordinal."""
+    from ..stages.text import RegexExtractor
+
+    ds = _read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(
+        RegexExtractor,
+        fn_constructor_kwargs={"pattern": "[a-z]{8,}"},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+def journey_concat_users(sf_dir: str):
+    """Per-user ordered event-type journey string ("view,click,...") —
+    SQL string_agg(event_type, ',' ORDER BY ts, event_id).  One bounded
+    bucketed shuffle (stages/analytic.grouped_concat), vectorized
+    ordering inside each bucket, one output row per user."""
+    from ..stages.analytic import grouped_concat
+
+    ds = _read_parquet(
+        _p(sf_dir, "events"), columns=["user_id", "event_type", "ts", "event_id"]
+    )
+    return grouped_concat(
+        ds,
+        key="user_id",
+        order_by=["ts", "event_id"],
+        value_col="event_type",
+        out_col="journey",
+    )
+
+
+def mad_outliers_events(sf_dir: str):
+    """Robust outlier detection: events whose |value - median| exceeds
+    3 x MAD (median absolute deviation) — composition of TWO distributed
+    exact-quantile passes (median, then median of absolute deviations)
+    with a broadcast filter.  Every arithmetic step (IEEE subtract, abs,
+    3*MAD multiply, compare) is correctly-rounded and therefore
+    BIT-IDENTICAL across engines — unlike mean/stddev, whose summation
+    order differs — so the float gate is hash-checkable in SQL."""
+    from ..stages.quantiles import exact_quantiles
+
+    ds = _read_parquet(_p(sf_dir, "events"), columns=["event_id", "value"])
+    med = exact_quantiles(ds, "value", [0.5]).column("value")[0].as_py()
+
+    def absdev(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("value"),
+            "value",
+            pc.abs(pc.subtract(t["value"], pa.scalar(med, pa.float64()))),
+        )
+
+    mad = (
+        exact_quantiles(ds.map_batches(absdev, batch_format="pyarrow"), "value", [0.5])
+        .column("value")[0]
+        .as_py()
+    )
+    gate = 3.0 * mad
+
+    def flag(t: pa.Table) -> pa.Table:
+        dev = pc.abs(pc.subtract(t["value"], pa.scalar(med, pa.float64())))
+        return t.filter(pc.greater(dev, pa.scalar(gate, pa.float64())))
+
+    return ds.map_batches(flag, batch_format="pyarrow")

@@ -254,3 +254,53 @@ def ordered_cumsum(
     return tagged.groupby("_rbucket").map_groups(
         CumsumBucket(), batch_format="pyarrow"
     )
+
+
+def grouped_concat(
+    ds,
+    *,
+    key: str,
+    order_by: list[str],
+    value_col: str,
+    sep: str = ",",
+    out_col: str = "concat",
+    n_buckets: int = 256,
+):
+    """Per-key ordered string aggregation (SQL ``string_agg(value, sep
+    ORDER BY ...)``) — the sessionized-journey / event-trace feature
+    ("view,click,purchase" per user) that sequence models train on.
+
+    Scale shape: same bucketed shuffle as partitioned_analytics (bounded
+    group count, no per-key map_groups dispatch); inside a bucket one
+    lexsort orders every key-run, then runs are joined per key.  The
+    join itself is per-run Python (strings don't vectorize in numpy) but
+    output is one row per KEY — the stage shrinks the data.  Determinism
+    needs ``order_by`` to be a total order within each key."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("_cbucket", hash_bucket(t[key], n_buckets))
+
+    def concat(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_cbucket"])
+        schema_out = pa.schema(
+            [g.schema.field(key), pa.field(out_col, pa.string())]
+        )
+        if g.num_rows == 0:
+            return schema_out.empty_table()
+        order, starts, _ = _sorted_runs(g, key, order_by)
+        vals = g[value_col].to_numpy(zero_copy_only=False)[order]
+        kvals = g[key].take(pa.array(order[starts], pa.int64()))
+        ends = np.concatenate((starts[1:], [g.num_rows]))
+        joined = [
+            sep.join(vals[s:e]) for s, e in zip(starts.tolist(), ends.tolist())
+        ]
+        return pa.table(
+            {key: kvals, out_col: pa.array(joined, pa.string())},
+            schema=schema_out,
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_cbucket")
+        .map_groups(concat, batch_format="pyarrow")
+    )

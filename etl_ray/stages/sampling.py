@@ -102,6 +102,93 @@ def stratified_sample(
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _digest_u32(keys: list, salt: str) -> np.ndarray:
+    """First 32 bits of md5(salt + str(key)) as uint64 (room for the
+    integer cross-multiplication in weighted_mask without overflow)."""
+    pre = salt.encode()
+    return np.array(
+        [
+            int.from_bytes(hashlib.md5(pre + str(k).encode()).digest()[:4], "big")
+            for k in keys
+        ],
+        dtype=np.uint64,
+    )
+
+
+def weighted_mask(
+    batch: pa.Table,
+    key: str,
+    weight_col: str,
+    scale: int,
+    salt: str = "wb1:",
+) -> np.ndarray:
+    """Weighted Bernoulli keep-mask: row i is kept with probability
+    min(1, w_i / scale) where w_i is its integer ``weight_col`` value.
+
+    INTEGER-EXACT predicate — ``digest32 * scale < w * 2**32`` in uint64
+    arithmetic, no float anywhere — so DuckDB evaluates the identical
+    predicate bit-for-bit (``('0x'||substr(md5(..),1,8))::BIGINT * scale
+    < w * 4294967296``), making the operator hash-checkable like
+    ``hash_sample``.  Deterministic, row-local, shuffle-free; importance
+    sampling by length/score is the training-mix use."""
+    h = _digest_u32(batch.column(key).to_pylist(), salt)
+    w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+    return h * np.uint64(scale) < w * np.uint64(2**32)
+
+
+def weighted_sample(ds, key: str, weight_col: str, scale: int, salt: str = "wb1:"):
+    """Deterministic weighted Bernoulli sample (see weighted_mask)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(weighted_mask(t, key, weight_col, scale, salt)))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def aes_keys(batch: pa.Table, key: str, weight_col: str, salt: str = "aes1:") -> np.ndarray:
+    """Efraimidis–Spirakis exponential race keys: ln(u) / w with
+    u = (digest32 + 0.5) / 2**32 in (0, 1).  Maximizing this key is
+    equivalent to maximizing u^(1/w); the top-k rows by key are a
+    weighted sample WITHOUT replacement with inclusion proportional to
+    the (positive) weights.  Deterministic in (key, salt)."""
+    h = _digest_u32(batch.column(key).to_pylist(), salt).astype(np.float64)
+    u = (h + 0.5) / 2.0**32
+    w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    if np.any(w <= 0):
+        raise ValueError("weighted_topk requires strictly positive weights")
+    return np.log(u) / w
+
+
+def weighted_topk(ds, key: str, weight_col: str, k: int, salt: str = "aes1:"):
+    """Weighted sample of exactly ``k`` rows WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): global top-k by the exponential race
+    key.  Scale shape: each batch prunes itself to its local top-k
+    (argpartition, O(batch)), so the final sort+limit sees at most
+    k × num_batches narrow rows — never the corpus.  The float race key
+    is dropped from the output; ties (impossible in practice for
+    distinct md5 inputs) break by ``key`` ascending.
+
+    The selection is a pure function of (key, salt, weights) — exactly
+    reproducible across runs and cluster widths, like hash_sample — but
+    the race key is a FLOAT (libm log), so cross-engine oracles can
+    differ in the last ulp; correctness is pinned by a same-arithmetic
+    differential test instead of a SQL oracle (tests/test_round4_ops)."""
+
+    def prune(t: pa.Table) -> pa.Table:
+        skey = aes_keys(t, key, weight_col, salt)
+        t = t.append_column("_skey", pa.array(skey, pa.float64()))
+        if t.num_rows > k:
+            idx = np.argpartition(-skey, k - 1)[:k]
+            t = t.take(pa.array(np.sort(idx), pa.int64()))
+        return t
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+    top = pruned.sort(["_skey", key], descending=[True, False]).limit(k)
+    return top.map_batches(
+        lambda t: t.drop_columns(["_skey"]), batch_format="pyarrow"
+    )
+
+
 def split(ds, key: str, eval_rate: float, salt: str = "split:"):
     """Disjoint deterministic train/eval split: (train_ds, eval_ds).
 

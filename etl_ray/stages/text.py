@@ -300,6 +300,43 @@ class PiiRedactor:
         return out.append_column("n_phones", pa.array(n_ph))
 
 
+class RegexExtractor:
+    """Pattern extraction explode: one (id, match, idx) row per regex
+    match per document, in document order — the span-harvesting pass
+    (URLs, citations, code identifiers, entities) that feeds targeted
+    corpus slices.  Pattern compiled once per actor; restricted to ASCII
+    constructs that behave identically in Python ``re`` and DuckDB RE2
+    so the oracle is ``unnest(regexp_extract_all(...))`` zipped with its
+    ordinal.  Output rows are bounded by match count, not input size —
+    a flat_map that usually SHRINKS the data."""
+
+    def __init__(
+        self, pattern: str, text_col: str = "text", id_col: str = "doc_id"
+    ):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.rx = re.compile(pattern)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        ids = batch.column(self.id_col)
+        out_ids, out_terms, out_idx = [], [], []
+        for i, t in enumerate(texts):
+            ms = self.rx.findall(t or "")
+            if not ms:
+                continue
+            out_ids.extend([ids[i].as_py()] * len(ms))
+            out_terms.extend(ms)
+            out_idx.extend(range(1, len(ms) + 1))
+        return pa.table(
+            {
+                self.id_col: pa.array(out_ids, batch.schema.field(self.id_col).type),
+                "term": pa.array(out_terms, pa.string()),
+                "idx": pa.array(out_idx, pa.int64()),
+            }
+        )
+
+
 class TermCounter:
     """Term-frequency explode: one (doc_id, token, tf) row per distinct
     token per document — the TF side of TF-IDF.  Join against the
