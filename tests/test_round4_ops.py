@@ -270,6 +270,6 @@ def test_export_partitioned_resumes_and_matches(ray_session, small_wal, tmp_path
 
     # column projection exports only the requested payload columns
     out2 = str(tmp_path / "export_narrow")
-    rep3 = export_partitioned(root, out2, columns=["url", "status"])
+    rep3 = export_partitioned(root, out2, columns=["url", "lang"])
     f0 = os.path.join(out2, "pid=00000", f"part-{rep3['txid']}.parquet")
-    assert pq.read_schema(f0).names == ["url", "status"]
+    assert pq.read_schema(f0).names == ["url", "lang"]
