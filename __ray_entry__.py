@@ -130,6 +130,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_extract_docs": Q.regex_extract_docs,
         "journey_concat_users": Q.journey_concat_users,
         "mad_outliers_events": Q.mad_outliers_events,
+        # real (pure-stdlib) PNG/WAV decode roundtrips vs fixture-carried
+        # pre-encode truth
+        "multimodal_decode_real": Q.multimodal_decode_real,
+        "multimodal_audio_real": Q.multimodal_audio_real,
     }
 
 
@@ -146,6 +150,7 @@ def oracle_sql() -> dict[str, str]:
     # only.  Run those queries at another sf via queries() directly; their
     # SQL here would compare against the wrong fixture.
     Q._media_fixture_path()
+    real_media = Q._real_media_fixture_path()
     Q._pii_fixture_path()
     Q._cdc_fixture(*Q._CDC_SIZES["sf0.01"])
     dlq_root = Q._dlq_fixture()
@@ -965,6 +970,20 @@ def oracle_sql() -> dict[str, str]:
                          FROM events, med)
             SELECT event_id, value FROM events, med, mad
             WHERE abs(value - med.m) > 3 * mad.d
+        """,
+        # REAL decode roundtrip proofs: the engine reconstructs pixels /
+        # PCM samples from the encoded payload (pure-stdlib PNG + WAV
+        # decoders, stages/codecs.py) and emits dims/counts/crc32 of the
+        # DECODED bytes; the oracle reads the fixture's PRE-ENCODE truth.
+        # Equal == the decoder bit-exactly inverts the encoder.
+        "multimodal_decode_real": f"""
+            SELECT media_id, width, height, channels, crc32_pre AS crc32
+            FROM read_parquet('{real_media}') WHERE kind = 'image'
+        """,
+        "multimodal_audio_real": f"""
+            SELECT media_id, sample_rate, n_samples, channels, peak,
+                   crc32_pre AS crc32
+            FROM read_parquet('{real_media}') WHERE kind = 'audio'
         """,
     }
 

@@ -2323,3 +2323,81 @@ def mad_outliers_events(sf_dir: str):
         return t.filter(pc.greater(dev, pa.scalar(gate, pa.float64())))
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def _real_media_fixture_path() -> str:
+    """Deterministic REAL media fixture (PNG + WAV payloads with
+    fixture-carried pre-encode truth), shared by the Ray pipelines and
+    the DuckDB oracles.  Atomic publish, size-independent of sf."""
+    import pyarrow.parquet as pq_
+
+    from ..stages.multimodal import make_real_media_table
+
+    path = "/tmp/etlray_media_real_v1.parquet"
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq_.write_table(make_real_media_table(), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def multimodal_decode_real(sf_dir: str):
+    """REAL PNG decode roundtrip proof: the actor pool reconstructs each
+    image's pixels from the encoded payload (pure-stdlib five-filter PNG
+    decoder, stages/codecs.py) and emits dims + crc32 of the decoded
+    bytes; the oracle simply reads the fixture-carried PRE-ENCODE truth.
+    Equality == the decoder bit-exactly inverted the encoder for every
+    size/channel-count/filter combination in the fixture."""
+    from ..stages.multimodal import ImageDecoder
+
+    ds = _read_parquet(_real_media_fixture_path())
+    imgs = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "image")), batch_format="pyarrow"
+    )
+    out = imgs.map_batches(
+        ImageDecoder,
+        fn_constructor_kwargs={"fake": False},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=(1, 8),
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "media_id": t["media_id"],
+                "width": pc.cast(t["dec_width"], pa.int64()),
+                "height": pc.cast(t["dec_height"], pa.int64()),
+                "channels": pc.cast(t["dec_channels"], pa.int64()),
+                "crc32": pc.cast(t["dec_crc32"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def multimodal_audio_real(sf_dir: str):
+    """REAL WAV decode roundtrip proof (stdlib PCM decode): exact integer
+    features (rate, frames, channels, peak, PCM crc32) vs the
+    fixture-carried pre-encode values."""
+    from ..stages.multimodal import AudioFeatures
+
+    ds = _read_parquet(_real_media_fixture_path())
+    aud = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "audio")), batch_format="pyarrow"
+    )
+    out = aud.map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=16, concurrency=(1, 8)
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "media_id": t["media_id"],
+                "sample_rate": t["dec_rate"],
+                "n_samples": t["dec_samples"],
+                "channels": t["dec_channels"],
+                "peak": t["dec_peak"],
+                "crc32": t["dec_crc32"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
