@@ -134,6 +134,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pre-encode truth
         "multimodal_decode_real": Q.multimodal_decode_real,
         "multimodal_audio_real": Q.multimodal_audio_real,
+        # webtext hygiene: URL canonicalization + windowed first-seen
+        "canonical_urls": Q.canonical_urls,
+        "first_event_per_user_hour": Q.first_event_per_user_hour,
     }
 
 
@@ -151,6 +154,7 @@ def oracle_sql() -> dict[str, str]:
     # SQL here would compare against the wrong fixture.
     Q._media_fixture_path()
     real_media = Q._real_media_fixture_path()
+    messy_urls = Q._messy_urls_fixture()
     Q._pii_fixture_path()
     Q._cdc_fixture(*Q._CDC_SIZES["sf0.01"])
     dlq_root = Q._dlq_fixture()
@@ -984,6 +988,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, sample_rate, n_samples, channels, peak,
                    crc32_pre AS crc32
             FROM read_parquet('{real_media}') WHERE kind = 'audio'
+        """,
+        # identical RE2 pattern chain, identical op order to
+        # stages/urlops.canonicalize_urls (pyarrow.compute and DuckDB
+        # share the RE2 engine, so this is dialect-risk-free)
+        "canonical_urls": rf"""
+            WITH s1 AS (
+              SELECT url_id,
+                     regexp_replace(regexp_replace(url, '#.*$', ''),
+                                    '[?&]utm_[a-z_]*=[^&#]*', '', 'g') AS u
+              FROM read_parquet('{messy_urls}')
+            ),
+            s2 AS (
+              SELECT url_id,
+                     CASE WHEN u NOT LIKE '%?%' AND u LIKE '%&%'
+                          THEN regexp_replace(u, '&', '?') ELSE u END AS u
+              FROM s1
+            ),
+            s3 AS (
+              SELECT url_id,
+                     regexp_replace(regexp_replace(u,
+                       '^([hH][tT][tT][pP]://[^/:?#]+):80([/?#]|$)', '\1\2'),
+                       '^([hH][tT][tT][pP][sS]://[^/:?#]+):443([/?#]|$)', '\1\2') AS u
+              FROM s2
+            ),
+            s4 AS (
+              SELECT url_id,
+                     CASE WHEN regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*') <> ''
+                          THEN lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*'))
+                               || substr(u, len(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*')) + 1)
+                          ELSE u END AS u
+              FROM s3
+            )
+            SELECT url_id, regexp_replace(u, '\?$', '') AS url_canon FROM s4
+        """,
+        "first_event_per_user_hour": """
+            SELECT user_id, hour, event_id FROM (
+              SELECT user_id,
+                     CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+                     event_id,
+                     row_number() OVER (
+                       PARTITION BY user_id, epoch_us(ts) // 3600000000
+                       ORDER BY ts, event_id) AS rn
+              FROM events)
+            WHERE rn = 1
         """,
     }
 

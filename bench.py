@@ -62,6 +62,12 @@ QUERY_SUBSET = [
     "pack_sequences_docs",
     "decontaminate_docs",
     "approx_distinct_events",
+    # round-4 additions
+    "weighted_sample_docs",
+    "regex_extract_docs",
+    "journey_concat_users",
+    "mad_outliers_events",
+    "multimodal_decode_real",
 ]
 
 

@@ -2401,3 +2401,95 @@ def multimodal_audio_real(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+def _messy_urls_fixture() -> str:
+    """Deterministic messy-URL fixture: mixed-case hosts, default and
+    explicit ports, utm_* tracking params in every position, fragments,
+    and a few non-URL strings — the shapes canonicalization must
+    normalize.  Shared verbatim by the engine and the DuckDB oracle."""
+    import random
+
+    import pyarrow.parquet as pq_
+
+    path = "/tmp/etlray_messy_urls_v1.parquet"
+    if not os.path.exists(path):
+        rng = random.Random(77)
+        hosts = ["WWW.Example.COM", "site.Example.ORG", "cdn.example.NET",
+                 "a.example.io", "B.EXAMPLE.DEV"]
+        urls = []
+        for i in range(600):
+            scheme = rng.choice(["http", "https", "HTTP", "HTTPS"]).lower() \
+                if rng.random() < 0.7 else rng.choice(["HTTP", "HTTPS"]).lower()
+            # ~5% plain junk rows exercise the pass-through branch
+            if rng.random() < 0.05:
+                urls.append(f"not a url {i}")
+                continue
+            host = rng.choice(hosts)
+            port = rng.choice(["", ":80", ":443", ":8080"])
+            path_part = f"/p/{i}" if rng.random() < 0.9 else ""
+            params = []
+            for _ in range(rng.randrange(0, 4)):
+                if rng.random() < 0.5:
+                    params.append(f"utm_{rng.choice(['source','medium','campaign'])}=v{i}")
+                else:
+                    params.append(f"{rng.choice(['id','q','page'])}={rng.randrange(100)}")
+            q = "?" + "&".join(params) if params else ""
+            frag = f"#sec{i}" if rng.random() < 0.3 else ""
+            urls.append(f"{scheme}://{host}{port}{path_part}{q}{frag}")
+        tbl = pa.table(
+            {
+                "url_id": pa.array(range(len(urls)), pa.int64()),
+                "url": pa.array(urls, pa.string()),
+            }
+        )
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq_.write_table(tbl, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def canonical_urls(sf_dir: str):
+    """URL canonicalization (stages/urlops.canonicalize_urls): fragment /
+    utm-param / default-port / host-case normalization, fully vectorized
+    RE2 kernels — the crawl-frontier dedup prerequisite.  Oracle runs the
+    identical pattern chain in DuckDB (same regex engine)."""
+    from ..stages.urlops import canonicalize_urls
+
+    ds = _read_parquet(_messy_urls_fixture())
+    return ds.map_batches(
+        lambda t: canonicalize_urls(t).select(["url_id", "url_canon"]),
+        batch_format="pyarrow",
+    )
+
+
+def first_event_per_user_hour(sf_dir: str):
+    """Recrawl/refetch suppression shape: the FIRST event per (user,
+    hour) window — composite-window dedup via grouped_topk k=1 on a
+    derived composite key (no per-group Python; one bounded bucketed
+    shuffle).  Oracle: row_number() over the same composite partition."""
+    from ..stages.topk import grouped_topk
+
+    ds = _read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        hour = pc.divide(pc.cast(t["ts"], pa.int64()), pa.scalar(3_600_000_000, pa.int64()))
+        grp = pc.binary_join_element_wise(
+            pc.cast(t["user_id"], pa.string()), pc.cast(hour, pa.string()), "|"
+        )
+        return t.append_column("hour", pc.cast(hour, pa.int64())).append_column(
+            "_grp", grp
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    first = grouped_topk(
+        tagged,
+        group_col="_grp",
+        order_by=[("ts", "asc"), ("event_id", "asc")],
+        k=1,
+    )
+    return first.map_batches(
+        lambda t: t.select(["user_id", "hour", "event_id"]), batch_format="pyarrow"
+    )

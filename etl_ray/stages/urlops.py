@@ -82,3 +82,48 @@ def top_domains(ds, k: int = 10, url_col: str = "url", key: str = "reg_domain"):
     per domain, narrow — never over the pages."""
     counts = domain_counts(ds, url_col=url_col, key=key)
     return counts.sort(["n_pages", "domain"], descending=[True, False]).limit(k)
+
+
+_PRE_RE = r"^(?P<pre>[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)(?P<rest>[\s\S]*)$"
+
+
+def canonicalize_urls(
+    t: pa.Table, url_col: str = "url", out_col: str = "url_canon"
+) -> pa.Table:
+    """Append a canonical form of ``url_col``: fragment stripped,
+    ``utm_*`` tracking params removed (first-param promotion when the
+    leading param was dropped), default ports (:80 http / :443 https)
+    elided, scheme+host lowercased, dangling ``?`` trimmed.  Rows that
+    don't look like URLs pass through unchanged.
+
+    Fully vectorized: every step is a pyarrow.compute RE2 kernel — the
+    SAME regex engine DuckDB uses, so the oracle runs the identical
+    pattern chain with no cross-engine regex-dialect risk."""
+    u = t.column(url_col)
+    if isinstance(u, pa.ChunkedArray):
+        u = u.combine_chunks()
+    u = pc.replace_substring_regex(u, r"#.*$", "")
+    u = pc.replace_substring_regex(u, r"[?&]utm_[a-z_]*=[^&#]*", "")
+    # the removed utm param may have been the FIRST one: promote the next
+    # '&' to '?' (only when no '?' survived)
+    needs_promote = pc.and_(
+        pc.invert(pc.match_substring(u, "?")), pc.match_substring(u, "&")
+    )
+    u = pc.if_else(
+        needs_promote,
+        pc.replace_substring(u, "&", "?", max_replacements=1),
+        u,
+    )
+    u = pc.replace_substring_regex(
+        u, r"^([hH][tT][tT][pP]://[^/:?#]+):80([/?#]|$)", r"\1\2"
+    )
+    u = pc.replace_substring_regex(
+        u, r"^([hH][tT][tT][pP][sS]://[^/:?#]+):443([/?#]|$)", r"\1\2"
+    )
+    parts = pc.extract_regex(u, _PRE_RE)
+    pre = pc.struct_field(parts, "pre")
+    rest = pc.struct_field(parts, "rest")
+    lowered = pc.binary_join_element_wise(pc.utf8_lower(pre), rest, "")
+    u = pc.if_else(pc.is_valid(pre), lowered, u)
+    u = pc.replace_substring_regex(u, r"\?$", "")
+    return t.append_column(out_col, u)

@@ -86,11 +86,27 @@ def test_image_decoder_and_features_plumbing(ray_session):
     assert [g["dec_height"] for g in got2] == [g["dec_height"] for g in got]
 
 
-def test_real_decode_stub_raises():
+def test_real_decode_contract():
+    """Round 4: fake=False is a REAL code path now — PNG payloads decode
+    via the pure-stdlib codec; non-PNG payloads raise (strict mode)
+    instead of fabricating dims.  The fake path still pseudo-decodes."""
+    import numpy as np
+    import pyarrow as pa
+
+    from etl_ray.stages.codecs import encode_png
     from etl_ray.stages.multimodal import ImageDecoder
 
-    with pytest.raises(NotImplementedError):
-        ImageDecoder(fake=False)
+    png = encode_png(np.zeros((5, 7, 3), np.uint8))
+    strict = ImageDecoder(fake=False)
+    out = strict(pa.table({"payload": pa.array([png], pa.binary())}))
+    assert out["dec_height"][0].as_py() == 5
+    assert out["dec_width"][0].as_py() == 7
+    with pytest.raises(ValueError, match="unsupported image format"):
+        strict(pa.table({"payload": pa.array([b"JFIF garbage"], pa.binary())}))
+    # fake path unchanged for opaque payloads
+    fake = ImageDecoder(fake=True)
+    t = fake(pa.table({"payload": pa.array([b"JFIF garbage"], pa.binary())}))
+    assert t["dec_channels"][0].as_py() == 3
 
 
 def test_unicode_whitespace_matches_duckdb_dialect():
