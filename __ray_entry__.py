@@ -137,6 +137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # webtext hygiene: URL canonicalization + windowed first-seen
         "canonical_urls": Q.canonical_urls,
         "first_event_per_user_hour": Q.first_event_per_user_hour,
+        # steady-state ingest dedup: arrivals vs corpus, then arrivals
+        "incremental_dedup_docs": Q.incremental_dedup_docs,
     }
 
 
@@ -1032,6 +1034,19 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ts, event_id) AS rn
               FROM events)
             WHERE rn = 1
+        """,
+        # same digest expression as fingerprint_docs / dedup_docs_exact
+        "incremental_dedup_docs": """
+            WITH fp AS (
+              SELECT doc_id,
+                     md5(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)))) AS d
+              FROM documents
+            ),
+            corpus AS (SELECT d FROM fp WHERE doc_id % 5 <> 0),
+            arrivals AS (SELECT doc_id, d FROM fp WHERE doc_id % 5 = 0)
+            SELECT min(doc_id) AS doc_id FROM arrivals a
+            WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.d = a.d)
+            GROUP BY d
         """,
     }
 

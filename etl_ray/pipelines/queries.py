@@ -2493,3 +2493,77 @@ def first_event_per_user_hour(sf_dir: str):
     return first.map_batches(
         lambda t: t.select(["user_id", "hour", "event_id"]), batch_format="pyarrow"
     )
+
+
+def incremental_dedup_docs(sf_dir: str):
+    """STREAMING-INGEST dedup shape: dedupe newly-arrived documents
+    against the already-ingested corpus, then among themselves — the
+    per-poll operation a continuously-tailed training lake runs (the
+    batch `dedup_docs_exact` is the bootstrap; this is the steady
+    state).  Corpus = doc_id % 5 != 0, arrivals = doc_id % 5 == 0.
+
+    Composition, no driver collect: content digests stream from the
+    Fingerprinter actor pool; arrivals anti-join the corpus digest set
+    (stages/joins.key_filter_join — broadcast / Bloom-prefiltered
+    shuffle, chosen by size); survivors dedup among themselves with the
+    same bucketed keep-min used everywhere."""
+    from ..stages.joins import key_filter_join
+    from ..stages.text import Fingerprinter
+
+    def digest(t: pa.Table) -> pa.Table:
+        fp = Fingerprinter()
+        d = pa.array(
+            [fp.md5_norm(x) for x in t.column("text").to_pylist()], pa.string()
+        )
+        return pa.table({"doc_id": t["doc_id"], "fp_md5": d})
+
+    ds = _read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def split_corpus(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(
+            pc.subtract(
+                t["doc_id"],
+                pc.multiply(pc.divide(t["doc_id"], 5), pa.scalar(5, pa.int64())),
+            ),
+            0,
+        )
+        return t.filter(keep)
+
+    def split_arrivals(t: pa.Table) -> pa.Table:
+        keep = pc.equal(
+            pc.subtract(
+                t["doc_id"],
+                pc.multiply(pc.divide(t["doc_id"], 5), pa.scalar(5, pa.int64())),
+            ),
+            0,
+        )
+        return t.filter(keep)
+
+    corpus_fp = ds.map_batches(split_corpus, batch_format="pyarrow").map_batches(
+        digest, batch_format="pyarrow"
+    )
+    arrivals_fp = ds.map_batches(split_arrivals, batch_format="pyarrow").map_batches(
+        digest, batch_format="pyarrow"
+    )
+    fresh = key_filter_join(
+        arrivals_fp, corpus_fp, left_on="fp_md5", right_on="fp_md5", anti=True
+    )
+
+    # dedup among the surviving arrivals: keep min doc_id per digest
+    def keep_min(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_bucket"])
+        import numpy as np
+
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        d = t["fp_md5"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, d))
+        dd, first = np.unique(d[order], return_index=True)
+        return pa.table({"doc_id": pa.array(np.sort(ids[order][first]), pa.int64())})
+
+    tagged = fresh.map_batches(
+        lambda t: t.append_column("_bucket", hash_bucket(t["fp_md5"], 64)),
+        batch_format="pyarrow",
+    )
+    return tagged.groupby("_bucket").map_groups(keep_min, batch_format="pyarrow")
