@@ -139,6 +139,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_event_per_user_hour": Q.first_event_per_user_hour,
         # steady-state ingest dedup: arrivals vs corpus, then arrivals
         "incremental_dedup_docs": Q.incremental_dedup_docs,
+        # mergeable quantile summary (rank bound pytest-pinned like the
+        # HLL sketch; estimates are summary-dependent, no SQL oracle)
+        "approx_quantiles_events": Q.approx_quantiles_events,
     }
 
 

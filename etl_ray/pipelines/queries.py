@@ -2567,3 +2567,17 @@ def incremental_dedup_docs(sf_dir: str):
         batch_format="pyarrow",
     )
     return tagged.groupby("_bucket").map_groups(keep_min, batch_format="pyarrow")
+
+
+def approx_quantiles_events(sf_dir: str):
+    """Single-pass approximate quantiles (mergeable evenly-spaced
+    order-statistic summary, deterministic rank error <= n/m per block —
+    stages/sketch.approx_quantiles): the no-shuffle complement to the
+    exact sort-based `quantiles_events` at 10^10-row scale.  Estimates
+    are deterministic but summary-dependent, so correctness is
+    pytest-pinned (rank bound, merge order-freedom, exactness when the
+    summary covers the block) rather than SQL-checked."""
+    from ..stages.sketch import approx_quantiles
+
+    ds = _read_parquet(_p(sf_dir, "events"), columns=["value"])
+    return approx_quantiles(ds, "value", [0.25, 0.5, 0.75, 0.95])

@@ -160,3 +160,94 @@ def heavy_hitters(ds, col: str, k: int = 20, m: int = 4096):
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile summary (deterministic rank-error bound)
+# ---------------------------------------------------------------------------
+
+
+def quantile_partial(col, m: int = 512) -> pa.Table:
+    """One block's quantile summary: the ``min(m, n)`` evenly-spaced
+    order statistics of the block, each carrying weight n/samples.
+
+    Mergeable and DETERMINISTIC (no RNG, no hashing): a weighted merge
+    of per-block summaries answers any quantile with rank error at most
+    ``sum_b(n_b / m_b)`` — each block contributes at most n_b/m_b rank
+    uncertainty between consecutive kept order statistics.  With
+    same-size blocks that is n/m total: the ε = 1/m guarantee class of
+    GK/KLL with a far simpler (and vectorized) summary."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    v = col.drop_null().to_numpy(zero_copy_only=False)
+    n = len(v)
+    if n == 0:
+        return pa.table(
+            {"value": pa.array([], pa.float64()), "weight": pa.array([], pa.float64())}
+        )
+    v = np.sort(v.astype(np.float64))
+    k = min(m, n)
+    # evenly-spaced ranks, always including both extremes
+    idx = np.unique(np.linspace(0, n - 1, num=k).round().astype(np.int64))
+    return pa.table(
+        {
+            "value": pa.array(v[idx], pa.float64()),
+            "weight": pa.array(np.full(len(idx), n / len(idx)), pa.float64()),
+        }
+    )
+
+
+def quantile_merge_estimate(partials: list[pa.Table], qs: list[float]) -> list[float]:
+    """Merge per-block summaries and answer quantiles: weighted sort +
+    cumulative-weight threshold.  O(total samples log total samples),
+    order-free (weighted multiset union is commutative)."""
+    if not partials:
+        return [float("nan")] * len(qs)
+    vals = np.concatenate([p["value"].to_numpy(zero_copy_only=False) for p in partials])
+    wts = np.concatenate([p["weight"].to_numpy(zero_copy_only=False) for p in partials])
+    if len(vals) == 0:
+        return [float("nan")] * len(qs)
+    order = np.argsort(vals, kind="stable")
+    vals, wts = vals[order], wts[order]
+    cum = np.cumsum(wts)
+    total = cum[-1]
+    out = []
+    for q in sorted(qs):
+        target = min(max(q, 0.0), 1.0) * total
+        i = int(np.searchsorted(cum, target, side="left"))
+        out.append(float(vals[min(i, len(vals) - 1)]))
+    return out
+
+
+def approx_quantiles(ds, col: str, qs: list[float], m: int = 512) -> pa.Table:
+    """Distributed single-pass approximate quantiles: one streaming
+    ``map_batches`` over WHOLE BLOCKS (``batch_size=None`` — the summary
+    size is per block, so the driver sees O(blocks × m) samples: a few
+    million at 10^10 rows, never the column), no shuffle anywhere.
+    Returns (q, value) like ``quantiles.exact_quantiles``; the rank
+    error bound is pytest-pinned (tests/test_sketch.py)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return quantile_partial(batch.column(col), m)
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    # rebuild the tiny tables the driver got back as one partial list
+    tbl = (
+        pa.table(
+            {
+                "value": pa.array([r["value"] for r in parts], pa.float64()),
+                "weight": pa.array([r["weight"] for r in parts], pa.float64()),
+            }
+        )
+        if parts
+        else pa.table(
+            {"value": pa.array([], pa.float64()), "weight": pa.array([], pa.float64())}
+        )
+    )
+    qs = sorted(qs)
+    vals = quantile_merge_estimate([tbl], qs)
+    return pa.table(
+        {"q": pa.array(qs, pa.float64()), "value": pa.array(vals, pa.float64())}
+    )

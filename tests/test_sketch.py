@@ -104,3 +104,90 @@ def test_heavy_hitters_empty_batch(ray_session):
     out = heavy_hitters(ds, "w", k=2, m=16)
     assert out["item"].to_pylist() == ["a", "b"]
     assert out["count_lo"].to_pylist() == [2, 1]
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile summary
+# ---------------------------------------------------------------------------
+
+
+def _rank_bounds(sorted_exact, value):
+    """[lo, hi] ranks a value could occupy in the exact sorted array."""
+    import numpy as np
+
+    lo = int(np.searchsorted(sorted_exact, value, side="left"))
+    hi = int(np.searchsorted(sorted_exact, value, side="right"))
+    return lo, hi
+
+
+def test_quantile_sketch_rank_bound_and_merge_laws():
+    import numpy as np
+    import pyarrow as pa
+
+    from etl_ray.stages.sketch import quantile_merge_estimate, quantile_partial
+
+    rng = np.random.default_rng(5)
+    # skewed data: lognormal + heavy point mass (ties stress the bound)
+    v = np.concatenate(
+        [rng.lognormal(0, 2, 30_000), np.full(5_000, 7.25)]
+    )
+    rng.shuffle(v)
+    n = len(v)
+    m = 256
+    blocks = np.array_split(v, 13)  # uneven block sizes
+    partials = [quantile_partial(pa.array(b), m) for b in blocks]
+    eps = sum(len(b) / min(m, len(b)) for b in blocks)  # deterministic bound
+    exact = np.sort(v)
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    est = quantile_merge_estimate(partials, qs)
+    for q, e in zip(qs, est):
+        lo, hi = _rank_bounds(exact, e)
+        target = q * n
+        assert lo - eps <= target <= hi + eps, (q, e, lo, hi, target, eps)
+
+    # merge is order-free
+    import random
+
+    shuffled = partials[:]
+    random.Random(1).shuffle(shuffled)
+    assert quantile_merge_estimate(shuffled, qs) == est
+    # deterministic: rebuilding partials reproduces identical estimates
+    partials2 = [quantile_partial(pa.array(b), m) for b in blocks]
+    assert quantile_merge_estimate(partials2, qs) == est
+
+
+def test_quantile_sketch_exact_when_m_covers_block():
+    import numpy as np
+    import pyarrow as pa
+
+    from etl_ray.stages.sketch import quantile_merge_estimate, quantile_partial
+
+    rng = np.random.default_rng(9)
+    v = rng.normal(0, 1, 400)
+    p = quantile_partial(pa.array(v), m=1000)  # m >= n: keeps everything
+    exact = np.sort(v)
+    for q in (0.0, 0.25, 0.5, 0.9, 1.0):
+        est = quantile_merge_estimate([p], [q])[0]
+        want = exact[int(np.floor(q * (len(v) - 1)))]
+        assert est == want, (q, est, want)
+
+
+def test_approx_quantiles_dataset_path(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from etl_ray.stages.sketch import approx_quantiles
+
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet", columns=["value"])
+    ds = ray.data.from_arrow(t).repartition(7)
+    out = approx_quantiles(ds, "value", [0.25, 0.5, 0.75], m=128)
+    exact = np.sort(t.column("value").to_numpy())
+    n = len(exact)
+    eps = 7 * (n / 7) / 128 + 7  # sum over blocks of n_b/m + rounding slack
+    for q, e in zip(
+        out.column("q").to_pylist(), out.column("value").to_pylist()
+    ):
+        lo = np.searchsorted(exact, e, "left")
+        hi = np.searchsorted(exact, e, "right")
+        assert lo - eps <= q * n <= hi + eps
