@@ -10,6 +10,7 @@ stays importable directly):
         read_table, read_table_arrow,         # read path (streaming / test)
         get_rows, read_dlq,                   # point lookup / quarantine
         compact, compact_deltas, vacuum, fsck # maintenance
+        export_partitioned,                   # resumable partitioned export
     )
 """
 
@@ -26,7 +27,7 @@ def __getattr__(name):  # lazy: keep `import etl_ray` free of Ray imports
 
         return getattr(_r, name)
     if name in ("compact", "compact_deltas", "vacuum", "fsck", "repartition",
-                "backfill"):
+                "backfill", "export_partitioned"):
         from .pipelines import maintenance as _m
 
         return getattr(_m, name)
