@@ -55,3 +55,40 @@ def test_written_parts_have_parquet_magic(ray_session, small_wal, tmp_path):
     for f in files:
         with open(f, "rb") as fh:
             assert fh.read(4) == b"PAR1"
+
+
+def test_orc_and_feather_roundtrip(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.feather as feather
+    import pyarrow.orc as orc
+    import pyarrow.parquet as pq
+
+    from etl_ray.sources.readers import feather_to_parquet, orc_to_parquet
+
+    t = pa.table(
+        {
+            "id": pa.array(range(100), pa.int64()),
+            "name": pa.array([f"n{i}" for i in range(100)], pa.string()),
+            "score": pa.array([i * 0.5 for i in range(100)], pa.float64()),
+        }
+    )
+    # two files each: the reader's parallelism unit is the file
+    for i, sl in enumerate((t.slice(0, 60), t.slice(60))):
+        orc.write_table(sl, str(tmp_path / f"part{i}.orc"))
+        feather.write_feather(sl, str(tmp_path / f"part{i}.feather"))
+
+    n = orc_to_parquet(
+        [str(tmp_path / "part0.orc"), str(tmp_path / "part1.orc")],
+        str(tmp_path / "from_orc"),
+    )
+    assert n == 100
+    got = pq.read_table(str(tmp_path / "from_orc")).sort_by("id")
+    assert got.equals(t)
+
+    n = feather_to_parquet(
+        [str(tmp_path / "part0.feather"), str(tmp_path / "part1.feather")],
+        str(tmp_path / "from_feather"),
+    )
+    assert n == 100
+    got = pq.read_table(str(tmp_path / "from_feather")).sort_by("id")
+    assert got.equals(t)
