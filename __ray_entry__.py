@@ -142,6 +142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mergeable quantile summary (rank bound pytest-pinned like the
         # HLL sketch; estimates are summary-dependent, no SQL oracle)
         "approx_quantiles_events": Q.approx_quantiles_events,
+        # per-doc duplicated-8-gram ratio (corpus-internal duplication)
+        "dup_span_profile_docs": Q.dup_span_profile_docs,
     }
 
 
@@ -1037,6 +1039,32 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ts, event_id) AS rn
               FROM events)
             WHERE rn = 1
+        """,
+        # same token/8-gram CTEs as decontaminate_docs; grams are
+        # per-doc DISTINCT so a per-gram row count is a doc count
+        "dup_span_profile_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS l
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(l[i:i+7], ' ') AS gram
+              FROM (SELECT doc_id, l, unnest(range(1, len(l) - 6)) AS i
+                    FROM toks WHERE len(l) >= 8)
+            ),
+            shared AS (
+              SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+            ),
+            tot AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            sh AS (SELECT g.doc_id, count(*) AS n FROM grams g
+                   JOIN shared USING (gram) GROUP BY g.doc_id)
+            SELECT t.doc_id,
+                   CAST(t.n AS BIGINT) AS n_grams,
+                   CAST(coalesce(sh.n, 0) AS BIGINT) AS n_shared,
+                   CAST(coalesce(sh.n, 0) AS DOUBLE) / t.n AS dup_ratio
+            FROM tot t LEFT JOIN sh USING (doc_id)
         """,
         # same digest expression as fingerprint_docs / dedup_docs_exact
         "incremental_dedup_docs": """

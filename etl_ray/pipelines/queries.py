@@ -2581,3 +2581,103 @@ def approx_quantiles_events(sf_dir: str):
 
     ds = _read_parquet(_p(sf_dir, "events"), columns=["value"])
     return approx_quantiles(ds, "value", [0.25, 0.5, 0.75, 0.95])
+
+
+def dup_span_profile_docs(sf_dir: str):
+    """Corpus-internal duplication profile (the train-data dedup
+    analysis of Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better", at n-gram granularity): for every document,
+    the fraction of its distinct 8-grams that also appear in ANY other
+    document.  Vectorized gram explode (stages/text.doc_ngrams), one
+    bucketed per-gram doc count, shared-gram semi join
+    (broadcast / Bloom-prefiltered by size), one bucketed per-doc
+    reduce.  dup_ratio = n_shared/n_grams is a single int/int IEEE
+    divide — bit-identical across engines."""
+    import numpy as np
+
+    from ..stages.joins import key_filter_join
+    from ..stages.text import doc_ngrams
+
+    ds = _read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    grams = ds.map_batches(
+        lambda t: doc_ngrams(t, 8), batch_format="pyarrow"
+    ).materialize()  # narrow (id, gram); consumed by three branches
+
+    # grams appearing in >= 2 documents (rows are per-doc distinct, so a
+    # per-gram ROW count is a per-gram DOC count)
+    def gram_counts(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_gb"])
+        if g.num_rows == 0:
+            return pa.table({"gram": pa.array([], pa.string())})
+        v = g["gram"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"gram": pa.array(u[c >= 2], pa.string())})
+
+    shared = (
+        grams.map_batches(
+            lambda t: t.append_column("_gb", hash_bucket(t["gram"], 256)),
+            batch_format="pyarrow",
+        )
+        .groupby("_gb")
+        .map_groups(gram_counts, batch_format="pyarrow")
+    )
+    sh_rows = key_filter_join(grams, shared, left_on="gram", right_on="gram")
+
+    def mark(flag: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "shared": pa.array(
+                        np.full(t.num_rows, flag, np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        return f
+
+    both = grams.map_batches(mark(0), batch_format="pyarrow").union(
+        sh_rows.map_batches(mark(1), batch_format="pyarrow")
+    )
+
+    def per_doc(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_db"])
+        schema_out = pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_grams", pa.int64()),
+                ("n_shared", pa.int64()),
+                ("dup_ratio", pa.float64()),
+            ]
+        )
+        if g.num_rows == 0:
+            return schema_out.empty_table()
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        sh = g["shared"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, sh = ids[order], sh[order]
+        u, starts = np.unique(ids, return_index=True)
+        ends = np.concatenate((starts[1:], [len(ids)]))
+        csum = np.concatenate(([0], np.cumsum(sh)))
+        n_sh = csum[ends] - csum[starts]
+        n_tot = (ends - starts) - n_sh  # marker-0 rows count every gram once
+        return pa.table(
+            {
+                "doc_id": pa.array(u, pa.int64()),
+                "n_grams": pa.array(n_tot, pa.int64()),
+                "n_shared": pa.array(n_sh, pa.int64()),
+                "dup_ratio": pa.array(
+                    n_sh.astype(np.float64) / n_tot.astype(np.float64), pa.float64()
+                ),
+            },
+            schema=schema_out,
+        )
+
+    return (
+        both.map_batches(
+            lambda t: t.append_column("_db", hash_bucket(t["doc_id"], 128)),
+            batch_format="pyarrow",
+        )
+        .groupby("_db")
+        .map_groups(per_doc, batch_format="pyarrow")
+    )
