@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles_events": Q.approx_quantiles_events,
         # per-doc duplicated-8-gram ratio (corpus-internal duplication)
         "dup_span_profile_docs": Q.dup_span_profile_docs,
+        # per-group exact quantiles at key cardinality
+        "grouped_quantiles_users": Q.grouped_quantiles_users,
     }
 
 
@@ -1039,6 +1041,13 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ts, event_id) AS rn
               FROM events)
             WHERE rn = 1
+        """,
+        "grouped_quantiles_users": """
+            SELECT user_id,
+                   quantile_disc(value, 0.25)  AS p25,
+                   quantile_disc(value, 0.5)   AS p50,
+                   quantile_disc(value, 0.875) AS p875
+            FROM events GROUP BY user_id
         """,
         # same token/8-gram CTEs as decontaminate_docs; grams are
         # per-doc DISTINCT so a per-gram row count is a doc count

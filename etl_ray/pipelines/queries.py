@@ -2681,3 +2681,22 @@ def dup_span_profile_docs(sf_dir: str):
         .groupby("_db")
         .map_groups(per_doc, batch_format="pyarrow")
     )
+
+
+def grouped_quantiles_users(sf_dir: str):
+    """Per-user exact value quantiles (p25/p50/p87.5 — binary-exact q so
+    the rank arithmetic provably matches SQL quantile_disc): the
+    grouped generalization of exact quantiles at key cardinality, one
+    bounded bucketed shuffle (stages/quantiles.grouped_quantiles).
+    Values pass through unchanged (selection, not arithmetic) — float
+    columns are hash-safe."""
+    from ..stages.quantiles import grouped_quantiles
+
+    ds = _read_parquet(_p(sf_dir, "events"), columns=["user_id", "value"])
+    return grouped_quantiles(
+        ds,
+        key="user_id",
+        value_col="value",
+        qs=[0.25, 0.5, 0.875],
+        out_cols=["p25", "p50", "p875"],
+    )

@@ -54,3 +54,72 @@ def exact_quantiles(ds, col: str, qs: list[float]) -> pa.Table:
             "value": pa.array([val_at[p] for p in pos]),
         }
     )
+
+
+def grouped_quantiles(
+    ds,
+    *,
+    key: str,
+    value_col: str,
+    qs: list[float],
+    n_buckets: int = 256,
+    out_cols: list[str] | None = None,
+):
+    """EXACT per-group quantiles (SQL ``quantile_disc`` semantics: the
+    value at 0-indexed rank ``ceil(q*n) - 1`` of the group's ascending
+    sort) for every group at once — per-group latency/size percentiles
+    (p50/p95 per endpoint/user/domain), the grouped generalization of
+    ``exact_quantiles``.
+
+    Scale shape (stages/topk.py pattern): groups shuffle by
+    ``hash_bucket(key) % n_buckets`` (bounded group count — NEVER one
+    map_groups dispatch per distinct key); inside a bucket one lexsort
+    orders every group-run and the q-ranks gather vectorized across all
+    groups simultaneously.  Output: one row per key, one column per q.
+
+    Use binary-exact q values (k/2^m: 0.25, 0.5, 0.875, ...) when
+    cross-engine hash equality matters — ``q*n`` is then float-exact, so
+    the selected rank provably matches DuckDB's."""
+    import ray as _ray  # noqa: F401  (parity with sibling operators)
+
+    from .hashutil import hash_bucket
+
+    out_cols = out_cols or [f"q{int(q * 1000):03d}" for q in qs]
+    if len(out_cols) != len(qs):
+        raise ValueError("out_cols must match qs")
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("_qb", hash_bucket(t[key], n_buckets))
+
+    def quant(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_qb"])
+        vtype = g.schema.field(value_col).type
+        schema_out = pa.schema(
+            [g.schema.field(key)] + [pa.field(c, vtype) for c in out_cols]
+        )
+        if g.num_rows == 0:
+            return schema_out.empty_table()
+        kv = g[key].to_numpy(zero_copy_only=False)
+        vv = g[value_col].to_numpy(zero_copy_only=False)
+        _, kcodes = np.unique(kv, return_inverse=True)
+        order = np.lexsort((vv, kcodes))
+        ksort = kcodes[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(ksort)) + 1))
+        ends = np.concatenate((starts[1:], [len(ksort)]))
+        lens = ends - starts
+        keys_out = g[key].take(pa.array(order[starts], pa.int64()))
+        cols = {key: keys_out}
+        for q, name in zip(qs, out_cols):
+            # quantile_disc rank: ceil(q*n) - 1, computed in float64
+            # exactly as SQL does (binary-exact q => provably identical)
+            idx = np.ceil(q * lens).astype(np.int64) - 1
+            idx = np.clip(idx, 0, lens - 1)
+            sel = order[starts + idx]
+            cols[name] = g[value_col].take(pa.array(sel, pa.int64()))
+        return pa.table(cols, schema=schema_out)
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_qb")
+        .map_groups(quant, batch_format="pyarrow")
+    )
