@@ -146,6 +146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_profile_docs": Q.dup_span_profile_docs,
         # per-group exact quantiles at key cardinality
         "grouped_quantiles_users": Q.grouped_quantiles_users,
+        # ECDF / rank normalization (bounded-domain broadcast transform)
+        "ecdf_normalize_docs": Q.ecdf_normalize_docs,
     }
 
 
@@ -1041,6 +1043,11 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ts, event_id) AS rn
               FROM events)
             WHERE rn = 1
+        """,
+        "ecdf_normalize_docs": """
+            SELECT doc_id, n_chars,
+                   cume_dist() OVER (ORDER BY n_chars) AS pct
+            FROM documents
         """,
         "grouped_quantiles_users": """
             SELECT user_id,

@@ -2700,3 +2700,50 @@ def grouped_quantiles_users(sf_dir: str):
         qs=[0.25, 0.5, 0.875],
         out_cols=["p25", "p50", "p875"],
     )
+
+
+def ecdf_normalize_docs(sf_dir: str):
+    """Rank / ECDF normalization of a bounded-domain integer feature
+    (n_chars): pct = (# rows <= x) / n, the quantile-uniformizing
+    transform feature pipelines apply before mixing heterogeneous
+    scores.  Two-phase, shuffle-free: per-batch value-count partials
+    (domain-bounded, tiny) merge on the driver into one cumulative
+    table broadcast to a vectorized per-batch lookup.  Counts stay
+    integer until a single IEEE divide — hash-safe vs SQL cume_dist."""
+    import numpy as np
+
+    ds = _read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "n_chars"]
+    ).materialize()  # narrow (id,int); consumed by count pass AND transform
+
+    def counts(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t["n_chars"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table(
+            {"v": pa.array(u, pa.int64()), "c": pa.array(c, pa.int64())}
+        )
+
+    parts = ds.map_batches(counts, batch_format="pyarrow").take_all()
+    vals = np.array([r["v"] for r in parts], np.int64)
+    cnts = np.array([r["c"] for r in parts], np.int64)
+    u = np.unique(vals)
+    total_per = np.zeros(len(u), np.int64)
+    np.add.at(total_per, np.searchsorted(u, vals), cnts)
+    cum = np.cumsum(total_per)
+    n = int(cum[-1]) if len(cum) else 0
+    import ray as _ray
+
+    ref = _ray.put((u, cum, n))
+
+    def transform(t: pa.Table) -> pa.Table:
+        uu, cc, nn = _ray.get(ref)
+        x = t["n_chars"].to_numpy(zero_copy_only=False)
+        le = cc[np.searchsorted(uu, x, side="left")]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": t["n_chars"],
+                "pct": pa.array(le.astype(np.float64) / float(nn), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(transform, batch_format="pyarrow")

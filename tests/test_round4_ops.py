@@ -273,3 +273,32 @@ def test_export_partitioned_resumes_and_matches(ray_session, small_wal, tmp_path
     rep3 = export_partitioned(root, out2, columns=["url", "lang"])
     f0 = os.path.join(out2, "pid=00000", f"part-{rep3['txid']}.parquet")
     assert pq.read_schema(f0).names == ["url", "lang"]
+
+
+# ---------------------------------------------------------------------------
+# grouped quantiles: non-binary q edge agreement with DuckDB
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_quantiles_matches_duckdb_at_p95(ray_session):
+    import pyarrow.parquet as pq
+
+    from etl_ray.stages.quantiles import grouped_quantiles
+
+    t = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "value"])
+    out = grouped_quantiles(
+        ray.data.from_arrow(t).repartition(4),
+        key="user_id",
+        value_col="value",
+        qs=[0.95],
+        out_cols=["p95"],
+    ).take_all()
+    got = {r["user_id"]: r["p95"] for r in out}
+    con = duckdb.connect()
+    con.register("ev", t)
+    want = dict(
+        con.execute(
+            "SELECT user_id, quantile_disc(value, 0.95) FROM ev GROUP BY user_id"
+        ).fetchall()
+    )
+    assert got == want
