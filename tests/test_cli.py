@@ -116,3 +116,24 @@ def test_cli_follow_metrics_path(ray_session, tmp_path, capsys):
     assert recs and recs[0]["segments_applied"] == 3
     assert recs[0]["events_per_sec"] > 0
     assert recs[-1]["lag_segments"] == 0
+
+
+def test_cli_export_resumable(ray_session, tmp_path, capsys):
+    import os
+
+    data = str(tmp_path / "cdc")
+    lake = str(tmp_path / "lake" / "pages")
+    out = str(tmp_path / "exp_resumable")
+    _run(capsys, "gen", "--out", data, "--urls", "100", "--events", "400",
+         "--segments", "2")
+    _run(capsys, "bootstrap", "--lake", lake, "--base", f"{data}/base/pages.parquet",
+         "--partitions", "4")
+    rep = _run(capsys, "replay", "--lake", lake, "--wal", f"{data}/wal")
+
+    e1 = _run(capsys, "export", "--lake", lake, "--out", out, "--resumable")
+    assert e1["written"] == 4 and e1["skipped"] == 0
+    assert e1["rows"] == rep["rows_live"]
+    # second run: everything already published -> all skipped
+    e2 = _run(capsys, "export", "--lake", lake, "--out", out, "--resumable")
+    assert e2["written"] == 0 and e2["skipped"] == 4
+    assert sorted(os.listdir(out)) == [f"pid={i:05d}" for i in range(4)]
