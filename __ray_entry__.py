@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles_users": Q.grouped_quantiles_users,
         # ECDF / rank normalization (bounded-domain broadcast transform)
         "ecdf_normalize_docs": Q.ecdf_normalize_docs,
+        # per-group mode (deterministic tie-break, vectorized argmax)
+        "user_event_mode": Q.user_event_mode,
     }
 
 
@@ -1042,6 +1044,16 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id, epoch_us(ts) // 3600000000
                        ORDER BY ts, event_id) AS rn
               FROM events)
+            WHERE rn = 1
+        """,
+        "user_event_mode": """
+            SELECT user_id, mode_event, mode_count FROM (
+              SELECT user_id, event_type AS mode_event,
+                     CAST(count(*) AS BIGINT) AS mode_count,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY count(*) DESC, event_type) AS rn
+              FROM events GROUP BY user_id, event_type)
             WHERE rn = 1
         """,
         "ecdf_normalize_docs": """

@@ -2747,3 +2747,61 @@ def ecdf_normalize_docs(sf_dir: str):
         )
 
     return ds.map_batches(transform, batch_format="pyarrow")
+
+
+def user_event_mode(sf_dir: str):
+    """Per-group MODE (most frequent value, ties broken by value
+    ascending — made explicit so it is deterministic and
+    SQL-reproducible, unlike bare mode()): the categorical-feature
+    summarizer.  One bucketed shuffle on the group key; inside a bucket
+    the (key, value) pair counts and the per-key argmax are one lexsort
+    + reduceat — no per-key Python."""
+    import numpy as np
+
+    ds = _read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type"])
+
+    def mode_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_mb"])
+        schema_out = pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("mode_event", pa.string()),
+                ("mode_count", pa.int64()),
+            ]
+        )
+        if g.num_rows == 0:
+            return schema_out.empty_table()
+        ku = g["user_id"].to_numpy(zero_copy_only=False)
+        ev = g["event_type"].to_numpy(zero_copy_only=False)
+        # count distinct (user, event) pairs: lexsort by (event, user) so
+        # pair runs are contiguous with EVENT ascending inside each user
+        order = np.lexsort((ev, ku))
+        ks, es = ku[order], ev[order]
+        new_pair = np.ones(len(ks), bool)
+        new_pair[1:] = (ks[1:] != ks[:-1]) | (es[1:] != es[:-1])
+        starts = np.flatnonzero(new_pair)
+        ends = np.concatenate((starts[1:], [len(ks)]))
+        counts = ends - starts
+        pk, pe = ks[starts], es[starts]
+        # per-user argmax: order pairs (user, count desc, event asc) and
+        # take each user-run's first row — fully vectorized
+        order2 = np.lexsort((pe, -counts, pk))
+        pk2, pe2, c2 = pk[order2], pe[order2], counts[order2]
+        first = np.flatnonzero(np.concatenate(([True], pk2[1:] != pk2[:-1])))
+        return pa.table(
+            {
+                "user_id": pa.array(pk2[first], pa.int64()),
+                "mode_event": pa.array(pe2[first], pa.string()),
+                "mode_count": pa.array(c2[first], pa.int64()),
+            },
+            schema=schema_out,
+        )
+
+    return (
+        ds.map_batches(
+            lambda t: t.append_column("_mb", hash_bucket(t["user_id"], 128)),
+            batch_format="pyarrow",
+        )
+        .groupby("_mb")
+        .map_groups(mode_bucket, batch_format="pyarrow")
+    )
