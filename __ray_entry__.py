@@ -150,6 +150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ecdf_normalize_docs": Q.ecdf_normalize_docs,
         # per-group mode (deterministic tie-break, vectorized argmax)
         "user_event_mode": Q.user_event_mode,
+        # wide -> long reshape (feature-store ingest format)
+        "unpivot_order_metrics": Q.unpivot_order_metrics,
     }
 
 
@@ -1045,6 +1047,15 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ts, event_id) AS rn
               FROM events)
             WHERE rn = 1
+        """,
+        "unpivot_order_metrics": """
+            SELECT o_orderkey, 'total_cents' AS metric,
+                   CAST(floor(o_totalprice * 100) AS BIGINT) AS value
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, 'cust_key' AS metric,
+                   CAST(o_custkey AS BIGINT) AS value
+            FROM orders
         """,
         "user_event_mode": """
             SELECT user_id, mode_event, mode_count FROM (

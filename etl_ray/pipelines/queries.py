@@ -2805,3 +2805,37 @@ def user_event_mode(sf_dir: str):
         .groupby("_mb")
         .map_groups(mode_bucket, batch_format="pyarrow")
     )
+
+
+def unpivot_order_metrics(sf_dir: str):
+    """UNPIVOT / melt: wide per-order numeric metrics into long
+    (o_orderkey, metric, value_cents) rows — the long-format transform
+    feature stores ingest.  Pure vectorized reshape inside map_batches
+    (each metric column contributes one full-length slice; no shuffle,
+    no row loop).  Money casts to integer cents first (shared
+    determinism rule)."""
+    import numpy as np
+
+    ds = _read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_totalprice", "o_custkey"],
+    )
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        cents = pc.cast(
+            pc.floor(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        cust = pc.cast(t["o_custkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(np.concatenate([keys, keys]), pa.int64()),
+                "metric": pa.array(
+                    ["total_cents"] * n + ["cust_key"] * n, pa.string()
+                ),
+                "value": pa.array(np.concatenate([cents, cust]), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(melt, batch_format="pyarrow")
