@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_mode": Q.user_event_mode,
         # wide -> long reshape (feature-store ingest format)
         "unpivot_order_metrics": Q.unpivot_order_metrics,
+        # per-column profiling (null counts, min/max) in one pass
+        "profile_documents": Q.profile_documents,
     }
 
 
@@ -1047,6 +1049,17 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ts, event_id) AS rn
               FROM events)
             WHERE rn = 1
+        """,
+        "profile_documents": """
+            SELECT 'doc_id' AS column, CAST(count(*) FILTER (doc_id IS NULL) AS BIGINT) AS null_count,
+                   CAST(min(doc_id) AS VARCHAR) AS min_v, CAST(max(doc_id) AS VARCHAR) AS max_v FROM documents
+            UNION ALL
+            SELECT 'lang', count(*) FILTER (lang IS NULL), min(lang), max(lang) FROM documents
+            UNION ALL
+            SELECT 'source', count(*) FILTER (source IS NULL), min(source), max(source) FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(*) FILTER (n_chars IS NULL),
+                   CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents
         """,
         "unpivot_order_metrics": """
             SELECT o_orderkey, 'total_cents' AS metric,

@@ -2839,3 +2839,66 @@ def unpivot_order_metrics(sf_dir: str):
         )
 
     return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def profile_documents(sf_dir: str):
+    """Column profiling (data-quality pass): per-column null count and
+    min/max over the documents table, computed as per-batch partials
+    merged on the driver — one streaming pass, no shuffle, O(columns)
+    driver state.  Restricted to int/string columns so the VARCHAR
+    rendering of min/max is engine-independent (float formatting is
+    not).  Oracle: one UNION ALL branch per column."""
+    import numpy as np
+
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    ds = _read_parquet(_p(sf_dir, "documents"), columns=cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, nulls, mins, maxs = [], [], [], []
+        for c in cols:
+            col = t[c]
+            names.append(c)
+            nulls.append(col.null_count)
+            valid = col.drop_null()
+            if len(valid) == 0:
+                mins.append(None)
+                maxs.append(None)
+            else:
+                mins.append(str(pc.min(valid).as_py()))
+                maxs.append(str(pc.max(valid).as_py()))
+        return pa.table(
+            {
+                "column": pa.array(names, pa.string()),
+                "null_count": pa.array(nulls, pa.int64()),
+                "min_v": pa.array(mins, pa.string()),
+                "max_v": pa.array(maxs, pa.string()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    out = {c: {"null_count": 0, "min_v": None, "max_v": None} for c in cols}
+    for r in parts:
+        o = out[r["column"]]
+        o["null_count"] += r["null_count"]
+        for k, better in (("min_v", min), ("max_v", max)):
+            if r[k] is None:
+                continue
+            # doc_id / n_chars are numeric: compare numerically, render
+            # canonically (str(int) == CAST(int AS VARCHAR))
+            cur = o[k]
+            if r["column"] in ("doc_id", "n_chars"):
+                o[k] = (
+                    r[k]
+                    if cur is None
+                    else str(better(int(cur), int(r[k])))
+                )
+            else:
+                o[k] = r[k] if cur is None else better(cur, r[k])
+    return pa.table(
+        {
+            "column": pa.array(cols, pa.string()),
+            "null_count": pa.array([out[c]["null_count"] for c in cols], pa.int64()),
+            "min_v": pa.array([out[c]["min_v"] for c in cols], pa.string()),
+            "max_v": pa.array([out[c]["max_v"] for c in cols], pa.string()),
+        }
+    )
