@@ -154,6 +154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_order_metrics": Q.unpivot_order_metrics,
         # per-column profiling (null counts, min/max) in one pass
         "profile_documents": Q.profile_documents,
+        # ROWS-frame rolling aggregate (bounded lookback per key)
+        "rolling_sum_events": Q.rolling_sum_events,
     }
 
 
@@ -1049,6 +1051,14 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ts, event_id) AS rn
               FROM events)
             WHERE rn = 1
+        """,
+        "rolling_sum_events": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(floor(value * 100) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)
+                     AS roll4_cents
+            FROM events
         """,
         "profile_documents": """
             SELECT 'doc_id' AS column, CAST(count(*) FILTER (doc_id IS NULL) AS BIGINT) AS null_count,

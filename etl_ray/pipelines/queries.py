@@ -2902,3 +2902,40 @@ def profile_documents(sf_dir: str):
             "max_v": pa.array([out[c]["max_v"] for c in cols], pa.string()),
         }
     )
+
+
+def rolling_sum_events(sf_dir: str):
+    """ROWS-frame rolling aggregate per user: running 4-row (3 PRECEDING
+    + CURRENT) sum of value cents ordered by (ts, event_id) — the
+    bounded-lookback activity feature.  stages/analytic.rolling_sum:
+    bucketed shuffle, cumsum-difference frames, integer-exact."""
+    from ..stages.analytic import rolling_sum
+
+    ds = _read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "cents": pc.cast(
+                    pc.floor(pc.multiply(t["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    out = rolling_sum(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        key="user_id",
+        order_by=["ts", "event_id"],
+        value_col="cents",
+        preceding=3,
+        out_col="roll4_cents",
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "roll4_cents"]),
+        batch_format="pyarrow",
+    )

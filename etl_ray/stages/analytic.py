@@ -304,3 +304,49 @@ def grouped_concat(
         .groupby("_cbucket")
         .map_groups(concat, batch_format="pyarrow")
     )
+
+
+def rolling_sum(
+    ds,
+    *,
+    key: str,
+    order_by: list[str],
+    value_col: str,
+    preceding: int,
+    out_col: str = "rolling_sum",
+    n_buckets: int = 256,
+):
+    """Per-key ROWS-frame rolling sum (SQL ``SUM(v) OVER (PARTITION BY
+    key ORDER BY ... ROWS BETWEEN preceding PRECEDING AND CURRENT
+    ROW)``) — the bounded-lookback feature (recent-activity totals,
+    rate limits).  Same bucketed shuffle + lexsort shape as
+    partitioned_analytics; the frame sum is a cumsum difference, fully
+    vectorized.  Integer ``value_col`` only: int64 rolling sums are
+    exact and summation-order-independent, so the SQL oracle matches
+    bit-for-bit (float frames are not cross-engine comparable)."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("_rsb", hash_bucket(t[key], n_buckets))
+
+    def roll(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_rsb"])
+        schema_out = g.schema.append(pa.field(out_col, pa.int64()))
+        n = g.num_rows
+        if n == 0:
+            return schema_out.empty_table()
+        order, starts, run_id = _sorted_runs(g, key, order_by)
+        v = g[value_col].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        csum = np.concatenate(([0], np.cumsum(v)))
+        pos = np.arange(n)
+        run_start = starts[run_id]
+        lo = np.maximum(pos - preceding, run_start)
+        out_sorted = csum[pos + 1] - csum[lo]
+        out = np.empty(n, np.int64)
+        out[order] = out_sorted
+        return g.append_column(out_col, pa.array(out, pa.int64()))
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_rsb")
+        .map_groups(roll, batch_format="pyarrow")
+    )
