@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_documents": Q.profile_documents,
         # ROWS-frame rolling aggregate (bounded lookback per key)
         "rolling_sum_events": Q.rolling_sum_events,
+        # time-series gap fill (dense per-user day grid, zero-filled)
+        "gapfill_daily_user_counts": Q.gapfill_daily_user_counts,
     }
 
 
@@ -1051,6 +1053,19 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ts, event_id) AS rn
               FROM events)
             WHERE rn = 1
+        """,
+        "gapfill_daily_user_counts": """
+            WITH c AS (
+              SELECT user_id,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            b AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM c GROUP BY 1),
+            g AS (SELECT user_id, unnest(range(lo, hi + 1)) AS day FROM b)
+            SELECT g.user_id, CAST(g.day AS BIGINT) AS day,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+            FROM g LEFT JOIN c USING (user_id, day)
         """,
         "rolling_sum_events": """
             SELECT event_id, user_id,

@@ -2939,3 +2939,78 @@ def rolling_sum_events(sf_dir: str):
         lambda t: t.select(["event_id", "user_id", "roll4_cents"]),
         batch_format="pyarrow",
     )
+
+
+def gapfill_daily_user_counts(sf_dir: str):
+    """Time-series gap fill: per-user daily event counts with MISSING
+    days materialized as zero rows between each user's first and last
+    active day — the regularization step before any windowed/sequence
+    model consumes per-entity activity.  One bucketed shuffle; inside a
+    bucket the dense day grids are built as vectorized ragged ranges
+    (global arange minus per-user offsets) and matched to observed
+    counts via searchsorted — no per-user Python.  Integers throughout."""
+    import numpy as np
+
+    ds = _read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        day = pc.divide(
+            pc.cast(t["ts"], pa.int64()), pa.scalar(86_400_000_000, pa.int64())
+        )
+        return pa.table({"user_id": t["user_id"], "day": pc.cast(day, pa.int64())})
+
+    def fill_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_gf"])
+        schema_out = pa.schema(
+            [("user_id", pa.int64()), ("day", pa.int64()), ("n_events", pa.int64())]
+        )
+        if g.num_rows == 0:
+            return schema_out.empty_table()
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        d = g["day"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, u))
+        us, dsrt = u[order], d[order]
+        # observed (user, day) counts
+        new = np.ones(len(us), bool)
+        new[1:] = (us[1:] != us[:-1]) | (dsrt[1:] != dsrt[:-1])
+        starts = np.flatnonzero(new)
+        cnts = np.diff(np.concatenate((starts, [len(us)])))
+        cu, cd = us[starts], dsrt[starts]
+        # per-user [lo, hi] day spans
+        ustart = np.flatnonzero(np.concatenate(([True], cu[1:] != cu[:-1])))
+        uend = np.concatenate((ustart[1:], [len(cu)]))
+        lo = cd[ustart]
+        hi = cd[uend - 1]
+        lens = hi - lo + 1
+        # ragged ranges: one global arange, offset per user
+        off = np.concatenate(([0], np.cumsum(lens)))
+        total = int(off[-1])
+        rep = np.repeat(np.arange(len(lens)), lens)
+        days = np.arange(total, dtype=np.int64) - off[rep] + lo[rep]
+        users = cu[ustart][rep]
+        # match observed counts into the dense grid: composite key search
+        # (user runs are contiguous and day-ascending in BOTH arrays)
+        obs_key = cu.astype(np.int64) * np.int64(1 << 22) + cd
+        grid_key = users * np.int64(1 << 22) + days
+        pos = np.searchsorted(obs_key, grid_key)
+        n = np.zeros(total, np.int64)
+        hit = (pos < len(obs_key)) & (obs_key[np.minimum(pos, len(obs_key) - 1)] == grid_key)
+        n[hit] = cnts[pos[hit]]
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "day": pa.array(days, pa.int64()),
+                "n_events": pa.array(n, pa.int64()),
+            },
+            schema=schema_out,
+        )
+
+    return (
+        ds.map_batches(to_day, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.append_column("_gf", hash_bucket(t["user_id"], 128)),
+            batch_format="pyarrow",
+        )
+        .groupby("_gf")
+        .map_groups(fill_bucket, batch_format="pyarrow")
+    )
