@@ -158,6 +158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_sum_events": Q.rolling_sum_events,
         # time-series gap fill (dense per-user day grid, zero-filled)
         "gapfill_daily_user_counts": Q.gapfill_daily_user_counts,
+        # ordered funnel pattern over per-user journeys
+        "funnel_users_events": Q.funnel_users_events,
     }
 
 
@@ -1053,6 +1055,15 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ts, event_id) AS rn
               FROM events)
             WHERE rn = 1
+        """,
+        "funnel_users_events": """
+            WITH j AS (
+              SELECT user_id,
+                     string_agg(event_type, ',' ORDER BY ts, event_id) AS journey
+              FROM events GROUP BY user_id)
+            SELECT user_id FROM j
+            WHERE regexp_matches(journey,
+                  'view(,[a-z]+)*,click(,[a-z]+)*,purchase')
         """,
         "gapfill_daily_user_counts": """
             WITH c AS (

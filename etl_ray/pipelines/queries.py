@@ -3014,3 +3014,31 @@ def gapfill_daily_user_counts(sf_dir: str):
         .groupby("_gf")
         .map_groups(fill_bucket, batch_format="pyarrow")
     )
+
+
+def funnel_users_events(sf_dir: str):
+    """Ordered funnel detection: users whose event history contains
+    view -> click -> purchase IN ORDER (other events may interleave) —
+    sequence-pattern mining as a composition of the journey aggregation
+    (grouped_concat) and one vectorized RE2 match over the per-user
+    trace strings.  The oracle runs the identical regex on the identical
+    string_agg — same pattern, same engine (RE2) on both sides."""
+    from ..stages.analytic import grouped_concat
+
+    ds = _read_parquet(
+        _p(sf_dir, "events"), columns=["user_id", "event_type", "ts", "event_id"]
+    )
+    journeys = grouped_concat(
+        ds,
+        key="user_id",
+        order_by=["ts", "event_id"],
+        value_col="event_type",
+        out_col="journey",
+    )
+    pat = r"view(,[a-z]+)*,click(,[a-z]+)*,purchase"
+
+    def match(t: pa.Table) -> pa.Table:
+        keep = pc.match_substring_regex(t["journey"], pat)
+        return t.filter(keep).select(["user_id"])
+
+    return journeys.map_batches(match, batch_format="pyarrow")
