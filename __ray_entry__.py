@@ -160,6 +160,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gapfill_daily_user_counts": Q.gapfill_daily_user_counts,
         # ordered funnel pattern over per-user journeys
         "funnel_users_events": Q.funnel_users_events,
+        # temporal dedup with tolerance (per-user debounce via lag)
+        "debounce_events": Q.debounce_events,
+        # exact weighted mean (integer accumulators, one IEEE divide)
+        "weighted_avg_value_by_type": Q.weighted_avg_value_by_type,
     }
 
 
@@ -1055,6 +1059,23 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ts, event_id) AS rn
               FROM events)
             WHERE rn = 1
+        """,
+        "debounce_events": """
+            SELECT event_id, user_id FROM (
+              SELECT event_id, user_id, ts,
+                     lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS ts_prev
+              FROM events)
+            WHERE ts_prev IS NULL
+               OR epoch_us(ts) - epoch_us(ts_prev) > 60000000
+        """,
+        "weighted_avg_value_by_type": """
+            SELECT event_type,
+                   CAST(sum(user_id % 7 + 1) AS BIGINT) AS w_total,
+                   CAST(sum((user_id % 7 + 1) *
+                            CAST(floor(value * 100) AS BIGINT)) AS DOUBLE)
+                   / CAST(sum(user_id % 7 + 1) AS DOUBLE) AS wavg_cents
+            FROM events GROUP BY event_type
         """,
         "funnel_users_events": """
             WITH j AS (

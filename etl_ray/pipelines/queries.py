@@ -3042,3 +3042,81 @@ def funnel_users_events(sf_dir: str):
         return t.filter(keep).select(["user_id"])
 
     return journeys.map_batches(match, batch_format="pyarrow")
+
+
+def debounce_events(sf_dir: str):
+    """Temporal dedup with tolerance (debounce): drop any event arriving
+    within 60 s of the SAME user's previous event (threshold sized so
+    the fixture actually exercises both branches) — the repeated-click /
+    duplicate-beacon suppression pass.  Composition: per-user ordered
+    lag (stages/analytic.partitioned_analytics) + one vectorized integer
+    filter.  Microsecond integers end-to-end."""
+    from ..stages.analytic import partitioned_analytics
+
+    ds = _read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
+    )
+    lagged = partitioned_analytics(
+        ds, key="user_id", order_by=["ts", "event_id"], lag_cols=["ts"]
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        gap = pc.subtract(
+            pc.cast(t["ts"], pa.int64()), pc.cast(t["ts_prev"], pa.int64())
+        )
+        first = pc.is_null(t["ts_prev"])
+        ok = pc.or_kleene(
+            first, pc.greater(gap, pa.scalar(60_000_000, pa.int64()))
+        )
+        return t.filter(ok).select(["event_id", "user_id"])
+
+    return lagged.map_batches(keep, batch_format="pyarrow")
+
+
+def weighted_avg_value_by_type(sf_dir: str):
+    """Exact weighted mean per group with INTEGER sums: per event type,
+    sum(cents × weight)/sum(weight) with weight = user_id % 7 + 1 (a
+    deterministic integer weight).  Both accumulators are int64 (exact,
+    order-free); the mean is ONE IEEE divide of identical operands —
+    hash-safe across engines, unlike a float running mean."""
+    import numpy as np
+
+    ds = _read_parquet(
+        _p(sf_dir, "events"), columns=["event_type", "user_id", "value"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        cents = pc.cast(
+            pc.floor(pc.multiply(t["value"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        w = t["user_id"].to_numpy(zero_copy_only=False) % 7 + 1
+        u, inv = np.unique(et, return_inverse=True)
+        sw = np.zeros(len(u), np.int64)
+        swc = np.zeros(len(u), np.int64)
+        np.add.at(sw, inv, w)
+        np.add.at(swc, inv, w * cents)
+        return pa.table(
+            {
+                "event_type": pa.array(u, pa.string()),
+                "sw": pa.array(sw, pa.int64()),
+                "swc": pa.array(swc, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    agg: dict[str, list[int]] = {}
+    for r in parts:
+        a = agg.setdefault(r["event_type"], [0, 0])
+        a[0] += r["sw"]
+        a[1] += r["swc"]
+    keys = sorted(agg)
+    return pa.table(
+        {
+            "event_type": pa.array(keys, pa.string()),
+            "w_total": pa.array([agg[k][0] for k in keys], pa.int64()),
+            "wavg_cents": pa.array(
+                [agg[k][1] / agg[k][0] for k in keys], pa.float64()
+            ),
+        }
+    )
