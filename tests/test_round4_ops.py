@@ -302,3 +302,30 @@ def test_grouped_quantiles_matches_duckdb_at_p95(ray_session):
         ).fetchall()
     )
     assert got == want
+
+
+def test_export_partitioned_ignores_crash_tmp_files(ray_session, small_wal, tmp_path):
+    """A crash BETWEEN tmp-write and rename leaves a .tmp file; the
+    resumed export must redo that partition (no final file) and never
+    promote or trip over the orphan."""
+    import os
+
+    from etl_ray.pipelines.maintenance import export_partitioned
+    from etl_ray.pipelines.replay import bootstrap_lake, replay
+
+    root = str(tmp_path / "lake" / "pages")
+    bootstrap_lake(root, small_wal["base"], num_partitions=4)
+    replay(root, small_wal["wal_dir"])
+    out = str(tmp_path / "exp")
+    rep = export_partitioned(root, out)
+
+    # simulate the crash: partition 1 has only a stale tmp, no final file
+    pdir = os.path.join(out, "pid=00001")
+    final = [f for f in os.listdir(pdir) if not ".tmp." in f][0]
+    os.rename(os.path.join(pdir, final), os.path.join(pdir, f"{final}.tmp.999"))
+
+    rep2 = export_partitioned(root, out)
+    assert rep2["written"] == 1 and rep2["skipped"] == 3
+    assert rep2["rows"] == rep["rows"]
+    names = os.listdir(pdir)
+    assert final in names  # the real file is back
