@@ -1021,33 +1021,37 @@ def oracle_sql() -> dict[str, str]:
         # share the RE2 engine, so this is dialect-risk-free)
         "canonical_urls": rf"""
             WITH s1 AS (
-              SELECT url_id,
+              SELECT url_id, url AS orig,
                      regexp_replace(regexp_replace(url, '#.*$', ''),
                                     '[?&]utm_[a-z_]*=[^&#]*', '', 'g') AS u
               FROM read_parquet('{messy_urls}')
             ),
             s2 AS (
-              SELECT url_id,
+              SELECT url_id, orig,
                      CASE WHEN u NOT LIKE '%?%' AND u LIKE '%&%'
                           THEN regexp_replace(u, '&', '?') ELSE u END AS u
               FROM s1
             ),
             s3 AS (
-              SELECT url_id,
+              SELECT url_id, orig,
                      regexp_replace(regexp_replace(u,
                        '^([hH][tT][tT][pP]://[^/:?#]+):80([/?#]|$)', '\1\2'),
                        '^([hH][tT][tT][pP][sS]://[^/:?#]+):443([/?#]|$)', '\1\2') AS u
               FROM s2
             ),
             s4 AS (
-              SELECT url_id,
+              SELECT url_id, orig,
                      CASE WHEN regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*') <> ''
                           THEN lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*'))
                                || substr(u, len(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*')) + 1)
                           ELSE u END AS u
               FROM s3
             )
-            SELECT url_id, regexp_replace(u, '\?$', '') AS url_canon FROM s4
+            SELECT url_id,
+                   CASE WHEN orig LIKE '%://%'
+                        THEN regexp_replace(u, '[?&]+$', '')
+                        ELSE orig END AS url_canon
+            FROM s4
         """,
         "first_event_per_user_hour": """
             SELECT user_id, hour, event_id FROM (

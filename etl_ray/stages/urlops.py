@@ -99,10 +99,10 @@ def canonicalize_urls(
     Fully vectorized: every step is a pyarrow.compute RE2 kernel — the
     SAME regex engine DuckDB uses, so the oracle runs the identical
     pattern chain with no cross-engine regex-dialect risk."""
-    u = t.column(url_col)
-    if isinstance(u, pa.ChunkedArray):
-        u = u.combine_chunks()
-    u = pc.replace_substring_regex(u, r"#.*$", "")
+    orig = t.column(url_col)
+    if isinstance(orig, pa.ChunkedArray):
+        orig = orig.combine_chunks()
+    u = pc.replace_substring_regex(orig, r"#.*$", "")
     u = pc.replace_substring_regex(u, r"[?&]utm_[a-z_]*=[^&#]*", "")
     # the removed utm param may have been the FIRST one: promote the next
     # '&' to '?' (only when no '?' survived)
@@ -125,5 +125,10 @@ def canonicalize_urls(
     rest = pc.struct_field(parts, "rest")
     lowered = pc.binary_join_element_wise(pc.utf8_lower(pre), rest, "")
     u = pc.if_else(pc.is_valid(pre), lowered, u)
-    u = pc.replace_substring_regex(u, r"\?$", "")
+    # drop ALL dangling separators in one pass (a lone trailing '?' must
+    # not expose a new '&'-promotion on a second application — the chain
+    # is IDEMPOTENT, pinned by a hypothesis property test)
+    u = pc.replace_substring_regex(u, r"[?&]+$", "")
+    # non-URL rows pass through COMPLETELY unchanged
+    u = pc.if_else(pc.match_substring(orig, "://"), u, orig)
     return t.append_column(out_col, u)
