@@ -164,6 +164,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "debounce_events": Q.debounce_events,
         # exact weighted mean (integer accumulators, one IEEE divide)
         "weighted_avg_value_by_type": Q.weighted_avg_value_by_type,
+        # exact grouped Pearson correlation (int moment partials)
+        "corr_qty_price_by_retflag": Q.corr_qty_price_by_retflag,
+        # Markov transition matrix over per-user ordered sequences
+        "event_transition_counts": Q.event_transition_counts,
+        # cohort retention triangle (first-seen week x week offset)
+        "cohort_retention_events": Q.cohort_retention_events,
+        # dense_rank<=3 with ties, sort-free (distinct-threshold pass)
+        "dense_topk_orders_per_priority": Q.dense_topk_orders_per_priority,
+        # LOCF forward-fill over dense per-user day grids
+        "locf_daily_user_values": Q.locf_daily_user_values,
+        # star-schema rollup (3-hop dim chain pre-joined, broadcast)
+        "revenue_by_region_star": Q.revenue_by_region_star,
     }
 
 
@@ -1080,6 +1092,95 @@ def oracle_sql() -> dict[str, str]:
                             CAST(floor(value * 100) AS BIGINT)) AS DOUBLE)
                    / CAST(sum(user_id % 7 + 1) AS DOUBLE) AS wavg_cents
             FROM events GROUP BY event_type
+        """,
+        # BIGINT sums promote to HUGEINT (exact 128-bit) in DuckDB; the
+        # engine combines int64 batch partials with Python bigints — both
+        # sides take the identical cast-to-double / multiply / sqrt /
+        # divide path, so the correlation is bit-identical.
+        "corr_qty_price_by_retflag": """
+            WITH s AS (
+              SELECT l_returnflag,
+                     count(*) AS n,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+              FROM (SELECT l_returnflag,
+                           CAST(floor(l_quantity * 100) AS BIGINT) AS x,
+                           CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+                    FROM lineitem) t
+              GROUP BY 1)
+            SELECT l_returnflag,
+                   CAST(n AS BIGINT) AS n_rows,
+                   CAST(n*sxy - sx*sy AS DOUBLE)
+                   / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                          * CAST(n*syy - sy*sy AS DOUBLE)) AS corr_qty_price
+            FROM s
+        """,
+        "event_transition_counts": """
+            SELECT prev AS from_type, event_type AS to_type,
+                   count(*) AS n
+            FROM (SELECT event_type,
+                         lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                  FROM events)
+            WHERE prev IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "cohort_retention_events": """
+            WITH uw AS (
+              SELECT DISTINCT user_id,
+                     CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week
+              FROM events),
+            f AS (SELECT user_id, min(week) AS cohort FROM uw GROUP BY 1)
+            SELECT f.cohort AS cohort_week,
+                   uw.week - f.cohort AS week_offset,
+                   count(*) AS n_users
+            FROM uw JOIN f USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "dense_topk_orders_per_priority": """
+            SELECT o_orderpriority, o_orderkey, price_c, rnk FROM (
+              SELECT o_orderpriority, o_orderkey,
+                     CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c,
+                     CAST(dense_rank() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT) DESC
+                     ) AS BIGINT) AS rnk
+              FROM orders)
+            WHERE rnk <= 3
+        """,
+        "locf_daily_user_values": """
+            WITH v AS (
+              SELECT user_id, day, value_c FROM (
+                SELECT user_id,
+                       CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                       CAST(floor(value * 100) AS BIGINT) AS value_c,
+                       row_number() OVER (
+                         PARTITION BY user_id,
+                                      epoch_us(ts) // 86400000000
+                         ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events)
+              WHERE rn = 1),
+            b AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM v GROUP BY 1),
+            g AS (SELECT user_id, unnest(range(lo, hi + 1)) AS day FROM b),
+            j AS (SELECT g.user_id, CAST(g.day AS BIGINT) AS day, v.value_c
+                  FROM g LEFT JOIN v USING (user_id, day))
+            SELECT user_id, day,
+                   last_value(value_c IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS value_c
+            FROM j
+        """,
+        "revenue_by_region_star": """
+            SELECT r_name,
+                   CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                     AS revenue_cents,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1
         """,
         "funnel_users_events": """
             WITH j AS (

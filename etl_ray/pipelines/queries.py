@@ -3120,3 +3120,407 @@ def weighted_avg_value_by_type(sf_dir: str):
             ),
         }
     )
+
+
+def corr_qty_price_by_retflag(sf_dir: str):
+    """Exact grouped Pearson correlation, distributed: per l_returnflag,
+    corr(quantity, extendedprice) over integer cents.  Per-batch int64
+    moment partials (n, Σx, Σy, Σx², Σxy, Σy²) with ``batch_size``
+    capped at 64k rows so Σy² (y ≤ 1e7 cents → y² ≤ 1e14/row) stays
+    below 2⁶³ per batch; partials combine on the driver with Python
+    arbitrary-precision ints, so the moments are EXACT at any scale.
+    The only float ops — cast each moment combination to double, one
+    multiply, one sqrt, one divide — are replicated operand-for-operand
+    in the oracle (DuckDB sums BIGINT into HUGEINT, also exact), so the
+    result is bit-identical.  Reference analogue: grouped numeric
+    aggregates (A1 family) widened to second moments."""
+    import math
+
+    ds = _read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        x = (
+            pc.cast(pc.floor(pc.multiply(t["l_quantity"], 100.0)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        y = (
+            pc.cast(
+                pc.floor(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+        )
+        u, inv = np.unique(g, return_inverse=True)
+        cols = {"l_returnflag": pa.array(u, pa.string())}
+        for name, v in (
+            ("n", np.ones(len(x), np.int64)),
+            ("sx", x),
+            ("sy", y),
+            ("sxx", x * x),
+            ("sxy", x * y),
+            ("syy", y * y),
+        ):
+            acc = np.zeros(len(u), np.int64)
+            np.add.at(acc, inv, v)
+            cols[name] = pa.array(acc, pa.int64())
+        return pa.table(cols)
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).take_all()
+    agg: dict[str, list[int]] = {}
+    for r in parts:
+        a = agg.setdefault(r["l_returnflag"], [0, 0, 0, 0, 0, 0])
+        for i, k in enumerate(("n", "sx", "sy", "sxx", "sxy", "syy")):
+            a[i] += int(r[k])
+    keys = sorted(agg)
+    corr = []
+    for k in keys:
+        n, sx, sy, sxx, sxy, syy = agg[k]
+        num = n * sxy - sx * sy
+        d1 = n * sxx - sx * sx
+        d2 = n * syy - sy * sy
+        corr.append(float(num) / math.sqrt(float(d1) * float(d2)))
+    return pa.table(
+        {
+            "l_returnflag": pa.array(keys, pa.string()),
+            "n_rows": pa.array([agg[k][0] for k in keys], pa.int64()),
+            "corr_qty_price": pa.array(corr, pa.float64()),
+        }
+    )
+
+
+def event_transition_counts(sf_dir: str):
+    """Markov transition matrix over per-user event sequences: count of
+    (previous event_type → event_type) transitions, ordered by (ts,
+    event_id) within each user.  Composition: per-user ordered lag
+    (partitioned_analytics, one bucketed shuffle) + per-batch pyarrow
+    group_by count partials + a tiny driver combine (≤ |types|² keys).
+    Integer counts end-to-end — hash-safe."""
+    from ..stages.analytic import partitioned_analytics
+
+    ds = _read_parquet(
+        _p(sf_dir, "events"), columns=["user_id", "event_type", "ts", "event_id"]
+    )
+    lagged = partitioned_analytics(
+        ds, key="user_id", order_by=["ts", "event_id"], lag_cols=["event_type"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["event_type_prev"]))
+        out = (
+            t.select(["event_type_prev", "event_type"])
+            .group_by(["event_type_prev", "event_type"])
+            .aggregate([("event_type", "count")])
+        )
+        return out.rename_columns(["from_type", "to_type", "n"])
+
+    parts = lagged.map_batches(partial, batch_format="pyarrow").take_all()
+    agg: dict[tuple[str, str], int] = {}
+    for r in parts:
+        k = (r["from_type"], r["to_type"])
+        agg[k] = agg.get(k, 0) + r["n"]
+    keys = sorted(agg)
+    return pa.table(
+        {
+            "from_type": pa.array([k[0] for k in keys], pa.string()),
+            "to_type": pa.array([k[1] for k in keys], pa.string()),
+            "n": pa.array([agg[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+def cohort_retention_events(sf_dir: str):
+    """Cohort retention matrix: users grouped by first-seen ISO week
+    (cohort), counted as active at each week offset — the classic
+    product-analytics retention triangle.  Shape: per-batch distinct
+    (user, week) partials shrink the exchange, ONE hash-bucket shuffle
+    on user co-locates each user's history, per-bucket vectorized
+    (cohort, offset) counting, driver combine over ≤ weeks² keys.  No
+    join — the cohort lookup happens inside the user's own bucket."""
+    WEEK_US = 604_800_000_000
+
+    ds = _read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def distinct_uw(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        wk = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False) // WEEK_US
+        pairs = np.unique(np.stack([uid, wk], axis=1), axis=0)
+        return pa.table(
+            {
+                "user_id": pa.array(pairs[:, 0], pa.int64()),
+                "week": pa.array(pairs[:, 1], pa.int64()),
+            }
+        )
+
+    uw = ds.map_batches(distinct_uw, batch_format="pyarrow")
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("_b", hash_bucket(t["user_id"], 64))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        wk = g["week"].to_numpy(zero_copy_only=False)
+        # batch partials may repeat a (user, week) pair across batches
+        pairs = np.unique(np.stack([uid, wk], axis=1), axis=0)
+        uid, wk = pairs[:, 0], pairs[:, 1]
+        u, inv = np.unique(uid, return_inverse=True)
+        cohort = np.full(len(u), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(cohort, inv, wk)
+        co = cohort[inv]
+        off = wk - co
+        cells = np.stack([co, off], axis=1)
+        uc, counts = np.unique(cells, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "cohort_week": pa.array(uc[:, 0], pa.int64()),
+                "week_offset": pa.array(uc[:, 1], pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    parts = (
+        uw.map_batches(tag, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .take_all()
+    )
+    agg: dict[tuple[int, int], int] = {}
+    for r in parts:
+        k = (r["cohort_week"], r["week_offset"])
+        agg[k] = agg.get(k, 0) + r["n"]
+    keys = sorted(agg)
+    return pa.table(
+        {
+            "cohort_week": pa.array([k[0] for k in keys], pa.int64()),
+            "week_offset": pa.array([k[1] for k in keys], pa.int64()),
+            "n_users": pa.array([agg[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+def dense_topk_orders_per_priority(sf_dir: str):
+    """Top-3-with-ties per group (dense_rank ≤ 3) WITHOUT a per-group
+    sort: pass 1 computes each batch's top-3 DISTINCT total-price cents
+    per o_orderpriority (any value in the global top-3 distinct is in
+    its own batch's top-3 distinct, so the driver combine over
+    |groups|×3×batches partials is exact); pass 2 re-streams the table,
+    keeps rows ≥ the group's 3rd-distinct threshold, and assigns the
+    dense rank by searchsorted against the broadcast 3-value ladder.
+    Integer cents end-to-end."""
+
+    def price_c(t: pa.Table):
+        return (
+            pc.cast(pc.floor(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+
+    ds = _read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+
+    def partial_top(t: pa.Table) -> pa.Table:
+        pr = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        pc_ = price_c(t)
+        out_p, out_v = [], []
+        for p in np.unique(pr):
+            vals = np.unique(pc_[pr == p])[-3:]
+            out_p.extend([p] * len(vals))
+            out_v.extend(vals.tolist())
+        return pa.table(
+            {
+                "prio": pa.array(out_p, pa.string()),
+                "v": pa.array(out_v, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial_top, batch_format="pyarrow").take_all()
+    tops: dict[str, set[int]] = {}
+    for r in parts:
+        tops.setdefault(r["prio"], set()).add(r["v"])
+    ladder = {p: np.array(sorted(vs)[-3:], np.int64) for p, vs in tops.items()}
+
+    def rank_rows(t: pa.Table) -> pa.Table:
+        pr = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        pc_ = price_c(t)
+        keep = np.zeros(len(pr), bool)
+        rnk = np.zeros(len(pr), np.int64)
+        for p, lad in ladder.items():
+            m = (pr == p) & (pc_ >= lad[0])
+            keep |= m
+            rnk[m] = len(lad) - np.searchsorted(lad, pc_[m])
+        out = t.filter(pa.array(keep)).select(["o_orderpriority", "o_orderkey"])
+        out = out.append_column("price_c", pa.array(pc_[keep], pa.int64()))
+        return out.append_column("rnk", pa.array(rnk[keep], pa.int64()))
+
+    return ds.map_batches(rank_rows, batch_format="pyarrow")
+
+
+def locf_daily_user_values(sf_dir: str):
+    """Forward-fill (LOCF) regularization: per user per day, the cents
+    value of that day's LAST event, with missing days between the
+    user's first and last active day carried forward from the previous
+    observed day — the other half of the gap-fill family
+    (gapfill_daily_user_counts zero-fills; this one carries state).
+    Shape: per-batch (user, day) argmax partials shrink the exchange,
+    ONE bucketed shuffle on user, then a fully vectorized dense-grid +
+    forward-fill inside each bucket (global maximum.accumulate is safe
+    because each user's first grid day is observed by construction)."""
+    DAY_US = 86_400_000_000
+
+    ds = _read_parquet(
+        _p(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"]
+    )
+
+    def day_last_partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        vc = (
+            pc.cast(pc.floor(pc.multiply(t["value"], 100.0)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        day = ts // DAY_US
+        order = np.lexsort((eid, ts, day, u))
+        u, day, ts, eid, vc = u[order], day[order], ts[order], eid[order], vc[order]
+        last = np.ones(len(u), bool)
+        last[:-1] = (u[1:] != u[:-1]) | (day[1:] != day[:-1])
+        return pa.table(
+            {
+                "user_id": pa.array(u[last], pa.int64()),
+                "day": pa.array(day[last], pa.int64()),
+                "ts": pa.array(ts[last], pa.int64()),
+                "event_id": pa.array(eid[last], pa.int64()),
+                "value_c": pa.array(vc[last], pa.int64()),
+            }
+        )
+
+    def fill_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_lf"])
+        schema_out = pa.schema(
+            [("user_id", pa.int64()), ("day", pa.int64()), ("value_c", pa.int64())]
+        )
+        if g.num_rows == 0:
+            return schema_out.empty_table()
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        d = g["day"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        vc = g["value_c"].to_numpy(zero_copy_only=False)
+        # combine batch partials: last (ts, event_id) per (user, day) wins
+        order = np.lexsort((eid, ts, d, u))
+        u, d, vc = u[order], d[order], vc[order]
+        last = np.ones(len(u), bool)
+        last[:-1] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+        cu, cd, cv = u[last], d[last], vc[last]
+        # per-user [lo, hi] spans -> ragged dense grids
+        ustart = np.flatnonzero(np.concatenate(([True], cu[1:] != cu[:-1])))
+        uend = np.concatenate((ustart[1:], [len(cu)]))
+        lo, hi = cd[ustart], cd[uend - 1]
+        lens = hi - lo + 1
+        off = np.concatenate(([0], np.cumsum(lens)))
+        total = int(off[-1])
+        rep = np.repeat(np.arange(len(lens)), lens)
+        days = np.arange(total, dtype=np.int64) - off[rep] + lo[rep]
+        users = cu[ustart][rep]
+        obs_key = cu.astype(np.int64) * np.int64(1 << 22) + cd
+        grid_key = users * np.int64(1 << 22) + days
+        pos = np.searchsorted(obs_key, grid_key)
+        hit = (pos < len(obs_key)) & (
+            obs_key[np.minimum(pos, len(obs_key) - 1)] == grid_key
+        )
+        # forward fill: index of the latest observation at or before each
+        # grid row; each user's first grid day is observed, so the global
+        # running max never crosses a user boundary
+        src = np.where(hit, pos, -1)
+        src = np.maximum.accumulate(src)
+        vals = cv[src]
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "day": pa.array(days, pa.int64()),
+                "value_c": pa.array(vals, pa.int64()),
+            },
+            schema=schema_out,
+        )
+
+    return (
+        ds.map_batches(day_last_partial, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.append_column("_lf", hash_bucket(t["user_id"], 128)),
+            batch_format="pyarrow",
+        )
+        .groupby("_lf")
+        .map_groups(fill_bucket, batch_format="pyarrow")
+    )
+
+
+def revenue_by_region_star(sf_dir: str):
+    """Star-schema rollup across a THREE-hop dimension chain: orders
+    (fact, streamed) -> customer -> nation -> region, revenue in integer
+    cents per region name.  The dim chain is pre-joined driver-side into
+    one (custkey -> region name) lookup — tiny vs the fact — then
+    ray.put ONCE and probed per batch with vectorized ``pc.index_in``;
+    per-batch pre-aggregation shrinks the exchange to ≤|regions| rows
+    per block.  At a scale where customer itself is too big to
+    broadcast, the same query falls back to the hash-partitioned join
+    path (stages/joins.key_filter_join's broadcast-limit switch is the
+    template); the dim-chain PRE-join driver-side is the part that
+    always holds (nation x region are bounded small)."""
+    cust = pa.concat_tables(
+        ray.get(
+            _read_parquet(
+                _p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+            ).to_arrow_refs()
+        )
+    )
+    nation = pa.concat_tables(
+        ray.get(
+            _read_parquet(
+                _p(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"]
+            ).to_arrow_refs()
+        )
+    )
+    region = pa.concat_tables(
+        ray.get(
+            _read_parquet(
+                _p(sf_dir, "region"), columns=["r_regionkey", "r_name"]
+            ).to_arrow_refs()
+        )
+    )
+    npos = pc.index_in(
+        nation["n_regionkey"], value_set=region["r_regionkey"].combine_chunks()
+    )
+    n_rname = pc.take(region["r_name"].combine_chunks(), npos)
+    cpos = pc.index_in(
+        cust["c_nationkey"], value_set=nation["n_nationkey"].combine_chunks()
+    )
+    c_rname = pc.take(n_rname, cpos)
+    dim_ref = ray.put((cust["c_custkey"].combine_chunks(), c_rname))
+
+    def join_and_partial(t: pa.Table) -> pa.Table:
+        keys, rnames = ray.get(dim_ref)
+        pos = pc.index_in(t["o_custkey"], value_set=keys)
+        rn = pc.take(rnames, pos)
+        cents = pc.cast(
+            pc.floor(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+        )
+        tt = pa.table({"r_name": rn, "cents": cents}).filter(pc.is_valid(rn))
+        return (
+            tt.group_by("r_name")
+            .aggregate([("cents", "sum"), ("cents", "count")])
+            .rename_columns(["r_name", "partial_cents", "partial_n"])
+        )
+
+    return (
+        _read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+        .map_batches(join_and_partial, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(
+            Sum("partial_cents", alias_name="revenue_cents"),
+            Sum("partial_n", alias_name="n_orders"),
+        )
+    )
