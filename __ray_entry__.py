@@ -176,6 +176,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "locf_daily_user_values": Q.locf_daily_user_values,
         # star-schema rollup (3-hop dim chain pre-joined, broadcast)
         "revenue_by_region_star": Q.revenue_by_region_star,
+        # inter-arrival gap quantiles per event type (lag + exact quantiles)
+        "interarrival_quantiles_by_type": Q.interarrival_quantiles_by_type,
     }
 
 
@@ -1170,6 +1172,21 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS value_c
             FROM j
+        """,
+        # ts ties within a user leave the per-user sorted ts sequence —
+        # and hence the gap multiset and its quantiles — unchanged, so
+        # the engine's (ts, event_id) tiebreak matches any SQL ordering
+        "interarrival_quantiles_by_type": """
+            WITH g AS (
+              SELECT event_type,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+              FROM events)
+            SELECT event_type,
+                   quantile_disc(gap_us, 0.5)   AS p50_us,
+                   quantile_disc(gap_us, 0.875) AS p875_us
+            FROM g WHERE gap_us IS NOT NULL
+            GROUP BY event_type
         """,
         "revenue_by_region_star": """
             SELECT r_name,

@@ -3524,3 +3524,45 @@ def revenue_by_region_star(sf_dir: str):
             Sum("partial_n", alias_name="n_orders"),
         )
     )
+
+
+def interarrival_quantiles_by_type(sf_dir: str):
+    """Inter-arrival-time distribution per event type: exact p50/p87.5
+    quantiles of the gap (microseconds) between a user's consecutive
+    events, grouped by the CURRENT event's type — the latency-profile
+    shape (time-since-last-action per action kind) behind engagement
+    and rate-limit analytics.  Composition of two existing stages, one
+    bucketed shuffle each: per-user ordered lag
+    (stages/analytic.partitioned_analytics) -> vectorized int64 gap ->
+    grouped exact quantiles (stages/quantiles.grouped_quantiles,
+    binary-exact q so the selected rank provably matches SQL
+    quantile_disc).  Gaps are integer microseconds passed through
+    unchanged (selection, not arithmetic) — hash-safe.  Reference
+    analogue: per-key ordered analytics (O2/A1 families) composed."""
+    from ..stages.analytic import partitioned_analytics
+    from ..stages.quantiles import grouped_quantiles
+
+    ds = _read_parquet(
+        _p(sf_dir, "events"),
+        columns=["user_id", "event_type", "ts", "event_id"],
+    )
+    lagged = partitioned_analytics(
+        ds, key="user_id", order_by=["ts", "event_id"], lag_cols=["ts"]
+    )
+
+    def gap(t: pa.Table) -> pa.Table:
+        prev = t["ts_prev"]
+        g = pc.subtract(
+            pc.cast(t["ts"], pa.int64()), pc.cast(prev, pa.int64())
+        )
+        out = pa.table({"event_type": t["event_type"], "gap_us": g})
+        return out.filter(pc.is_valid(prev))
+
+    gaps = lagged.map_batches(gap, batch_format="pyarrow")
+    return grouped_quantiles(
+        gaps,
+        key="event_type",
+        value_col="gap_us",
+        qs=[0.5, 0.875],
+        out_cols=["p50_us", "p875_us"],
+    )
