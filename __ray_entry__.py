@@ -178,6 +178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_region_star": Q.revenue_by_region_star,
         # inter-arrival gap quantiles per event type (lag + exact quantiles)
         "interarrival_quantiles_by_type": Q.interarrival_quantiles_by_type,
+        # week-over-week count deltas per type (lag over a tiny aggregate)
+        "wow_event_counts": Q.wow_event_counts,
     }
 
 
@@ -1187,6 +1189,17 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(gap_us, 0.875) AS p875_us
             FROM g WHERE gap_us IS NOT NULL
             GROUP BY event_type
+        """,
+        "wow_event_counts": """
+            WITH w AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2)
+            SELECT event_type, week, n,
+                   n - lag(n) OVER (
+                     PARTITION BY event_type ORDER BY week) AS wow_delta
+            FROM w
         """,
         "revenue_by_region_star": """
             SELECT r_name,

@@ -3566,3 +3566,52 @@ def interarrival_quantiles_by_type(sf_dir: str):
         qs=[0.5, 0.875],
         out_cols=["p50_us", "p875_us"],
     )
+
+
+def wow_event_counts(sf_dir: str):
+    """Period-over-period deltas: weekly event counts per type with the
+    week-over-week change — the trend-monitoring shape (WoW/MoM deltas
+    per key) behind ingest-volume and drift dashboards.  Shape:
+    per-batch (event_type, week) count partials shrink the exchange to
+    ≤|types|×|weeks| rows per block, ONE small groupby combine, then
+    the per-key ordered lag (stages/analytic.partitioned_analytics)
+    over the aggregate — the lag shuffles only the tiny aggregate,
+    never the fact table.  Integer counts end-to-end; the first week of
+    each type has a null delta (SQL lag semantics)."""
+    from ..stages.analytic import partitioned_analytics
+
+    WEEK_US = 604_800_000_000
+
+    ds = _read_parquet(_p(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        wk = pc.cast(
+            pc.divide(pc.cast(t["ts"], pa.int64()), WEEK_US), pa.int64()
+        )
+        tt = pa.table({"event_type": t["event_type"], "week": wk})
+        return (
+            tt.group_by(["event_type", "week"])
+            .aggregate([("week", "count")])
+            .rename_columns(["event_type", "week", "pn"])
+        )
+
+    weekly = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "week"])
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+    lagged = partitioned_analytics(
+        weekly, key="event_type", order_by=["week"], lag_cols=["n"]
+    )
+
+    def delta(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "week": t["week"],
+                "n": t["n"],
+                "wow_delta": pc.subtract(t["n"], t["n_prev"]),
+            }
+        )
+
+    return lagged.map_batches(delta, batch_format="pyarrow")
