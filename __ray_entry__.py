@@ -180,6 +180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interarrival_quantiles_by_type": Q.interarrival_quantiles_by_type,
         # week-over-week count deltas per type (lag over a tiny aggregate)
         "wow_event_counts": Q.wow_event_counts,
+        # exact grouped COUNT(DISTINCT) — the exact twin of the HLL sketch
+        "distinct_users_per_type": Q.distinct_users_per_type,
     }
 
 
@@ -1189,6 +1191,11 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(gap_us, 0.875) AS p875_us
             FROM g WHERE gap_us IS NOT NULL
             GROUP BY event_type
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
         """,
         "wow_event_counts": """
             WITH w AS (

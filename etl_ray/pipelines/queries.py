@@ -3615,3 +3615,56 @@ def wow_event_counts(sf_dir: str):
         )
 
     return lagged.map_batches(delta, batch_format="pyarrow")
+
+
+def distinct_users_per_type(sf_dir: str):
+    """EXACT grouped COUNT(DISTINCT): distinct users per event type —
+    the exact counterpart of approx_distinct_events (HLL), for when the
+    audience count must be exact (billing, experiment gating).  Scale
+    shape: per-batch distinct (type, user) partials (pyarrow group_by
+    with no aggregates) shrink the exchange to unique pairs per block;
+    ONE bucketed shuffle on user_id co-locates every occurrence of a
+    pair (a pair can only appear in its user's bucket, so in-bucket
+    dedup is global dedup); per-bucket vectorized pair-dedup + per-type
+    counts; a tiny Sum combine over ≤ |types| × buckets rows.  The
+    distinct-pair table never lands on the driver.  Integer counts —
+    hash-safe."""
+    from ..stages.hashutil import hash_bucket
+
+    ds = _read_parquet(_p(sf_dir, "events"), columns=["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["event_type", "user_id"]).aggregate([])
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("_db", hash_bucket(t["user_id"], 256))
+
+    def count_bucket(g: pa.Table) -> pa.Table:
+        schema_out = pa.schema(
+            [("event_type", pa.string()), ("pn", pa.int64())]
+        )
+        if g.num_rows == 0:
+            return schema_out.empty_table()
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        types, tcodes = np.unique(et, return_inverse=True)
+        # batch partials may repeat a pair across batches: dedupe, then
+        # count pairs per type in one vectorized pass
+        pairs = np.unique(np.stack([tcodes, uid], axis=1), axis=0)
+        cnt = np.bincount(pairs[:, 0], minlength=len(types))
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "pn": pa.array(cnt.astype(np.int64), pa.int64()),
+            },
+            schema=schema_out,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_db")
+        .map_groups(count_bucket, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("pn", alias_name="n_users"))
+    )
