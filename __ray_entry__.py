@@ -182,6 +182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wow_event_counts": Q.wow_event_counts,
         # exact grouped COUNT(DISTINCT) — the exact twin of the HLL sketch
         "distinct_users_per_type": Q.distinct_users_per_type,
+        # per-row NTILE(4) equal-frequency binning within each type
+        "ntile_events_by_type": Q.ntile_events_by_type,
     }
 
 
@@ -1191,6 +1193,15 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(gap_us, 0.875) AS p875_us
             FROM g WHERE gap_us IS NOT NULL
             GROUP BY event_type
+        """,
+        "ntile_events_by_type": """
+            SELECT event_type, event_id,
+                   CAST(floor(value * 100) AS BIGINT) AS value_c,
+                   CAST(ntile(4) OVER (
+                     PARTITION BY event_type
+                     ORDER BY CAST(floor(value * 100) AS BIGINT), event_id
+                   ) AS BIGINT) AS tile
+            FROM events
         """,
         "distinct_users_per_type": """
             SELECT event_type,

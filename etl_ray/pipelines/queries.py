@@ -3668,3 +3668,78 @@ def distinct_users_per_type(sf_dir: str):
         .groupby("event_type")
         .aggregate(Sum("pn", alias_name="n_users"))
     )
+
+
+def ntile_events_by_type(sf_dir: str):
+    """Per-row NTILE(4) quartile assignment within each event type,
+    ordered by (value cents, event_id) — the equal-frequency binning
+    transform behind score calibration and cohort splits.  Exact SQL
+    ntile semantics: with n rows and k tiles the first n % k tiles get
+    ceil(n/k) rows (not the floor((rn-1)*k/n) approximation).  Shape:
+    per-batch count partials give the tiny per-type sizes (broadcast
+    once); per-type row numbers come from the existing ordered-window
+    stage (ONE bucketed shuffle); the tile formula is a vectorized
+    per-batch map.  The tie-break on event_id makes the order total, so
+    the assignment is engine-independent.  Integer outputs — hash-safe."""
+    from ..stages.analytic import partitioned_analytics
+
+    K = 4
+    ds = _read_parquet(
+        _p(sf_dir, "events"), columns=["event_type", "event_id", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "event_id": t["event_id"],
+                "value_c": _cents(t["value"]),
+            }
+        )
+
+    narrow = ds.map_batches(prep, batch_format="pyarrow")
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["event_type"])
+            .group_by("event_type")
+            .aggregate([("event_type", "count")])
+            .rename_columns(["event_type", "pn"])
+        )
+
+    sizes: dict[str, int] = {}
+    for r in narrow.map_batches(count_partial, batch_format="pyarrow").take_all():
+        sizes[r["event_type"]] = sizes.get(r["event_type"], 0) + r["pn"]
+    size_ref = ray.put(sizes)
+
+    ranked = partitioned_analytics(
+        narrow, key="event_type", order_by=["value_c", "event_id"]
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        sz = ray.get(size_ref)
+        keys = pa.array(list(sz.keys()), pa.string())
+        ns = np.fromiter(sz.values(), np.int64, len(sz))
+        pos = pc.index_in(t["event_type"], value_set=keys).to_numpy(
+            zero_copy_only=False
+        )
+        n = ns[pos]
+        rn = t["rn"].to_numpy(zero_copy_only=False)
+        q, r = n // K, n % K
+        big_span = r * (q + 1)
+        in_big = rn <= big_span
+        tile = np.where(
+            in_big,
+            (rn - 1) // np.maximum(q + 1, 1) + 1,
+            r + (rn - 1 - big_span) // np.maximum(q, 1) + 1,
+        )
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "event_id": t["event_id"],
+                "value_c": t["value_c"],
+                "tile": pa.array(tile.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ranked.map_batches(assign, batch_format="pyarrow")
