@@ -184,6 +184,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": Q.distinct_users_per_type,
         # per-row NTILE(4) equal-frequency binning within each type
         "ntile_events_by_type": Q.ntile_events_by_type,
+        # EXACT top-k frequent items, sketch-certified two-pass (no
+        # all-to-all key shuffle; falls back to groupby if uncertified)
+        "topk_frequent_users": Q.topk_frequent_users,
     }
 
 
@@ -1207,6 +1210,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "topk_frequent_users": """
+            SELECT CAST(user_id AS VARCHAR) AS item, count(*) AS cnt
+            FROM events GROUP BY user_id
+            ORDER BY cnt DESC, item ASC LIMIT 20
         """,
         "wow_event_counts": """
             WITH w AS (

@@ -3743,3 +3743,16 @@ def ntile_events_by_type(sf_dir: str):
         )
 
     return ranked.map_batches(assign, batch_format="pyarrow")
+
+
+def topk_frequent_users(sf_dir: str):
+    """Exact top-20 most-frequent user_ids in events via the two-pass
+    sketch-certified path (stages/sketch.exact_topk_frequent): pass 1
+    merges per-task pruned exact counts into certified (lo, hi) count
+    brackets, pass 2 recounts only the certified candidates — no
+    all-to-all key shuffle, exact answer.  Ties broken (count DESC,
+    item ASC) so the limit boundary is engine-independent."""
+    from ..stages.sketch import exact_topk_frequent
+
+    ds = _read_parquet(_p(sf_dir, "events"), columns=["user_id"])
+    return exact_topk_frequent(ds, "user_id", k=20, m=4096)

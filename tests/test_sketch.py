@@ -191,3 +191,43 @@ def test_approx_quantiles_dataset_path(ray_session):
         lo = np.searchsorted(exact, e, "left")
         hi = np.searchsorted(exact, e, "right")
         assert lo - eps <= q * n <= hi + eps
+
+
+def test_exact_topk_frequent_matches_groupby(ray_session):
+    """Zipf-ish data: two-pass certified path returns the EXACT top-k
+    (same as a full groupby) under the (count DESC, item ASC) order."""
+    import collections
+
+    import ray
+
+    from etl_ray.stages.sketch import exact_topk_frequent
+
+    rng = np.random.default_rng(11)
+    vals = (rng.zipf(1.5, size=40_000) % 500).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"k": vals})).repartition(8)
+    got = exact_topk_frequent(ds, "k", k=10, m=256)
+    truth = sorted(
+        ((str(k), v) for k, v in collections.Counter(vals.tolist()).items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    assert list(zip(got["item"].to_pylist(), got["cnt"].to_pylist())) == truth
+
+
+def test_exact_topk_frequent_flat_fallback(ray_session):
+    """Adversarially flat distribution with tiny m: the certificate
+    fails and the groupby fallback still yields the exact answer."""
+    import collections
+
+    import ray
+
+    from etl_ray.stages.sketch import exact_topk_frequent
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 2_000, size=20_000)  # near-uniform
+    ds = ray.data.from_arrow(pa.table({"k": vals})).repartition(16)
+    got = exact_topk_frequent(ds, "k", k=5, m=8)  # m << distinct → fallback
+    truth = sorted(
+        ((str(k), v) for k, v in collections.Counter(vals.tolist()).items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:5]
+    assert list(zip(got["item"].to_pylist(), got["cnt"].to_pylist())) == truth
