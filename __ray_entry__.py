@@ -187,6 +187,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # EXACT top-k frequent items, sketch-certified two-pass (no
         # all-to-all key shuffle; falls back to groupby if uncertified)
         "topk_frequent_users": Q.topk_frequent_users,
+        # Debezium-style change records (before+after images) produced
+        # FROM lake snapshots — the reverse of the ingest direction
+        "cdc_changelog_pages": Q.cdc_changelog_pages,
     }
 
 
@@ -1215,6 +1218,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(user_id AS VARCHAR) AS item, count(*) AS cnt
             FROM events GROUP BY user_id
             ORDER BY cnt DESC, item ASC LIMIT 20
+        """,
+        # Debezium-style change records between bootstrap and head:
+        # before image = base-snapshot row, after image = LWW winner
+        # (same classification rules as cdc_table_diff, plus md5 images)
+        "cdc_changelog_pages": """
+            WITH w AS (
+              SELECT url, warc_ts, lsn, op, text,
+                     row_number() OVER (
+                       PARTITION BY url ORDER BY warc_ts DESC, lsn DESC) AS rn
+              FROM read_parquet('/tmp/etlray_cdc_1000_8000/data/oracle_events.parquet')
+            ),
+            win AS (SELECT url, warc_ts, lsn, op, text FROM w WHERE rn = 1),
+            b AS (
+              SELECT url, warc_ts, text
+              FROM read_parquet('/tmp/etlray_cdc_1000_8000/data/base/pages.parquet')
+            )
+            SELECT 'insert' AS op, win.url,
+                   CAST(NULL AS TIMESTAMP) AS before_warc_ts,
+                   win.warc_ts AS after_warc_ts,
+                   CAST(NULL AS VARCHAR) AS before_text_md5,
+                   md5(win.text) AS after_text_md5
+            FROM win LEFT JOIN b USING (url)
+            WHERE b.url IS NULL AND win.op <> 'delete'
+            UNION ALL
+            SELECT 'delete' AS op, b.url,
+                   b.warc_ts, CAST(NULL AS TIMESTAMP),
+                   md5(b.text), CAST(NULL AS VARCHAR)
+            FROM b JOIN win USING (url) WHERE win.op = 'delete'
+            UNION ALL
+            SELECT 'update' AS op, win.url,
+                   b.warc_ts, win.warc_ts,
+                   md5(b.text), md5(win.text)
+            FROM win JOIN b USING (url)
+            WHERE win.op <> 'delete' AND win.lsn > 0
         """,
         "wow_event_counts": """
             WITH w AS (

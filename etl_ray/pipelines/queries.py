@@ -3756,3 +3756,25 @@ def topk_frequent_users(sf_dir: str):
 
     ds = _read_parquet(_p(sf_dir, "events"), columns=["user_id"])
     return exact_topk_frequent(ds, "user_id", k=20, m=4096)
+
+
+def cdc_changelog_pages(sf_dir: str):
+    """Debezium-style change-record stream between the bootstrap
+    snapshot and the replayed head: (op, url, before/after warc_ts,
+    before/after text md5 images), via the manifest-pruned shuffle-free
+    per-partition changelog (pipelines/diff.table_changelog).  The
+    reference consumes Debezium envelopes; this PRODUCES them from lake
+    snapshots — the other half of a CDC contract."""
+    from ..state.manifest import LakeTable
+    from .diff import table_changelog
+    from .replay import bootstrap_lake, replay
+
+    n_urls, n_events = _CDC_SIZES.get(os.path.basename(sf_dir.rstrip("/")), (300, 1500))
+    root = _cdc_fixture(n_urls, n_events)
+    data_dir = os.path.join(root, "data")
+    lake_root = os.path.join(root, "lake", f"clog{os.getpid()}", "pages")
+    bootstrap_lake(lake_root, os.path.join(data_dir, "base", "pages.parquet"), num_partitions=16)
+    tx_boot = LakeTable(lake_root).read_manifest()["txid"]
+    replay(lake_root, os.path.join(data_dir, "wal"))
+    tx_head = LakeTable(lake_root).read_manifest()["txid"]
+    return table_changelog(lake_root, tx_boot, tx_head, image_cols=("text",))

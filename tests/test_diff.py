@@ -80,3 +80,46 @@ def test_table_diff_identity_is_empty(ray_session, small_wal, tmp_path):
     out = table_diff(root, tx, tx)
     assert out.count() == 0
     assert out.schema().names == ["pid", "op", "url", "warc_ts"]
+
+
+def test_table_changelog_images(ray_session, small_wal, tmp_path):
+    """Changelog rows carry correct before/after images: insert has a
+    null before side, delete a null after side, update both — and the
+    md5 image digests match the independently computed winner states."""
+    import hashlib
+
+    from etl_ray.oracle import flat_events_table
+    from etl_ray.pipelines.diff import table_changelog
+    from etl_ray.pipelines.replay import bootstrap_lake, replay
+    from etl_ray.state.manifest import LakeTable
+
+    root = str(tmp_path / "lake" / "pages")
+    bootstrap_lake(root, small_wal["base"], num_partitions=8)
+    tx_boot = LakeTable(root).read_manifest()["txid"]
+    replay(root, small_wal["wal_dir"])
+    tx_head = LakeTable(root).read_manifest()["txid"]
+
+    got = table_changelog(root, tx_boot, tx_head, image_cols=("text",)).to_pandas()
+    assert got.loc[got.op == "insert", "before_warc_ts"].isna().all()
+    assert got.loc[got.op == "insert", "before_text_md5"].isna().all()
+    assert got.loc[got.op == "delete", "after_warc_ts"].isna().all()
+    assert got.loc[got.op == "update", "before_text_md5"].notna().all()
+    assert got.loc[got.op == "update", "after_text_md5"].notna().all()
+
+    # independent winner state for the after images
+    df = flat_events_table(small_wal["base"], small_wal["segments"]).to_pandas()
+    win = df.sort_values(["url", "warc_ts", "lsn"]).groupby("url").tail(1)
+    win_text = {r.url: (r.op, r.text) for r in win.itertuples()}
+    base = pd.read_parquet(small_wal["base"])
+    base_text = dict(zip(base.url, base.text))
+
+    for r in got.itertuples():
+        if r.op in ("insert", "update"):
+            assert r.after_text_md5 == hashlib.md5(
+                win_text[r.url][1].encode()
+            ).hexdigest()
+        if r.op in ("delete", "update"):
+            assert r.before_text_md5 == hashlib.md5(
+                base_text[r.url].encode()
+            ).hexdigest()
+    assert (got.op == "update").any() and (got.op == "delete").any()
