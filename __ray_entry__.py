@@ -190,6 +190,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Debezium-style change records (before+after images) produced
         # FROM lake snapshots — the reverse of the ingest direction
         "cdc_changelog_pages": Q.cdc_changelog_pages,
+        # Levenshtein<=1 fuzzy-key self-join via SymSpell deletion
+        # neighborhoods (lossless blocking; oracle is the quadratic join)
+        "fuzzy_pairs_docs": Q.fuzzy_pairs_docs,
     }
 
 
@@ -1218,6 +1221,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(user_id AS VARCHAR) AS item, count(*) AS cnt
             FROM events GROUP BY user_id
             ORDER BY cnt DESC, item ASC LIMIT 20
+        """,
+        "fuzzy_pairs_docs": """
+            WITH k AS (
+              SELECT doc_id, substr(text, 1, 32) AS key FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM k a JOIN k b
+              ON a.doc_id < b.doc_id
+             AND abs(length(a.key) - length(b.key)) <= 1
+             AND levenshtein(a.key, b.key) <= 1
         """,
         # Debezium-style change records between bootstrap and head:
         # before image = base-snapshot row, after image = LWW winner

@@ -3778,3 +3778,15 @@ def cdc_changelog_pages(sf_dir: str):
     replay(lake_root, os.path.join(data_dir, "wal"))
     tx_head = LakeTable(lake_root).read_manifest()["txid"]
     return table_changelog(lake_root, tx_boot, tx_head, image_cols=("text",))
+
+
+def fuzzy_pairs_docs(sf_dir: str):
+    """Levenshtein<=1 fuzzy-key self-join over the 32-char document
+    prefixes — SymSpell deletion-neighborhood blocking (stages/fuzzy.py):
+    variant flat-map, bucketed candidate groups, vectorized in-task
+    distance verify, 256-bucket pair distinct.  No all-pairs scan;
+    the oracle's quadratic levenshtein join is the fidelity check."""
+    from ..stages.fuzzy import fuzzy_pairs_ed1
+
+    ds = _read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return fuzzy_pairs_ed1(ds, "doc_id", "text", key_len=32)

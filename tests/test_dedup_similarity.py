@@ -281,3 +281,36 @@ def test_dup_clusters_empty_pairs(ray_session):
     out = dup_clusters(empty)
     assert out.count() == 0
     assert out.schema().names == ["doc_id", "cluster_id"]
+
+
+def test_fuzzy_pairs_ed1_synthetic(ray_session):
+    """Deletion-neighborhood blocking finds exactly the distance<=1
+    pairs: substitution, insertion, deletion, exact dup — and nothing
+    at distance 2."""
+    import ray.data as rd
+
+    from etl_ray.stages.fuzzy import fuzzy_pairs_ed1
+
+    rows = {
+        1: "the quick brown fox jumps",
+        2: "the quick brown fox jumps",   # exact dup of 1
+        3: "the quick brawn fox jumps",   # substitution vs 1/2
+        4: "the quick brown fox jump",    # deletion vs 1/2
+        5: "the quick brown foxx jumps",  # insertion vs 1/2
+        6: "the quick brawn fox jump",    # distance 2 vs 1; 1 vs 3 and 4
+        7: "completely different string",
+    }
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(rows), pa.int64()),
+                "text": pa.array(list(rows.values()), pa.string()),
+            }
+        )
+    ).repartition(3)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_pairs_ed1(ds, "doc_id", "text", key_len=32).take_all()
+    }
+    exp = {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (1, 5), (2, 5), (3, 6), (4, 6)}
+    assert got == exp
