@@ -193,6 +193,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Levenshtein<=1 fuzzy-key self-join via SymSpell deletion
         # neighborhoods (lossless blocking; oracle is the quadratic join)
         "fuzzy_pairs_docs": Q.fuzzy_pairs_docs,
+        # behavioral-diversity profile: Shannon entropy per user
+        "entropy_event_types_per_user": Q.entropy_event_types_per_user,
+        # grouped geometric mean via log-sum partials
+        "geomean_value_by_type": Q.geomean_value_by_type,
+        # chi-square contingency profile (type x day-part)
+        "chisq_type_by_daypart": Q.chisq_type_by_daypart,
     }
 
 
@@ -1221,6 +1227,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(user_id AS VARCHAR) AS item, count(*) AS cnt
             FROM events GROUP BY user_id
             ORDER BY cnt DESC, item ASC LIMIT 20
+        """,
+        "entropy_event_types_per_user": """
+            WITH c AS (
+              SELECT user_id, event_type, count(*) AS c
+              FROM events GROUP BY 1, 2),
+            u AS (
+              SELECT user_id, sum(c) AS n, sum(c * ln(c)) AS s
+              FROM c GROUP BY 1)
+            SELECT user_id, CAST(n AS BIGINT) AS n_events,
+                   CAST(floor((ln(n) - s / n) * 1000000) AS BIGINT)
+                     AS entropy_unats
+            FROM u
+        """,
+        "geomean_value_by_type": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_pos,
+                   exp(sum(ln(value)) / count(*)) AS geomean
+            FROM events WHERE value > 0 GROUP BY 1
+        """,
+        "chisq_type_by_daypart": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(hour(ts) // 6 AS BIGINT) AS daypart,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2),
+            m AS (
+              SELECT event_type, daypart, CAST(n AS BIGINT) AS n,
+                     CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) AS rt,
+                     CAST(sum(n) OVER (PARTITION BY daypart) AS DOUBLE) AS ct,
+                     CAST(sum(n) OVER () AS DOUBLE) AS g
+              FROM c)
+            SELECT event_type, daypart, n,
+                   rt * ct / g AS expected,
+                   (n - rt * ct / g) * (n - rt * ct / g) / (rt * ct / g)
+                     AS chi2_cell
+            FROM m
         """,
         "fuzzy_pairs_docs": """
             WITH k AS (

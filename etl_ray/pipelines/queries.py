@@ -3790,3 +3790,142 @@ def fuzzy_pairs_docs(sf_dir: str):
 
     ds = _read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     return fuzzy_pairs_ed1(ds, "doc_id", "text", key_len=32)
+
+
+def entropy_event_types_per_user(sf_dir: str):
+    """Shannon entropy (nats) of each user's event-type distribution —
+    the behavioral-diversity profile feature.  Fully distributed: one
+    partial-pre-agg groupby to (user, type) counts, a vectorized
+    c*ln(c) map, then a second tiny groupby to per-user (n, s) and the
+    closed form H = ln(n) - s/n.  No per-user collect."""
+    ds = _read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["user_id", "event_type"])
+            .aggregate([("event_type", "count")])
+            .rename_columns(["user_id", "event_type", "pn"])
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("pn", alias_name="c"))
+    )
+
+    def clnc(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "c": t["c"],
+                "clnc": pa.array(c * np.log(c), pa.float64()),
+            }
+        )
+
+    per_user = (
+        counts.map_batches(clnc, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("c", alias_name="n"), Sum("clnc", alias_name="s"))
+    )
+
+    def entropy(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        # micro-nats as int64 (the suite's floor(x*scale) determinism
+        # rule): many users share near-identical entropies, so a raw
+        # float column would make the oracle row order 1-ulp unstable
+        h = np.floor((np.log(n) - s / n) * 1e6).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "n_events": t["n"],
+                "entropy_unats": pa.array(h, pa.int64()),
+            }
+        )
+
+    return per_user.map_batches(entropy, batch_format="pyarrow")
+
+
+def geomean_value_by_type(sf_dir: str):
+    """Grouped geometric mean of positive event values:
+    exp(mean(ln v)) per event type via log-sum partials — the
+    multiplicative average that point summaries of skewed positive
+    metrics (latency, size, price) need.  One tiny groupby."""
+    ds = _read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.greater(t["value"], pa.scalar(0.0)))
+        v = keep["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": keep["event_type"],
+                "lnv": pa.array(np.log(v), pa.float64()),
+            }
+        ).group_by("event_type").aggregate([("lnv", "sum"), ("lnv", "count")]).rename_columns(
+            ["event_type", "s", "pn"]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("s", alias_name="s"), Sum("pn", alias_name="n"))
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n_pos": t["n"],
+                "geomean": pa.array(np.exp(s / n), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def chisq_type_by_daypart(sf_dir: str):
+    """Chi-square contingency profile between event_type and day-part
+    (6-hour buckets): observed count, expected count under independence,
+    and the per-cell chi-square contribution.  The contingency marginals
+    come from ONE partial-pre-agg groupby (cells = |types| x 4, tiny);
+    expected/chi are exact float functions of integer cell counts, so
+    the oracle comparison is engine-independent."""
+    ds = _read_parquet(_p(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.hour(t["ts"])
+        part = pc.cast(pc.divide(hour, pa.scalar(6, pa.int64())), pa.int64())
+        return (
+            pa.table({"event_type": t["event_type"], "daypart": part})
+            .group_by(["event_type", "daypart"])
+            .aggregate([("daypart", "count")])
+            .rename_columns(["event_type", "daypart", "pn"])
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "daypart"])
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+    # the contingency table is |types| x 4 — tiny by construction, so the
+    # marginal join is a driver-side broadcast, not a shuffle
+    tbl = cells.to_pandas()
+    row_tot = tbl.groupby("event_type")["n"].transform("sum").to_numpy()
+    col_tot = tbl.groupby("daypart")["n"].transform("sum").to_numpy()
+    grand = float(tbl["n"].sum())
+    exp = row_tot.astype(np.float64) * col_tot.astype(np.float64) / grand
+    obs = tbl["n"].to_numpy().astype(np.float64)
+    chi = (obs - exp) ** 2 / exp
+    return pa.table(
+        {
+            "event_type": pa.array(tbl["event_type"], pa.string()),
+            "daypart": pa.array(tbl["daypart"].to_numpy(), pa.int64()),
+            "n": pa.array(tbl["n"].to_numpy(), pa.int64()),
+            "expected": pa.array(exp, pa.float64()),
+            "chi2_cell": pa.array(chi, pa.float64()),
+        }
+    )
