@@ -199,6 +199,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geomean_value_by_type": Q.geomean_value_by_type,
         # chi-square contingency profile (type x day-part)
         "chisq_type_by_daypart": Q.chisq_type_by_daypart,
+        # time-RANGE windowed aggregate (peer-inclusive 1h trailing sum)
+        "trailing_1h_sum_per_user": Q.trailing_1h_sum_per_user,
+        # per-group winsorization (grouped exact quantile bounds + clip)
+        "winsorize_values_by_type": Q.winsorize_values_by_type,
     }
 
 
@@ -1227,6 +1231,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(user_id AS VARCHAR) AS item, count(*) AS cnt
             FROM events GROUP BY user_id
             ORDER BY cnt DESC, item ASC LIMIT 20
+        """,
+        "winsorize_values_by_type": """
+            WITH c AS (
+              SELECT event_id, event_type,
+                     CAST(floor(value * 100) AS BIGINT) AS cents
+              FROM events),
+            b AS (
+              SELECT event_type,
+                     quantile_disc(cents, 0.125) AS lo,
+                     quantile_disc(cents, 0.875) AS hi
+              FROM c GROUP BY 1)
+            SELECT c.event_id, c.event_type,
+                   CAST(least(greatest(c.cents, b.lo), b.hi) AS BIGINT)
+                     AS clipped_cents
+            FROM c JOIN b USING (event_type)
+        """,
+        "trailing_1h_sum_per_user": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS trail_1h_cents
+            FROM events
         """,
         "entropy_event_types_per_user": """
             WITH c AS (

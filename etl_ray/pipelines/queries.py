@@ -3929,3 +3929,98 @@ def chisq_type_by_daypart(sf_dir: str):
             "chi2_cell": pa.array(chi, pa.float64()),
         }
     )
+
+
+def trailing_1h_sum_per_user(sf_dir: str):
+    """Time-RANGE windowed aggregate: per user, the trailing-1-hour sum
+    of value cents at every event (RANGE frame, peer-inclusive — SQL
+    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW semantics).
+    stages/analytic.rolling_sum_range: one bucketed shuffle, frame
+    bounds from two vectorized searchsorteds on a per-run re-based time
+    axis.  Integer-exact."""
+    from ..stages.analytic import rolling_sum_range
+
+    ds = _read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "cents": _cents(t["value"]),
+            }
+        )
+
+    out = rolling_sum_range(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        key="user_id",
+        ts_col="ts",
+        order_by=["ts", "event_id"],
+        value_col="cents",
+        window=3_600_000_000,  # 1 hour in microseconds
+        out_col="trail_1h_cents",
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "trail_1h_cents"]),
+        batch_format="pyarrow",
+    )
+
+
+def winsorize_values_by_type(sf_dir: str):
+    """Per-group winsorization: clip each event's value cents to its
+    event type's exact [p12.5, p87.5] band (binary-exact q, so the
+    quantile_disc rank math provably matches SQL) — the outlier-capping
+    transform feature pipelines apply before scaling.  The per-type
+    bounds come from ONE bounded bucketed shuffle
+    (stages/quantiles.grouped_quantiles, group count = |types|); the
+    clip itself is a broadcast vectorized map — rows never shuffle."""
+    from ..stages.quantiles import grouped_quantiles
+
+    ds = _read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "cents": _cents(t["value"]),
+            }
+        )
+
+    nds = ds.map_batches(narrow, batch_format="pyarrow")
+    bounds = {
+        r["event_type"]: (r["lo"], r["hi"])
+        for r in grouped_quantiles(
+            nds.select_columns(["event_type", "cents"]),
+            key="event_type",
+            value_col="cents",
+            qs=[0.125, 0.875],
+            out_cols=["lo", "hi"],
+        ).take_all()
+    }
+    b_ref = ray.put(bounds)
+
+    def clip(t: pa.Table) -> pa.Table:
+        b = ray.get(b_ref)
+        keys = pa.array(list(b), pa.string())
+        lo = np.fromiter((v[0] for v in b.values()), np.int64, len(b))
+        hi = np.fromiter((v[1] for v in b.values()), np.int64, len(b))
+        pos = pc.index_in(t["event_type"], value_set=keys).to_numpy(
+            zero_copy_only=False
+        )
+        v = t["cents"].to_numpy(zero_copy_only=False)
+        clipped = np.minimum(np.maximum(v, lo[pos]), hi[pos])
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "clipped_cents": pa.array(clipped.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return nds.map_batches(clip, batch_format="pyarrow")

@@ -350,3 +350,79 @@ def rolling_sum(
         .groupby("_rsb")
         .map_groups(roll, batch_format="pyarrow")
     )
+
+
+def rolling_sum_range(
+    ds,
+    *,
+    key: str,
+    ts_col: str,
+    order_by: list[str],
+    value_col: str,
+    window: int,
+    out_col: str = "trailing_sum",
+    n_buckets: int = 256,
+):
+    """Per-key time-RANGE rolling sum (SQL ``SUM(v) OVER (PARTITION BY
+    key ORDER BY ts RANGE BETWEEN <window> PRECEDING AND CURRENT ROW)``)
+    — the trailing-window feature (1-hour activity totals, rate
+    windows).  Unlike the ROWS frame (:func:`rolling_sum`), the frame
+    edge is a TIME offset, and SQL RANGE semantics include all PEER rows
+    sharing the current row's timestamp.
+
+    Same bucketed shuffle as partitioned_analytics; inside a bucket the
+    frame bounds come from two vectorized searchsorteds over a per-run
+    re-based timestamp axis (each key-run's timestamps are shifted onto
+    disjoint segments spaced wider than the window, so one global
+    searchsorted never bleeds across keys — no per-key Python loop).
+    ``ts_col`` must be the first entry of ``order_by``; ``value_col``
+    must be integer (exact, order-independent sums)."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("_rgb", hash_bucket(t[key], n_buckets))
+
+    def roll(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_rgb"])
+        schema_out = g.schema.append(pa.field(out_col, pa.int64()))
+        n = g.num_rows
+        if n == 0:
+            return schema_out.empty_table()
+        order, starts, run_id = _sorted_runs(g, key, order_by)
+        ts = (
+            g[ts_col]
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)[order]
+        )
+        v = g[value_col].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        run_start = starts[run_id]
+        rel = ts - ts[run_start]
+        span = int(rel.max()) if n else 0
+        n_runs = len(starts)
+        seg = span + window + 2
+        if n_runs * seg < (1 << 62):
+            base = run_id * seg
+            axis = rel + base
+            lo = np.searchsorted(axis, axis - window, side="left")
+            hi = np.searchsorted(axis, axis, side="right")
+        else:  # pathological span x run-count: per-run searchsorted
+            lo = np.empty(n, np.int64)
+            hi = np.empty(n, np.int64)
+            ends = np.r_[starts[1:], n]
+            for s, e in zip(starts, ends):
+                seg_ts = ts[s:e]
+                lo[s:e] = s + np.searchsorted(seg_ts, seg_ts - window, "left")
+                hi[s:e] = s + np.searchsorted(seg_ts, seg_ts, "right")
+        csum = np.concatenate(([0], np.cumsum(v)))
+        out_sorted = csum[hi] - csum[lo]
+        out = np.empty(n, np.int64)
+        out[order] = out_sorted
+        return g.append_column(out_col, pa.array(out, pa.int64()))
+
+    roll.__name__ = "roll_range"
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_rgb")
+        .map_groups(roll, batch_format="pyarrow")
+    )

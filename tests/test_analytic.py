@@ -153,3 +153,45 @@ def test_ordered_cumsum_single_bucket_small_span(ray_session):
     out = ordered_cumsum(ds, order_col="k", value_col="v", n_buckets=256)
     rows = {r["k"]: r["cum_v"] for r in out.take_all()}
     assert rows == {1: 1, 2: 6, 3: 16}
+
+
+def test_rolling_sum_range_vs_brute(ray_session):
+    """Time-RANGE trailing sum equals the brute per-row definition
+    (all same-key rows with ts in [ts_i - W, ts_i], PEERS included),
+    with duplicate timestamps present."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    n = 3_000
+    key = rng.integers(0, 40, n)
+    ts = rng.integers(0, 10_000, n) * 7  # collisions guaranteed
+    val = rng.integers(-50, 100, n)
+    eid = np.arange(n)
+
+    from etl_ray.stages.analytic import rolling_sum_range
+
+    t = pa.table(
+        {
+            "k": pa.array(key, pa.int64()),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "v": pa.array(val, pa.int64()),
+            "eid": pa.array(eid, pa.int64()),
+        }
+    )
+    W = 5_000
+    out = (
+        rolling_sum_range(
+            rd.from_arrow(t).repartition(7),
+            key="k",
+            ts_col="ts",
+            order_by=["ts", "eid"],
+            value_col="v",
+            window=W,
+            out_col="trail",
+        )
+        .to_pandas()
+        .set_index("eid")["trail"]
+    )
+    for i in rng.choice(n, 200, replace=False):
+        mask = (key == key[i]) & (ts >= ts[i] - W) & (ts <= ts[i])
+        assert out.loc[i] == val[mask].sum(), i
