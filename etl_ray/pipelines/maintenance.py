@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -758,3 +759,158 @@ def export_partitioned(
         "skipped": sum(1 for r in lineage if r["skipped"]),
         "rows": int(sum(r["rows"] for r in lineage)),
     }
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering rewrite (multi-column locality)
+# ---------------------------------------------------------------------------
+
+
+def _zspread16(v: np.ndarray, ndim: int) -> np.ndarray:
+    """Spread each 16-bit value's bits ``ndim`` apart (Morton interleave
+    building block, standard binary-magic masks) — int64, vectorized."""
+    x = v.astype(np.int64) & 0xFFFF
+    if ndim == 1:
+        return x
+    if ndim == 2:
+        x = (x | (x << 8)) & 0x00FF00FF
+        x = (x | (x << 4)) & 0x0F0F0F0F
+        x = (x | (x << 2)) & 0x33333333
+        x = (x | (x << 1)) & 0x55555555
+        return x
+    # ndim == 3: 16 bits -> 48
+    x = (x | (x << 32)) & 0xFFFF00000000FFFF
+    x = (x | (x << 16)) & 0x00FF0000FF0000FF
+    x = (x | (x << 8)) & 0xF00F00F00F00F00F
+    x = (x | (x << 4)) & 0x30C30C30C30C30C3
+    x = (x | (x << 2)) & 0x1249249249249249
+    return x
+
+
+def _zcode(tbl: pa.Table, cols: list[str]) -> np.ndarray:
+    """Morton (Z-curve) code per row over up to 3 columns.  Each column
+    is rank-normalized into 16-bit space (timestamps/ints by value
+    order, strings by dictionary order) WITHIN the partition — locality
+    only matters within a file's row groups, so per-partition
+    normalization is exact for pruning purposes and needs no global
+    statistics pass."""
+    if not 1 <= len(cols) <= 3:
+        raise ValueError("zorder supports 1-3 columns")
+    parts = []
+    for d, c in enumerate(cols):
+        col = tbl.column(c)
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.int64())
+        v = col.to_numpy(zero_copy_only=False)
+        if v.dtype.kind in "OU":
+            v = v.astype(str)
+        else:
+            v = np.nan_to_num(v.astype(np.float64), nan=-np.inf)
+        # DENSE-rank scaling: equal values share a bin (a low-cardinality
+        # column must cluster, not degrade into row-index noise)
+        u, codes = np.unique(v, return_inverse=True)
+        q = (codes * 65536) // max(len(u), 1)  # 16-bit rank space
+        parts.append(_zspread16(q, len(cols)) << d)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out | p
+    return out
+
+
+def _zorder_partition(
+    lake_root: str,
+    txid: str,
+    pid: int,
+    rel_file: str,
+    cols: list[str],
+    key: str,
+    ts_col: str,
+    row_group_size: int,
+) -> dict:
+    from ..stages.merge import _checksum
+    from ..state.fs import resolve as _resolve
+
+    _fs = _resolve(None)
+    tbl = pq.read_table(os.path.join(lake_root, rel_file), filesystem=_fs.pyarrow_fs)
+    if tbl.num_rows:
+        z = _zcode(tbl, cols)
+        tbl = tbl.take(pa.array(np.argsort(z, kind="stable"), pa.int64()))
+    path = os.path.join(lake_root, "staging", txid, f"part-{pid:05d}.parquet")
+    _fs.makedirs(os.path.dirname(path))
+    pq.write_table(tbl, path, row_group_size=row_group_size, filesystem=_fs.pyarrow_fs)
+    live = tbl.filter(pc.invert(tbl.column("_deleted")))
+    lsn_np = tbl.column("_lsn").to_numpy(zero_copy_only=False)
+    ck = _checksum(
+        live.column(key),
+        live.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False),
+        live.column("_lsn").to_numpy(zero_copy_only=False),
+    )
+    return {
+        "pid": pid,
+        "rows": live.num_rows,
+        "checksum": ck,
+        "lsn_hi": int(lsn_np.max()) if len(lsn_np) else 0,
+        "events_applied": 0,
+    }
+
+
+_zorder_partition_remote = ray.remote(_zorder_partition)
+
+
+def _zorder_impl(
+    lake_root: str,
+    cols: list[str],
+    *,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    row_group_size: int = 1 << 14,
+) -> dict:
+    """Rewrite each partition's base file in Morton (Z-curve) order over
+    ``cols`` — the multi-column clustering pass that makes row-group
+    min/max stats selective for predicates on NON-key columns (time
+    ranges, language, host), the Delta/Iceberg OPTIMIZE ZORDER analogue.
+
+    Row content is untouched (same live rows, same checksums — verified
+    by the committed lineage); only the physical row order and row-group
+    granularity change.  TRADE-OFF: base files are normally key-sorted,
+    which is what prunes point lookups (``get_rows``); after a z-order
+    rewrite those lookups still return exact results but scan more row
+    groups, while range scans on ``cols`` prune better.  Choose per
+    table by read mix.  Partitions carrying merge-on-read delta chains
+    are skipped (fold chains first, as with tombstone compaction)."""
+    lake = LakeTable(lake_root)
+    manifest = lake.read_manifest()
+    txid = lake.next_txid(manifest)
+    skipped = [pid for pid, meta in manifest["partitions"].items() if meta.get("deltas")]
+    futs = [
+        _zorder_partition_remote.remote(
+            lake_root, txid, int(pid), meta["file"], list(cols), key, ts_col,
+            row_group_size,
+        )
+        for pid, meta in manifest["partitions"].items()
+        if not meta.get("deltas")
+    ]
+    results = ray.get(futs)
+    m = lake.commit(
+        manifest,
+        txid,
+        results,
+        applied_segments=[f"__zorder_{txid}__"],
+        applied_lsn_range=None,
+        extras={
+            "zorder": list(cols),
+            "row_group_size": int(row_group_size),
+            "skipped_delta_pids": len(skipped),
+        },
+    )
+    return m["lineage"][-1]
+
+
+def zorder_rewrite(lake_root, cols, **kwargs):
+    from ..state.manifest import writer_lock
+
+    with writer_lock(lake_root):
+        return _zorder_impl(lake_root, cols, **kwargs)
+
+
+zorder_rewrite.__doc__ = _zorder_impl.__doc__

@@ -2,6 +2,7 @@
 
 import os
 
+import pyarrow as pa
 import pyarrow.compute as pc
 
 from etl_ray.oracle import replay_oracle
@@ -336,3 +337,67 @@ def test_compact_bounded_lateness(ray_session, tmp_path):
     assert with_gc.equals(without_gc)  # compaction changed nothing visible
     urls = with_gc["url"].to_pylist()
     assert u_old in urls and u_new not in urls
+
+
+def test_zorder_rewrite_preserves_state_and_prunes(ray_session, small_wal, tmp_path):
+    """Z-order clustering rewrite: live state is byte-identical, the
+    pre-rewrite snapshot stays time-travelable, point lookups still
+    work, and row-group min/max stats become SELECTIVE for a narrow
+    time-range predicate (the clustering's whole point)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from etl_ray.pipelines.maintenance import zorder_rewrite
+    from etl_ray.pipelines.replay import (
+        bootstrap_lake, get_rows, read_table_arrow, replay,
+    )
+    from etl_ray.state.manifest import LakeTable
+
+    root = str(tmp_path / "lake" / "pages")
+    bootstrap_lake(root, small_wal["base"], num_partitions=4)
+    replay(root, small_wal["wal_dir"])
+    before = read_table_arrow(root)
+    tx_pre = LakeTable(root).read_manifest()["txid"]
+
+    ts = before.column("warc_ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    lo, hi = np.quantile(ts, 0.45), np.quantile(ts, 0.55)
+    import os as _os
+
+    def band_overlap():
+        m = LakeTable(root).read_manifest()
+        total = overlapping = 0
+        for meta in m["partitions"].values():
+            f = pq.ParquetFile(_os.path.join(root, meta["file"]))
+            idx = f.schema_arrow.names.index("warc_ts")
+            for rg in range(f.metadata.num_row_groups):
+                st = f.metadata.row_group(rg).column(idx).statistics
+                total += 1
+                gmin = pa.scalar(st.min).cast(pa.int64()).as_py()
+                gmax = pa.scalar(st.max).cast(pa.int64()).as_py()
+                if gmin <= hi and gmax >= lo:
+                    overlapping += 1
+        return overlapping, total
+
+    # key-sorted baseline at the SAME row-group granularity: ts is
+    # random within every group, so a 10% ts band touches almost all
+    zorder_rewrite(root, ["url"], row_group_size=16)
+    base_hit, base_total = band_overlap()
+
+    lineage = zorder_rewrite(root, ["warc_ts", "lang"], row_group_size=16)
+    assert lineage["rows_total"] == before.num_rows
+
+    after = read_table_arrow(root)
+    assert after.equals(before)
+    # pre-rewrite snapshot still readable (immutable part files)
+    assert read_table_arrow(root, at_txid=tx_pre).equals(before)
+    # point lookup still exact post-rewrite
+    probe = before.column("url")[0].as_py()
+    assert get_rows(root, [probe]).num_rows == 1
+
+    z_hit, z_total = band_overlap()
+    assert base_total >= 8 and z_total >= 8
+    # the band must prune materially better than under key sort
+    assert base_hit >= 0.8 * base_total, (base_hit, base_total)
+    assert z_hit / z_total <= 0.75 * (base_hit / base_total), (
+        z_hit, z_total, base_hit, base_total,
+    )
