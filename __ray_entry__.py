@@ -203,6 +203,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trailing_1h_sum_per_user": Q.trailing_1h_sum_per_user,
         # per-group winsorization (grouped exact quantile bounds + clip)
         "winsorize_values_by_type": Q.winsorize_values_by_type,
+        # co-occurrence matrix over a bounded vocabulary (bitmask masks,
+        # no pair join of user rows)
+        "type_cooccurrence_users": Q.type_cooccurrence_users,
+        # interpolated exact quantiles (quantile_cont twin)
+        "quantiles_cont_events": Q.quantiles_cont_events,
     }
 
 
@@ -1231,6 +1236,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(user_id AS VARCHAR) AS item, count(*) AS cnt
             FROM events GROUP BY user_id
             ORDER BY cnt DESC, item ASC LIMIT 20
+        """,
+        "quantiles_cont_events": """
+            SELECT 0.25 AS q, quantile_cont(value, 0.25) AS value FROM events
+            UNION ALL
+            SELECT 0.5, quantile_cont(value, 0.5) FROM events
+            UNION ALL
+            SELECT 0.875, quantile_cont(value, 0.875) FROM events
+        """,
+        "type_cooccurrence_users": """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS n_users
+            FROM d a JOIN d b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
         """,
         "winsorize_values_by_type": """
             WITH c AS (

@@ -4024,3 +4024,104 @@ def winsorize_values_by_type(sf_dir: str):
         )
 
     return nds.map_batches(clip, batch_format="pyarrow")
+
+
+def type_cooccurrence_users(sf_dir: str):
+    """Co-occurrence matrix over a bounded vocabulary: for every
+    unordered pair of event types, the number of users who performed
+    BOTH — the co-engagement profile behind market-basket / feature-mix
+    analyses.  Scale shape: one (user, type) distinct groupby, types
+    mapped to BITS of a per-user mask (Sum == OR once rows are
+    distinct), then per-batch vectorized popcount partials over the
+    bounded pair grid — user rows never pair-join."""
+    ds = _read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type"])
+
+    # bounded type vocabulary (tiny distinct pass)
+    types = sorted(
+        r["event_type"]
+        for r in ds.map_batches(
+            lambda t: t.select(["event_type"])
+            .group_by("event_type")
+            .aggregate([]),
+            batch_format="pyarrow",
+        )
+        .groupby("event_type")
+        .aggregate(Count(alias_name="_n"))
+        .take_all()
+    )
+    t_ref = ray.put(types)
+
+    def to_bit(t: pa.Table) -> pa.Table:
+        tl = ray.get(t_ref)
+        keys = pa.array(tl, pa.string())
+        pos = pc.index_in(t["event_type"], value_set=keys).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "bit": pa.array(
+                    (np.int64(1) << pos.astype(np.int64)), pa.int64()
+                ),
+            }
+        )
+
+    masks = (
+        ds.map_batches(
+            lambda t: t.group_by(["user_id", "event_type"]).aggregate([]),
+            batch_format="pyarrow",
+        )
+        .groupby(["user_id", "event_type"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(to_bit, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("bit", alias_name="mask"))
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        tl = ray.get(t_ref)
+        m = t["mask"].to_numpy(zero_copy_only=False)
+        ia, ib, cnt = [], [], []
+        for i in range(len(tl)):
+            for j in range(i + 1, len(tl)):
+                both = (np.int64(1) << i) | (np.int64(1) << j)
+                ia.append(i)
+                ib.append(j)
+                cnt.append(int(((m & both) == both).sum()))
+        return pa.table(
+            {
+                "ia": pa.array(ia, pa.int64()),
+                "ib": pa.array(ib, pa.int64()),
+                "pn": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    agg = (
+        masks.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["ia", "ib"])
+        .aggregate(Sum("pn", alias_name="n_users"))
+    )
+
+    def to_names(t: pa.Table) -> pa.Table:
+        tl = ray.get(t_ref)
+        names = pa.array(tl, pa.string())
+        out = pa.table(
+            {
+                "type_a": names.take(t["ia"]),
+                "type_b": names.take(t["ib"]),
+                "n_users": t["n_users"],
+            }
+        )
+        return out.filter(pc.greater(out["n_users"], pa.scalar(0, pa.int64())))
+
+    return agg.map_batches(to_names, batch_format="pyarrow")
+
+
+def quantiles_cont_events(sf_dir: str):
+    """Interpolated exact quantiles (quantile_cont semantics) of the
+    events value column — the continuous twin of quantiles_events,
+    same one-sort + metadata-split shape (stages/quantiles)."""
+    from ..stages.quantiles import exact_quantiles_cont
+
+    ds = _read_parquet(_p(sf_dir, "events"), columns=["value"])
+    return exact_quantiles_cont(ds, "value", [0.25, 0.5, 0.875])

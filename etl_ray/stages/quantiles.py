@@ -123,3 +123,40 @@ def grouped_quantiles(
         .groupby("_qb")
         .map_groups(quant, batch_format="pyarrow")
     )
+
+
+def exact_quantiles_cont(ds, col: str, qs: list[float]) -> pa.Table:
+    """Exact LINEARLY-INTERPOLATED quantiles (SQL ``quantile_cont``
+    semantics: position ``q*(n-1)`` with value ``lo + frac*(hi-lo)``) —
+    the continuous twin of :func:`exact_quantiles`.  Same distributed
+    shape: one single-column sort, one metadata split at the (at most
+    2*|qs|) needed global positions; only scalars reach the driver.
+    Use binary-exact q values for cross-engine bit-equality of frac."""
+    import pyarrow.compute as pc
+
+    qs = sorted(qs)
+    proj = ds.map_batches(
+        lambda t: t.select([col]).filter(pc.is_valid(t.column(col))),
+        batch_format="pyarrow",
+    )
+    n = proj.count()
+    if n == 0:
+        return pa.table({"q": pa.array(qs, pa.float64()), "value": pa.nulls(len(qs))})
+    pos_f = [q * (n - 1) for q in qs]
+    need = sorted({p for x in pos_f for p in (math.floor(x), math.ceil(x))})
+    need = [min(n - 1, p) for p in need]
+    s = proj.sort(col).materialize()
+    splits = s.split_at_indices(sorted(set(need)))
+    val_at = {}
+    for i, p in enumerate(sorted(set(need))):
+        row = splits[i + 1].take(1)
+        val_at[p] = row[0][col] if row else None
+    out = []
+    for x in pos_f:
+        lo, hi = min(n - 1, math.floor(x)), min(n - 1, math.ceil(x))
+        vlo, vhi = float(val_at[lo]), float(val_at[hi])
+        frac = x - math.floor(x)
+        out.append(vlo + frac * (vhi - vlo))
+    return pa.table(
+        {"q": pa.array(qs, pa.float64()), "value": pa.array(out, pa.float64())}
+    )
