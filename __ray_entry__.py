@@ -208,6 +208,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_cooccurrence_users": Q.type_cooccurrence_users,
         # interpolated exact quantiles (quantile_cont twin)
         "quantiles_cont_events": Q.quantiles_cont_events,
+        # user growth curve (first-seen rollup + running total)
+        "cumulative_new_users_daily": Q.cumulative_new_users_daily,
+        # data-quality rule scan (vectorized masks, partial counts)
+        "dq_violations_orders": Q.dq_violations_orders,
     }
 
 
@@ -1236,6 +1240,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(user_id AS VARCHAR) AS item, count(*) AS cnt
             FROM events GROUP BY user_id
             ORDER BY cnt DESC, item ASC LIMIT 20
+        """,
+        "cumulative_new_users_daily": """
+            WITH f AS (
+              SELECT user_id,
+                     min(CAST(epoch_us(ts) // 86400000000 AS BIGINT)) AS day
+              FROM events GROUP BY 1),
+            d AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+            SELECT day, new_users,
+                   CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT)
+                     AS cum_users
+            FROM d
+        """,
+        "dq_violations_orders": """
+            SELECT 'null_orderkey' AS rule,
+                   CAST(count(*) FILTER (o_orderkey IS NULL) AS BIGINT)
+                     AS n_violations FROM orders
+            UNION ALL
+            SELECT 'nonpositive_price',
+                   CAST(count(*) FILTER (
+                     o_totalprice IS NULL OR o_totalprice <= 0) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'unknown_status',
+                   CAST(count(*) FILTER (
+                     o_orderstatus IS NULL
+                     OR o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'date_out_of_range',
+                   CAST(count(*) FILTER (
+                     o_orderdate IS NULL
+                     OR o_orderdate < TIMESTAMP '1992-01-01'
+                     OR o_orderdate >= TIMESTAMP '2026-01-01') AS BIGINT)
+            FROM orders
         """,
         "quantiles_cont_events": """
             SELECT 0.25 AS q, quantile_cont(value, 0.25) AS value FROM events

@@ -4125,3 +4125,105 @@ def quantiles_cont_events(sf_dir: str):
 
     ds = _read_parquet(_p(sf_dir, "events"), columns=["value"])
     return exact_quantiles_cont(ds, "value", [0.25, 0.5, 0.875])
+
+
+def cumulative_new_users_daily(sf_dir: str):
+    """User growth curve: per day, the number of FIRST-SEEN users and
+    the running cumulative total — the acquisition metric every
+    event-stream deployment tracks.  Distributed part: groupby(user)
+    min(ts) (partial-pre-agg); the per-day rollup + running sum happen
+    on the day-cardinality result (tiny by construction)."""
+    ds = _read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "day": pc.cast(
+                        pc.divide(
+                            pc.cast(t["ts"], pa.int64()),
+                            pa.scalar(86_400_000_000, pa.int64()),
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            )
+            .group_by("user_id")
+            .aggregate([("day", "min")])
+            .rename_columns(["user_id", "pday"])
+        )
+
+    from ray.data.aggregate import Min
+
+    first_day = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("pday", alias_name="day"))
+    )
+    per_day: dict[int, int] = {}
+    for r in first_day.map_batches(
+        lambda t: t.select(["day"])
+        .group_by("day")
+        .aggregate([("day", "count")])
+        .rename_columns(["day", "pn"]),
+        batch_format="pyarrow",
+    ).take_all():
+        per_day[r["day"]] = per_day.get(r["day"], 0) + r["pn"]
+    days = sorted(per_day)
+    new = np.array([per_day[d] for d in days], np.int64)
+    return pa.table(
+        {
+            "day": pa.array(days, pa.int64()),
+            "new_users": pa.array(new, pa.int64()),
+            "cum_users": pa.array(np.cumsum(new), pa.int64()),
+        }
+    )
+
+
+def dq_violations_orders(sf_dir: str):
+    """Data-quality rule scan over orders in ONE streaming pass: every
+    rule is a vectorized Arrow-kernel mask, per-batch violation counts
+    are partial sums, and only (rule, count) rows reach the reduce —
+    the constraint-audit complement of the ingest-time DLQ
+    (stages/validate.py quarantines; this measures).  Rules: null key,
+    non-positive price, unknown status vocabulary, order date outside
+    [1992, 2026)."""
+    ds = _read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"],
+    )
+    statuses = pa.array(["O", "F", "P"], pa.string())
+    lo = pa.scalar(694_224_000_000_000, pa.int64())  # 1992-01-01 in us
+    hi = pa.scalar(1_767_225_600_000_000, pa.int64())  # 2026-01-01 in us
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["o_orderdate"], pa.int64())
+        rules = {
+            "null_orderkey": pc.is_null(t["o_orderkey"]),
+            "nonpositive_price": pc.fill_null(
+                pc.less_equal(t["o_totalprice"], pa.scalar(0.0)), True
+            ),
+            "unknown_status": pc.invert(
+                pc.fill_null(pc.is_in(t["o_orderstatus"], value_set=statuses), False)
+            ),
+            "date_out_of_range": pc.fill_null(
+                pc.or_(pc.less(ts, lo), pc.greater_equal(ts, hi)), True
+            ),
+        }
+        names, counts = [], []
+        for rule, mask in rules.items():
+            names.append(rule)
+            counts.append(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
+        return pa.table(
+            {
+                "rule": pa.array(names, pa.string()),
+                "pn": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("rule")
+        .aggregate(Sum("pn", alias_name="n_violations"))
+    )
