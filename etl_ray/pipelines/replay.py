@@ -143,12 +143,16 @@ class _BootstrapPartition:
     def __init__(
         self, lake_root: str, txid: str, schema: pa.Schema,
         fs_spec: str = "local-os",
+        key: str = "url",
+        ts_col: str = "warc_ts",
     ):
         self.__name__ = "_BootstrapPartition"
         self.lake_root = lake_root
         self.txid = txid
         self.schema = schema
         self.fs_spec = fs_spec
+        self.key = key
+        self.ts_col = ts_col
 
     def __call__(self, group: pa.Table) -> pa.Table:
         import numpy as np
@@ -159,7 +163,7 @@ class _BootstrapPartition:
         body = conform(group.drop_columns(["pid"]), self.schema)
         body = body.append_column("_lsn", pa.array(np.zeros(body.num_rows, np.int64)))
         body = body.append_column("_deleted", pa.array(np.zeros(body.num_rows, bool)))
-        body = body.take(pc.sort_indices(body, sort_keys=[("url", "ascending")]))
+        body = body.take(pc.sort_indices(body, sort_keys=[(self.key, "ascending")]))
         from ..state.fs import resolve
 
         fs = resolve(self.fs_spec)
@@ -167,8 +171,8 @@ class _BootstrapPartition:
         fs.makedirs(os.path.dirname(out))
         pq.write_table(body, out, filesystem=fs.pyarrow_fs)
         ck = _checksum(
-            body.column("url"),
-            body.column("warc_ts").cast(pa.int64()).to_numpy(zero_copy_only=False),
+            body.column(self.key),
+            body.column(self.ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False),
             body.column("_lsn").to_numpy(zero_copy_only=False),
         )
         return pa.table(
@@ -188,11 +192,18 @@ def bootstrap_lake(
     num_partitions: int = 32,
     schema: pa.Schema | None = None,
     fs=None,
+    spec=None,
 ) -> LakeTable:
     """Create the lake table; if ``base_parquet`` given, load it as tx 1.
     ``fs``: filesystem adapter or spec string (state/fs.py); None
-    consults ETLRAY_FS (default local-os)."""
+    consults ETLRAY_FS (default local-os).  ``spec``: a TableSpec for
+    non-pages tables — supplies schema_v0 and the partitioning
+    key/ordering columns (base rows of ANY keyed table bootstrap through
+    the same path)."""
     lake = LakeTable(lake_root, num_partitions, fs=fs)
+    key, ts_col = ("url", "warc_ts") if spec is None else (spec.key, spec.ts_col)
+    if spec is not None and schema is None:
+        schema = spec.schema_v0
     schema = schema or PAGES_SCHEMA
     manifest = lake.init(schema, num_partitions)
     if base_parquet is None:
@@ -206,11 +217,14 @@ def bootstrap_lake(
     n_blocks = max(1, min(ncpu, num_partitions))
     ds = ray.data.read_parquet(base_parquet, override_num_blocks=n_blocks)
     ds = ds.map_batches(
-        lambda t: add_partition_cols(t, num_partitions),
+        lambda t: add_partition_cols(t, num_partitions, key=key),
         batch_format="pyarrow",
     )
     lineage_ds = ds.groupby("pid").map_groups(
-        _BootstrapPartition(lake_root, txid, schema, fs_spec=lake.fs.spec),
+        _BootstrapPartition(
+            lake_root, txid, schema, fs_spec=lake.fs.spec,
+            key=key, ts_col=ts_col,
+        ),
         batch_format="pyarrow"
     )
     lineage = lineage_ds.take_all()  # <= num_partitions tiny rows
