@@ -1328,7 +1328,8 @@ def oracle_sql() -> dict[str, str]:
         "geomean_value_by_type": """
             SELECT event_type,
                    CAST(count(*) AS BIGINT) AS n_pos,
-                   exp(sum(ln(value)) / count(*)) AS geomean
+                   CAST(floor(exp(sum(ln(value)) / count(*)) * 1000000)
+                        AS BIGINT) AS geomean_micros
             FROM events WHERE value > 0 GROUP BY 1
         """,
         "chisq_type_by_daypart": """

@@ -3875,11 +3875,15 @@ def geomean_value_by_type(sf_dir: str):
     def fin(t: pa.Table) -> pa.Table:
         s = t["s"].to_numpy(zero_copy_only=False)
         n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # integer micros (suite floor(x*scale) rule): the log-sum order
+        # differs between engines at the last ulp, so a raw float column
+        # is not exactly comparable
+        g = np.floor(np.exp(s / n) * 1e6).astype(np.int64)
         return pa.table(
             {
                 "event_type": t["event_type"],
                 "n_pos": t["n"],
-                "geomean": pa.array(np.exp(s / n), pa.float64()),
+                "geomean_micros": pa.array(g, pa.int64()),
             }
         )
 

@@ -127,7 +127,9 @@ def grouped_quantiles(
 
 def exact_quantiles_cont(ds, col: str, qs: list[float]) -> pa.Table:
     """Exact LINEARLY-INTERPOLATED quantiles (SQL ``quantile_cont``
-    semantics: position ``q*(n-1)`` with value ``lo + frac*(hi-lo)``) —
+    semantics: position ``q*(n-1)`` with the blend ``(1-frac)*lo +
+    frac*hi`` — DuckDB's exact formula, bit-identical for shared
+    inputs) —
     the continuous twin of :func:`exact_quantiles`.  Same distributed
     shape: one single-column sort, one metadata split at the (at most
     2*|qs|) needed global positions; only scalars reach the driver.
@@ -156,7 +158,7 @@ def exact_quantiles_cont(ds, col: str, qs: list[float]) -> pa.Table:
         lo, hi = min(n - 1, math.floor(x)), min(n - 1, math.ceil(x))
         vlo, vhi = float(val_at[lo]), float(val_at[hi])
         frac = x - math.floor(x)
-        out.append(vlo + frac * (vhi - vlo))
+        out.append((1 - frac) * vlo + frac * vhi)
     return pa.table(
         {"q": pa.array(qs, pa.float64()), "value": pa.array(out, pa.float64())}
     )

@@ -63,6 +63,7 @@ def test_oracle_queries_match_duckdb(entrymod, con):
                 "simhash_groups_docs",
                 "scd2_history_pages",
                 "lake_training_docs",
+                "cdc_changelog_pages",
             )
             else SF
         )
