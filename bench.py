@@ -68,6 +68,11 @@ QUERY_SUBSET = [
     "journey_concat_users",
     "mad_outliers_events",
     "multimodal_decode_real",
+    # round-4 continuation additions
+    "fuzzy_pairs_docs",
+    "trailing_1h_sum_per_user",
+    "winsorize_values_by_type",
+    "topk_frequent_users",
 ]
 
 
