@@ -210,6 +210,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_cont_events": Q.quantiles_cont_events,
         # user growth curve (first-seen rollup + running total)
         "cumulative_new_users_daily": Q.cumulative_new_users_daily,
+        # star-schema fact->dim broadcasts over the PART / SUPPLIER dims
+        "brand_revenue_topk": Q.brand_revenue_topk,
+        "supplier_nation_volume": Q.supplier_nation_volume,
+        # ratio-to-report (share of total) on the tiny aggregate
+        "orders_priority_share": Q.orders_priority_share,
         # data-quality rule scan (vectorized masks, partial counts)
         "dq_violations_orders": Q.dq_violations_orders,
     }
@@ -1240,6 +1245,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(user_id AS VARCHAR) AS item, count(*) AS cnt
             FROM events GROUP BY user_id
             ORDER BY cnt DESC, item ASC LIMIT 20
+        """,
+        "brand_revenue_topk": """
+            SELECT p_brand,
+                   CAST(sum(CAST(floor(
+                     l_extendedprice * (1 - l_discount) * 100
+                   ) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1
+            ORDER BY revenue_cents DESC, p_brand ASC
+            LIMIT 10
+        """,
+        "supplier_nation_volume": """
+            SELECT n_name,
+                   CAST(sum(CAST(floor(
+                     l_extendedprice * (1 - l_discount) * 100
+                   ) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   count(*) AS n_lineitems
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY 1
+        """,
+        "orders_priority_share": """
+            WITH a AS (
+              SELECT o_orderpriority,
+                     CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS revenue_cents
+              FROM orders GROUP BY 1)
+            SELECT o_orderpriority, revenue_cents,
+                   CAST(revenue_cents AS DOUBLE) /
+                   CAST(sum(revenue_cents) OVER () AS DOUBLE) AS share
+            FROM a
         """,
         "cumulative_new_users_daily": """
             WITH f AS (

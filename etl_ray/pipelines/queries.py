@@ -4231,3 +4231,150 @@ def dq_violations_orders(sf_dir: str):
         .groupby("rule")
         .aggregate(Sum("pn", alias_name="n_violations"))
     )
+
+
+def brand_revenue_topk(sf_dir: str):
+    """Revenue cents per part brand, top-10 (TPC-H Q14/Q17 flavor):
+    the part dimension is SMALL-side, so it broadcasts once via
+    ``ray.put`` (partkey -> brand array lookup) instead of shuffling
+    lineitem — the canonical star-schema fact-to-dim pattern.  Tie-break
+    on brand makes the limit boundary total."""
+    import pyarrow.parquet as pq_
+
+    part = pq_.read_table(_p(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False)
+    order = np.argsort(pk)
+    dim_ref = ray.put(
+        (pk[order], part["p_brand"].take(pa.array(order, pa.int64())))
+    )
+
+    li = _read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, brands = ray.get(dim_ref)
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        pos = np.searchsorted(keys, t["l_partkey"].to_numpy(zero_copy_only=False))
+        return (
+            pa.table(
+                {
+                    "p_brand": brands.take(pa.array(pos, pa.int64())),
+                    "rev": _cents(rev),
+                }
+            )
+            .group_by("p_brand")
+            .aggregate([("rev", "sum")])
+            .rename_columns(["p_brand", "prev"])
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Sum("prev", alias_name="revenue_cents"))
+    )
+    rows = sorted(
+        ((r["p_brand"], int(r["revenue_cents"])) for r in agg.take_all()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    return pa.table(
+        {
+            "p_brand": pa.array([r[0] for r in rows], pa.string()),
+            "revenue_cents": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+def supplier_nation_volume(sf_dir: str):
+    """Revenue cents per SUPPLIER nation (TPC-H Q5 flavor): two chained
+    small-side broadcasts (suppkey -> nationkey -> nation name) folded
+    into one composed lookup shipped once — the fact table streams
+    through a single vectorized map + tiny groupby, no join shuffle."""
+    import pyarrow.parquet as pq_
+
+    sup = pq_.read_table(_p(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    nat = pq_.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    nk = nat["n_nationkey"].to_numpy(zero_copy_only=False)
+    nm = nat["n_name"].to_pylist()
+    name_of = dict(zip(nk.tolist(), nm))
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False)
+    order = np.argsort(sk)
+    snames = pa.array(
+        [name_of[int(k)] for k in sup["s_nationkey"].to_numpy(zero_copy_only=False)[order]],
+        pa.string(),
+    )
+    dim_ref = ray.put((sk[order], snames))
+
+    li = _read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, names = ray.get(dim_ref)
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        pos = np.searchsorted(keys, t["l_suppkey"].to_numpy(zero_copy_only=False))
+        return (
+            pa.table(
+                {
+                    "n_name": names.take(pa.array(pos, pa.int64())),
+                    "rev": _cents(rev),
+                }
+            )
+            .group_by("n_name")
+            .aggregate([("rev", "sum"), ("rev", "count")])
+            .rename_columns(["n_name", "prev", "pn"])
+        )
+
+    return (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(
+            Sum("prev", alias_name="revenue_cents"),
+            Sum("pn", alias_name="n_lineitems"),
+        )
+    )
+
+
+def orders_priority_share(sf_dir: str):
+    """Ratio-to-report: each order priority's share of total revenue
+    (window SUM OVER () semantics).  Integer cents until one IEEE
+    divide of identical operands — hash-safe.  The share computation
+    runs on the |priorities|-row aggregate, never on fact rows."""
+    ds = _read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderpriority", "o_totalprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "o_orderpriority": t["o_orderpriority"],
+                    "rev": _cents(t["o_totalprice"]),
+                }
+            )
+            .group_by("o_orderpriority")
+            .aggregate([("rev", "sum")])
+            .rename_columns(["o_orderpriority", "prev"])
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("prev", alias_name="revenue_cents"))
+    )
+    t = pa.Table.from_pylist(agg.take_all())
+    rev = t["revenue_cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+    total = int(rev.sum())
+    return pa.table(
+        {
+            "o_orderpriority": t["o_orderpriority"],
+            "revenue_cents": pa.array(rev, pa.int64()),
+            "share": pa.array(rev.astype(np.float64) / float(total), pa.float64()),
+        }
+    )
