@@ -111,6 +111,18 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--lake", required=True)
     rp.add_argument("--num-partitions", type=int, required=True)
 
+    zo = sub.add_parser(
+        "zorder",
+        help="rewrite part files in Morton (Z-curve) order over the given "
+        "columns for multi-column row-group pruning (state-preserving)",
+    )
+    zo.add_argument("--lake", required=True)
+    zo.add_argument("--by", required=True,
+                    help="comma-separated 1-3 columns, e.g. warc_ts,lang")
+    zo.add_argument("--key", default="url")
+    zo.add_argument("--ts-col", default="warc_ts")
+    zo.add_argument("--row-group-size", type=int, default=1 << 14)
+
     st = sub.add_parser("stats", help="operational metrics: per-tx lineage + throughput")
     st.add_argument("--lake", required=True)
 
@@ -242,6 +254,23 @@ def main(argv: list[str] | None = None) -> int:
         from .maintenance import repartition
 
         print(json.dumps(repartition(args.lake, args.num_partitions)))
+        return 0
+
+    if args.cmd == "zorder":
+        _init_ray()
+        from .maintenance import zorder_rewrite
+
+        print(
+            json.dumps(
+                zorder_rewrite(
+                    args.lake,
+                    [c.strip() for c in args.by.split(",") if c.strip()],
+                    key=args.key,
+                    ts_col=args.ts_col,
+                    row_group_size=args.row_group_size,
+                )
+            )
+        )
         return 0
 
     if args.cmd == "view-refresh":
