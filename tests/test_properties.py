@@ -194,3 +194,50 @@ def test_widen_type_laws(a, b):
             elif pa.types.is_timestamp(t):
                 arr = pa.array([0, 1_000_000_000], t)
                 assert pc.cast(pc.cast(arr, w_ab), t).equals(arr)
+
+
+# ---------------------------------------------------------------------------
+# fuzzy join building blocks (stages/fuzzy.py) — pure-numpy, no Ray
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    """Reference Levenshtein DP."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+_words = st.text(alphabet="abcdef", min_size=0, max_size=12)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_words, _words)
+def test_fuzzy_dist_le1_matches_reference_dp(a, b):
+    import numpy as np
+
+    from etl_ray.stages.fuzzy import _dist_le1, _pad_matrix
+
+    if abs(len(a) - len(b)) > 1:
+        return  # blocking prefilter: verifier is only ever called in-band
+    m, lens = _pad_matrix([a, b], 48)
+    got = _dist_le1(m, lens, np.array([0]), np.array([1]))[0]
+    assert bool(got) == (_lev(a, b) <= 1)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_words, _words)
+def test_fuzzy_neighborhood_blocking_is_lossless(a, b):
+    """SymSpell completeness: any pair within distance 1 shares at least
+    one deletion-neighborhood member (the property the candidate
+    generation relies on to be exact)."""
+    from etl_ray.stages.fuzzy import _neighborhood
+
+    if _lev(a, b) <= 1:
+        assert set(_neighborhood(a)) & set(_neighborhood(b))
