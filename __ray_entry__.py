@@ -215,6 +215,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_nation_volume": Q.supplier_nation_volume,
         # ratio-to-report (share of total) on the tiny aggregate
         "orders_priority_share": Q.orders_priority_share,
+        # flagship chain #2: replay -> zorder -> predicate-pruned read
+        # -> host rollup (proves the rewrite under a predicate read)
+        "lake_recent_hosts": Q.lake_recent_hosts,
         # data-quality rule scan (vectorized masks, partial counts)
         "dq_violations_orders": Q.dq_violations_orders,
     }
@@ -1245,6 +1248,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(user_id AS VARCHAR) AS item, count(*) AS cnt
             FROM events GROUP BY user_id
             ORDER BY cnt DESC, item ASC LIMIT 20
+        """,
+        # flagship #2 oracle: LWW live winners, p50 event-time cutoff
+        # (quantile_disc == the engine's lower rank at q=0.5), host rollup
+        "lake_recent_hosts": """
+            WITH w AS (
+              SELECT url, warc_ts, op,
+                     row_number() OVER (
+                       PARTITION BY url ORDER BY warc_ts DESC, lsn DESC) AS rn
+              FROM read_parquet('/tmp/etlray_cdc_1000_8000/data/oracle_events.parquet')
+            ),
+            live AS (SELECT url, warc_ts FROM w WHERE rn = 1 AND op <> 'delete'),
+            cut AS (SELECT quantile_disc(warc_ts, 0.5) AS c FROM live)
+            SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+                     AS host,
+                   count(*) AS n_pages,
+                   CAST(max(epoch_us(warc_ts)) AS BIGINT) AS latest_ts_us
+            FROM live, cut
+            WHERE warc_ts >= c
+            GROUP BY 1
         """,
         "brand_revenue_topk": """
             SELECT p_brand,

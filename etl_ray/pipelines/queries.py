@@ -4378,3 +4378,63 @@ def orders_priority_share(sf_dir: str):
             "share": pa.array(rev.astype(np.float64) / float(total), pa.float64()),
         }
     )
+
+
+def lake_recent_hosts(sf_dir: str):
+    """Flagship chain #2 — the freshness-serving shape: CDC replay ->
+    Z-ORDER clustering rewrite on warc_ts (maintenance) -> predicate-
+    pushdown read of only the recent half (row groups outside the band
+    prune via the clustered stats) -> vectorized host rollup (pages per
+    host + latest crawl ts in band).  The cutoff is the exact p50 of
+    live event times (engine quantile == SQL quantile_disc at q=0.5),
+    so the whole chain is oracle-checkable; equality also proves the
+    z-order rewrite preserved table state under a predicate read."""
+    import pyarrow.dataset as pads
+
+    from ..stages.quantiles import exact_quantiles
+    from ..stages.urlops import add_url_parts
+    from .maintenance import zorder_rewrite
+    from .replay import bootstrap_lake, read_table, replay
+
+    n_urls, n_events = _CDC_SIZES.get(os.path.basename(sf_dir.rstrip("/")), (300, 1500))
+    root = _cdc_fixture(n_urls, n_events)
+    data_dir = os.path.join(root, "data")
+    lake_root = os.path.join(root, "lake", f"zr{os.getpid()}", "pages")
+    bootstrap_lake(lake_root, os.path.join(data_dir, "base", "pages.parquet"), num_partitions=16)
+    replay(lake_root, os.path.join(data_dir, "wal"))
+    zorder_rewrite(lake_root, ["warc_ts"], row_group_size=1 << 12)
+
+    cut = exact_quantiles(
+        read_table(lake_root, columns=["warc_ts"]), "warc_ts", [0.5]
+    )["value"][0].as_py()
+
+    recent = read_table(
+        lake_root,
+        columns=["url", "warc_ts"],
+        predicate=(pads.field("warc_ts") >= pa.scalar(cut, pa.timestamp("us"))),
+    )
+
+    def rollup(t: pa.Table) -> pa.Table:
+        host = add_url_parts(t)["host"]
+        return (
+            pa.table(
+                {
+                    "host": host,
+                    "ts": pc.cast(t["warc_ts"], pa.int64()),
+                }
+            )
+            .group_by("host")
+            .aggregate([("ts", "count"), ("ts", "max")])
+            .rename_columns(["host", "pn", "pmax"])
+        )
+
+    from ray.data.aggregate import Max
+
+    return (
+        recent.map_batches(rollup, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Sum("pn", alias_name="n_pages"),
+            Max("pmax", alias_name="latest_ts_us"),
+        )
+    )

@@ -64,6 +64,7 @@ def test_oracle_queries_match_duckdb(entrymod, con):
                 "scd2_history_pages",
                 "lake_training_docs",
                 "cdc_changelog_pages",
+                "lake_recent_hosts",
             )
             else SF
         )
