@@ -218,6 +218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship chain #2: replay -> zorder -> predicate-pruned read
         # -> host rollup (proves the rewrite under a predicate read)
         "lake_recent_hosts": Q.lake_recent_hosts,
+        # train-then-score char-bigram LM quality filter (CCNet shape)
+        "charlm_score_docs": Q.charlm_score_docs,
         # data-quality rule scan (vectorized masks, partial counts)
         "dq_violations_orders": Q.dq_violations_orders,
     }
@@ -1248,6 +1250,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(user_id AS VARCHAR) AS item, count(*) AS cnt
             FROM events GROUP BY user_id
             ORDER BY cnt DESC, item ASC LIMIT 20
+        """,
+        # same smoothed bigram model recomputed in SQL: global per-doc
+        # pair counts -> conditional (c+1)/(rowtotal+256) -> sum of lns
+        "charlm_score_docs": """
+            WITH pairs AS (
+              SELECT doc_id, substr(text, i, 2) AS pg
+              FROM documents, unnest(range(1, length(text))) AS t(i)
+              WHERE length(text) >= 2
+            ),
+            cnt AS (SELECT pg, count(*) AS c FROM pairs GROUP BY 1),
+            rowt AS (
+              SELECT substr(pg, 1, 1) AS c1, sum(c) AS rt
+              FROM cnt GROUP BY 1
+            )
+            SELECT p.doc_id,
+                   count(*) AS n_pairs,
+                   CAST(floor(sum(ln(
+                     (cnt.c + 1.0) / (rowt.rt + 256.0)
+                   )) * 1000000) AS BIGINT) AS lm_score_unats
+            FROM pairs p
+            JOIN cnt ON p.pg = cnt.pg
+            JOIN rowt ON substr(p.pg, 1, 1) = rowt.c1
+            GROUP BY 1
         """,
         # flagship #2 oracle: LWW live winners, p50 event-time cutoff
         # (quantile_disc == the engine's lower rank at q=0.5), host rollup

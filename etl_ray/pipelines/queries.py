@@ -4438,3 +4438,28 @@ def lake_recent_hosts(sf_dir: str):
             Max("pmax", alias_name="latest_ts_us"),
         )
     )
+
+
+def charlm_score_docs(sf_dir: str):
+    """Train-then-score quality model (the CCNet/KenLM perplexity-filter
+    shape reduced to its distributable core): pass 1 aggregates the
+    corpus 256x256 byte-bigram counts as bincount partials (the model is
+    512 KB — one tiny all-reduce); pass 2 is an actor-pool inference
+    stage holding the broadcast Laplace-smoothed log-prob table, scoring
+    each doc as one vectorized reduceat.  Scores in floor-micro-nats;
+    the oracle recomputes the same smoothed bigram model in SQL."""
+    from ..stages.text import CharLMScorer, charlm_counts, charlm_logp
+
+    ds = _read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    counts = charlm_counts(ds)
+    logp_ref = ray.put(charlm_logp(counts))
+    scored = ds.map_batches(
+        CharLMScorer,
+        fn_constructor_args=(logp_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return scored.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_pairs"], pa.scalar(1, pa.int64()))),
+        batch_format="pyarrow",
+    )

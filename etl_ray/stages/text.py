@@ -579,3 +579,104 @@ def doc_ngrams(batch: pa.Table, n: int, text_col: str = "text",
         grams = enc.dictionary.take(pa.array(cs[heads]))
     ids = batch.column(id_col).take(pa.array(gpar))
     return pa.table({"doc_id": ids.cast(pa.int64()), "gram": grams})
+
+
+class CharLMScorer:
+    """Character-bigram language-model scorer — the train-then-score
+    quality-model shape (a CCNet/KenLM-style perplexity filter reduced
+    to its distributable core).
+
+    TRAIN: :func:`charlm_counts` aggregates the corpus's 256x256 byte
+    bigram counts as per-batch numpy bincount partials (one tiny
+    all-reduce; the model is 512 KB of int64).  SCORE: this actor-pool
+    callable holds the broadcast log-prob table (Laplace-smoothed
+    conditional P(b2 | b1)) and scores each document as the sum of byte
+    bigram log-probs — one ``np.add.reduceat`` per batch, no Python per
+    row.  Scores are emitted as floor-micro-nats int64 (the suite's
+    cross-engine determinism rule)."""
+
+    def __init__(self, logp_ref, id_col: str = "doc_id", text_col: str = "text"):
+        self.__name__ = "CharLMScorer"
+        import ray as _ray
+
+        self.logp = _ray.get(logp_ref)  # (256, 256) float64
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        blob = b"".join(t.encode() if t else b"" for t in texts)
+        lens = np.fromiter(
+            (len(t.encode()) if t else 0 for t in texts), np.int64, len(texts)
+        )
+        a = np.frombuffer(blob, np.uint8)
+        n = len(a)
+        scores = np.zeros(len(texts), np.float64)
+        if n >= 2:
+            lp = self.logp[a[:-1], a[1:]]  # per adjacent byte pair
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            # zero out pairs that straddle document boundaries
+            cross = np.zeros(n - 1, bool)
+            for e in ends[:-1]:
+                if 0 < e < n:
+                    cross[e - 1] = True
+            lp = np.where(cross, 0.0, lp)
+            valid = lens >= 2
+            seg_starts = np.clip(starts, 0, max(n - 1, 0))
+            sums = np.add.reduceat(lp, seg_starts[valid]) if valid.any() else []
+            # reduceat sums to the next start; the zeroed boundary pairs
+            # make each segment's sum exactly its in-doc bigrams
+            scores[valid] = sums
+        out = np.floor(scores * 1e6).astype(np.int64)
+        npairs = np.maximum(lens - 1, 0)
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "n_pairs": pa.array(npairs, pa.int64()),
+                "lm_score_unats": pa.array(out, pa.int64()),
+            }
+        )
+
+
+def charlm_counts(ds, text_col: str = "text") -> np.ndarray:
+    """Corpus byte-bigram count matrix (256x256 int64) via per-batch
+    bincount partials — the 'training' all-reduce.  Cross-document
+    pairs are excluded, so counts equal the per-document definition the
+    SQL oracle uses."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        cnt = np.zeros(65536, np.int64)
+        blob = b"".join(t.encode() if t else b"" for t in texts)
+        lens = np.fromiter(
+            (len(t.encode()) if t else 0 for t in texts), np.int64, len(texts)
+        )
+        a = np.frombuffer(blob, np.uint8)
+        if len(a) >= 2:
+            pairs = a[:-1].astype(np.int32) * 256 + a[1:]
+            ends = np.cumsum(lens)
+            keep = np.ones(len(a) - 1, bool)
+            for e in ends[:-1]:
+                if 0 < e < len(a):
+                    keep[e - 1] = False
+            cnt += np.bincount(pairs[keep], minlength=65536)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "cell": pa.array(nz.astype(np.int64), pa.int64()),
+                "n": pa.array(cnt[nz], pa.int64()),
+            }
+        )
+
+    total = np.zeros(65536, np.int64)
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        total[r["cell"]] += r["n"]
+    return total.reshape(256, 256)
+
+
+def charlm_logp(counts: np.ndarray, alpha: float = 1.0) -> np.ndarray:
+    """Laplace-smoothed conditional log P(b2|b1):
+    ln((c + alpha) / (row_total + 256*alpha))."""
+    row = counts.sum(axis=1, keepdims=True).astype(np.float64)
+    return np.log((counts + alpha) / (row + 256.0 * alpha))
