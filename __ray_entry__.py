@@ -220,6 +220,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_recent_hosts": Q.lake_recent_hosts,
         # train-then-score char-bigram LM quality filter (CCNet shape)
         "charlm_score_docs": Q.charlm_score_docs,
+        # distributed PCA (moment partials -> driver eigh -> broadcast
+        # projection) — rows-only: an eigenbasis is not SQL-expressible;
+        # laws pinned by tests/test_pca.py differential
+        "pca_project_embeddings": Q.pca_project_embeddings,
         # data-quality rule scan (vectorized masks, partial counts)
         "dq_violations_orders": Q.dq_violations_orders,
     }

@@ -4463,3 +4463,18 @@ def charlm_score_docs(sf_dir: str):
         lambda t: t.filter(pc.greater_equal(t["n_pairs"], pa.scalar(1, pa.int64()))),
         batch_format="pyarrow",
     )
+
+
+def pca_project_embeddings(sf_dir: str):
+    """Distributed PCA over the embedding corpus: moment partials
+    (n, sum, X^T X — 33 KB/batch at d=64) reduce to a driver-side d x d
+    eigendecomposition, the sign-normalized top-2 basis broadcasts back,
+    and every vector projects with one centered matmul per batch.
+    Rows-only registration (an eigenbasis is not SQL-expressible);
+    fit/projection laws are pinned by a same-arithmetic differential
+    pytest (tests/test_pca.py)."""
+    from ..stages.similarity import pca_fit, pca_project
+
+    ds = _read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    mean, w, _ = pca_fit(ds, "embedding", k=2)
+    return pca_project(ds, mean, w)

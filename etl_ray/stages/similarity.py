@@ -358,3 +358,75 @@ def knn_lsh(
         return g.take(idx[:k])
 
     return partial.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PCA: distributed moment accumulation, driver eigendecomposition,
+# broadcast projection
+# ---------------------------------------------------------------------------
+
+
+def pca_fit(ds, col: str = "embedding", k: int = 2):
+    """Fit a PCA basis over an embedding column without ever collecting
+    the matrix: each batch emits (n, sum_vec, X^T X) moment partials
+    (d + d^2 floats — for d=64 that is 33 KB per batch, independent of
+    row count), the driver reduces them and eigendecomposes the d x d
+    covariance (O(d^3), trivially driver-side), and the top-k
+    eigenvectors come back sign-normalized (largest-|component| entry
+    positive) so the basis is deterministic across runs and block
+    orders up to the summation ulp.
+
+    Returns (mean[d], components[d, k], explained_variance[k]).  The
+    embedding-side analogue of the count-based 'train' passes
+    (stages/text.charlm_counts): model state is a tiny all-reduce, the
+    data never concentrates."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch, col).astype(np.float64)
+        return pa.table(
+            {
+                "n": pa.array([m.shape[0]], pa.int64()),
+                "s": pa.array([m.sum(axis=0).tolist()]),
+                "xtx": pa.array([(m.T @ m).ravel().tolist()]),
+            }
+        )
+
+    n = 0
+    s = None
+    xtx = None
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        n += int(r["n"])
+        rs = np.asarray(r["s"], np.float64)
+        rx = np.asarray(r["xtx"], np.float64)
+        s = rs if s is None else s + rs
+        xtx = rx if xtx is None else xtx + rx
+    d = len(s)
+    mean = s / n
+    cov = (xtx.reshape(d, d) - n * np.outer(mean, mean)) / max(n - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    idx = np.argsort(evals)[::-1][:k]
+    w = evecs[:, idx]
+    # deterministic sign: largest-|component| entry of each vector positive
+    piv = np.argmax(np.abs(w), axis=0)
+    w = w * np.sign(w[piv, np.arange(w.shape[1])])
+    return mean, w, evals[idx]
+
+
+def pca_project(ds, mean: np.ndarray, components: np.ndarray, col: str = "embedding",
+                id_col: str = "vec_id"):
+    """Project every vector onto the fitted basis: broadcast (mean, W)
+    once via ``ray.put``, one centered matmul per batch."""
+    import ray as _ray
+
+    ref = _ray.put((mean, components))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mu, w = _ray.get(ref)
+        m = _to_matrix(batch, col).astype(np.float64)
+        p = (m - mu) @ w
+        cols = {id_col: batch.column(id_col)}
+        for j in range(w.shape[1]):
+            cols[f"pc{j + 1}"] = pa.array(p[:, j], pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")
