@@ -224,6 +224,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # projection) — rows-only: an eigenbasis is not SQL-expressible;
         # laws pinned by tests/test_pca.py differential
         "pca_project_embeddings": Q.pca_project_embeddings,
+        # secondary-index serving: read only the partitions the
+        # CDC-maintained host index names
+        "host_index_read": Q.host_index_read,
         # data-quality rule scan (vectorized masks, partial counts)
         "dq_violations_orders": Q.dq_violations_orders,
     }
@@ -1254,6 +1257,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(user_id AS VARCHAR) AS item, count(*) AS cnt
             FROM events GROUP BY user_id
             ORDER BY cnt DESC, item ASC LIMIT 20
+        """,
+        # LWW winners filtered to the same two rule-selected hosts the
+        # engine serves through the index's pruned partition reads
+        "host_index_read": """
+            WITH w AS (
+              SELECT url, warc_ts, lang, op,
+                     row_number() OVER (
+                       PARTITION BY url ORDER BY warc_ts DESC, lsn DESC) AS rn
+              FROM read_parquet('/tmp/etlray_cdc_1000_8000/data/oracle_events.parquet')
+            ),
+            live AS (
+              SELECT url, warc_ts, lang,
+                     regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+                       AS host
+              FROM w WHERE rn = 1 AND op <> 'delete'
+            ),
+            hs AS (SELECT DISTINCT host FROM live ORDER BY host LIMIT 2)
+            SELECT url, warc_ts, lang
+            FROM live WHERE host IN (SELECT host FROM hs)
         """,
         # same smoothed bigram model recomputed in SQL: global per-doc
         # pair counts -> conditional (c+1)/(rowtotal+256) -> sum of lns

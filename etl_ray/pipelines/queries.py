@@ -4478,3 +4478,29 @@ def pca_project_embeddings(sf_dir: str):
     ds = _read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     mean, w, _ = pca_fit(ds, "embedding", k=2)
     return pca_project(ds, mean, w)
+
+
+def host_index_read(sf_dir: str):
+    """Secondary-index serving path, driver-checked: replay the CDC
+    lake, build the (host, pid, n) index (pipelines/hostindex.py), then
+    serve the two lexicographically-smallest live hosts by reading ONLY
+    the partitions the index names.  Oracle: LWW winners filtered to
+    the same rule-selected hosts — equality proves both the index
+    contents and the pruned read."""
+    from .hostindex import build_host_index, read_hosts, read_index
+    from .replay import bootstrap_lake, replay
+
+    n_urls, n_events = _CDC_SIZES.get(os.path.basename(sf_dir.rstrip("/")), (300, 1500))
+    root = _cdc_fixture(n_urls, n_events)
+    data_dir = os.path.join(root, "data")
+    lake_root = os.path.join(root, "lake", f"hidx{os.getpid()}", "pages")
+    bootstrap_lake(lake_root, os.path.join(data_dir, "base", "pages.parquet"), num_partitions=16)
+    replay(lake_root, os.path.join(data_dir, "wal"))
+    idx_root = os.path.join(root, "lake", f"hidx{os.getpid()}", "host_index")
+    build_host_index(idx_root, lake_root)
+
+    hosts = sorted(set(read_index(idx_root).column("host").to_pylist()))[:2]
+    rows, _pids = read_hosts(
+        lake_root, idx_root, hosts, columns=["url", "warc_ts", "lang"]
+    )
+    return rows

@@ -65,6 +65,7 @@ def test_oracle_queries_match_duckdb(entrymod, con):
                 "lake_training_docs",
                 "cdc_changelog_pages",
                 "lake_recent_hosts",
+                "host_index_read",
             )
             else SF
         )
