@@ -227,6 +227,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # secondary-index serving: read only the partitions the
         # CDC-maintained host index names
         "host_index_read": Q.host_index_read,
+        # percent_rank() per group (ordered row numbers + sizes)
+        "percent_rank_events_by_type": Q.percent_rank_events_by_type,
+        # TPC-H Q3 flavor: dim filter broadcast + native join + topk
+        "top_unshipped_orders": Q.top_unshipped_orders,
         # data-quality rule scan (vectorized masks, partial counts)
         "dq_violations_orders": Q.dq_violations_orders,
     }
@@ -1257,6 +1261,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(user_id AS VARCHAR) AS item, count(*) AS cnt
             FROM events GROUP BY user_id
             ORDER BY cnt DESC, item ASC LIMIT 20
+        """,
+        "percent_rank_events_by_type": """
+            SELECT event_type, event_id,
+                   percent_rank() OVER (
+                     PARTITION BY event_type
+                     ORDER BY CAST(floor(value * 100) AS BIGINT), event_id
+                   ) AS pct_rank
+            FROM events
+        """,
+        "top_unshipped_orders": """
+            SELECT o_orderkey,
+                   CAST(sum(CAST(floor(
+                     l_extendedprice * (1 - l_discount) * 100
+                   ) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND epoch_us(o_orderdate) < 883612800000000
+              AND epoch_us(l_shipdate) >= 883612800000000
+            GROUP BY 1
+            ORDER BY revenue_cents DESC, o_orderkey ASC
+            LIMIT 10
         """,
         # LWW winners filtered to the same two rule-selected hosts the
         # engine serves through the index's pruned partition reads

@@ -4504,3 +4504,133 @@ def host_index_read(sf_dir: str):
         lake_root, idx_root, hosts, columns=["url", "warc_ts", "lang"]
     )
     return rows
+
+
+def percent_rank_events_by_type(sf_dir: str):
+    """SQL percent_rank() per event type: (rn - 1) / (n - 1) over the
+    (value cents, event_id) total order — reuses the bucketed ordered
+    row numbers (ONE shuffle) plus broadcast group sizes; the divide is
+    IEEE-identical given identical integer operands."""
+    from ..stages.analytic import partitioned_analytics
+
+    ds = _read_parquet(
+        _p(sf_dir, "events"), columns=["event_type", "event_id", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "event_id": t["event_id"],
+                "value_c": _cents(t["value"]),
+            }
+        )
+
+    narrow = ds.map_batches(prep, batch_format="pyarrow")
+    sizes: dict[str, int] = {}
+    for r in narrow.map_batches(
+        lambda t: t.select(["event_type"])
+        .group_by("event_type")
+        .aggregate([("event_type", "count")])
+        .rename_columns(["event_type", "pn"]),
+        batch_format="pyarrow",
+    ).take_all():
+        sizes[r["event_type"]] = sizes.get(r["event_type"], 0) + r["pn"]
+    size_ref = ray.put(sizes)
+
+    ranked = partitioned_analytics(
+        narrow, key="event_type", order_by=["value_c", "event_id"]
+    )
+
+    def pr(t: pa.Table) -> pa.Table:
+        sz = ray.get(size_ref)
+        keys = pa.array(list(sz), pa.string())
+        ns = np.fromiter(sz.values(), np.int64, len(sz))
+        pos = pc.index_in(t["event_type"], value_set=keys).to_numpy(
+            zero_copy_only=False
+        )
+        n = ns[pos]
+        rn = t["rn"].to_numpy(zero_copy_only=False)
+        out = (rn - 1).astype(np.float64) / np.maximum(n - 1, 1).astype(np.float64)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "event_id": t["event_id"],
+                "pct_rank": pa.array(out, pa.float64()),
+            }
+        )
+
+    return ranked.map_batches(pr, batch_format="pyarrow")
+
+
+def top_unshipped_orders(sf_dir: str):
+    """TPC-H Q3 flavor: top-10 orders by pending revenue for one market
+    segment — a selective dim filter (customer segment, broadcast), a
+    fact-side date filter pushed to the scan, the native hash join, and
+    a grouped sum + deterministic top-k.  The integration query for the
+    join + filter + topk path."""
+    import pyarrow.parquet as pq_
+
+    cust = pq_.read_table(
+        _p(sf_dir, "customer"),
+        columns=["c_custkey", "c_mktsegment"],
+        filters=[("c_mktsegment", "=", "BUILDING")],
+    )
+    ck = np.sort(cust["c_custkey"].to_numpy(zero_copy_only=False))
+    ck_ref = ray.put(ck)
+
+    cutoff = pa.scalar(883_612_800_000_000, pa.int64())  # 1998-01-01 in us
+
+    orders = _read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        keys = ray.get(ck_ref)
+        ts = pc.cast(t["o_orderdate"], pa.int64())
+        t = t.filter(pc.less(ts, cutoff))
+        ok = t["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, ok)
+        pos = np.clip(pos, 0, max(len(keys) - 1, 0))
+        hit = keys[pos] == ok if len(keys) else np.zeros(len(ok), bool)
+        t = t.filter(pa.array(hit))
+        return t.select(["o_orderkey", "o_orderdate"])
+
+    o = orders.map_batches(o_prep, batch_format="pyarrow")
+
+    li = _read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["l_shipdate"], pa.int64())
+        t = t.filter(pc.greater_equal(ts, cutoff))
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"], "rev": _cents(rev)}
+        )
+
+    l = li.map_batches(li_prep, batch_format="pyarrow")
+    joined = o.join(
+        l, "inner", num_partitions=16, on=("o_orderkey",), right_on=("l_orderkey",)
+    )
+    agg = joined.groupby("o_orderkey").aggregate(
+        Sum("rev", alias_name="revenue_cents")
+    )
+    rows = sorted(
+        (
+            (int(r["o_orderkey"]), int(r["revenue_cents"]))
+            for r in agg.take_all()
+        ),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    return pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "revenue_cents": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
