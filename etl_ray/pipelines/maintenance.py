@@ -439,7 +439,7 @@ def fsck(
     }
 
 
-def vacuum(lake_root: str) -> dict:
+def vacuum(lake_root: str, keep_txids: list[str] | None = None) -> dict:
     """Delete unreferenced part files and stale staging dirs.
 
     Only staging dirs whose txid is <= the committed ``tx_seq`` are
@@ -450,7 +450,10 @@ def vacuum(lake_root: str) -> dict:
 
     Note: vacuum reclaims the part files that historical snapshots
     reference — time-travel reads (``read_table(at_txid=...)``) are only
-    valid for transactions newer than the last vacuum."""
+    valid for transactions newer than the last vacuum — EXCEPT snapshots
+    named in ``keep_txids``, whose file sets stay protected.  Pass the
+    member txids of any live cross-table transaction group
+    (``pipelines/groups.py``) so group-consistent reads survive GC."""
     from ..state.manifest import partition_file_list
 
     lake = LakeTable(lake_root)
@@ -460,6 +463,13 @@ def vacuum(lake_root: str) -> dict:
         for p in manifest["partitions"].values()
         for rel in partition_file_list(p)
     }
+    for txid in keep_txids or ():
+        snap = lake.manifest_at(txid)
+        referenced |= {
+            os.path.basename(rel)
+            for p in snap["partitions"].values()
+            for rel in partition_file_list(p)
+        }
     removed_parts = 0
     if lake.fs.exists(lake.parts_dir):
         for f in lake.fs.listdir(lake.parts_dir):

@@ -91,3 +91,29 @@ def test_group_publish_is_atomic_and_consistent(ray_session, small_wal, tmp_path
 
     with pytest.raises(FileNotFoundError):
         group_snapshot(group_root, gtxid="gtx999999")
+
+
+def test_vacuum_keep_txids_protects_group_snapshots(ray_session, small_wal, tmp_path):
+    """vacuum(keep_txids=[group member txid]) preserves the group's
+    historical snapshot files; a plain vacuum would reclaim them."""
+    from etl_ray.pipelines.maintenance import vacuum
+    from etl_ray.pipelines.replay import bootstrap_lake, read_table, replay
+    from etl_ray.state.manifest import LakeTable
+
+    root = str(tmp_path / "lake" / "pages")
+    bootstrap_lake(root, small_wal["base"], num_partitions=4)
+    half, segs = _half_wal(tmp_path, small_wal, "v")
+    replay(root, half)
+    tx_group = LakeTable(root).read_manifest()["txid"]  # the 'group member'
+    replay(root, small_wal["wal_dir"])
+
+    vacuum(root, keep_txids=[tx_group])
+    half_oracle = replay_oracle(small_wal["base"], segs[: len(segs) // 2])
+    assert read_table(root, at_txid=tx_group).count() == half_oracle.num_rows
+
+    # without protection the snapshot's files are reclaimed
+    vacuum(root)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_table(root, at_txid=tx_group).count()
