@@ -111,6 +111,20 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--lake", required=True)
     rp.add_argument("--num-partitions", type=int, required=True)
 
+    rg = sub.add_parser(
+        "replay-group",
+        help="replay N table streams and publish ONE atomic cross-table "
+        "snapshot pointer (pipelines/groups.py)",
+    )
+    rg.add_argument("--group", required=True, help="group pointer directory")
+    rg.add_argument(
+        "--stream",
+        action="append",
+        required=True,
+        metavar="NAME=LAKE:WAL",
+        help="repeatable member spec, e.g. --stream pages=/lake/pages:/wal/pages",
+    )
+
     zo = sub.add_parser(
         "zorder",
         help="rewrite part files in Morton (Z-curve) order over the given "
@@ -254,6 +268,31 @@ def main(argv: list[str] | None = None) -> int:
         from .maintenance import repartition
 
         print(json.dumps(repartition(args.lake, args.num_partitions)))
+        return 0
+
+    if args.cmd == "replay-group":
+        _init_ray()
+        from .groups import read_group, replay_group
+        from .replay import StreamSpec
+
+        streams = {}
+        for spec_str in args.stream:
+            name, rest = spec_str.split("=", 1)
+            lake_root, wal_dir = rest.rsplit(":", 1)
+            streams[name] = StreamSpec(lake_root=lake_root, wal_dir=wal_dir)
+        stats = replay_group(streams, args.group)
+        rec = read_group(args.group)
+        print(
+            json.dumps(
+                {
+                    "gtxid": rec["gtxid"],
+                    "members": rec["members"],
+                    "events_applied": {
+                        n: s.events_applied for n, s in stats.items()
+                    },
+                }
+            )
+        )
         return 0
 
     if args.cmd == "zorder":
