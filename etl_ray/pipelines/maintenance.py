@@ -662,6 +662,7 @@ class _ExportPartition:
         ts_col: str,
         columns: list[str] | None,
         fs_spec: str = "local-os",
+        fmt: str = "parquet",
     ):
         self.__name__ = "_ExportPartition"
         self.lake_root = lake_root
@@ -672,6 +673,7 @@ class _ExportPartition:
         self.ts_col = ts_col
         self.columns = columns
         self.fs_spec = fs_spec
+        self.fmt = fmt
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import json as _json
@@ -683,10 +685,15 @@ class _ExportPartition:
             batch.column("pid").to_pylist(), batch.column("meta").to_pylist()
         ):
             pdir = os.path.join(self.out_dir, f"pid={pid:05d}")
-            final = os.path.join(pdir, f"part-{self.txid}.parquet")
+            ext = "parquet" if self.fmt == "parquet" else "jsonl"
+            final = os.path.join(pdir, f"part-{self.txid}.{ext}")
             if os.path.exists(final):  # resumed run: partition is done
                 pids.append(pid)
-                rows.append(pq.read_metadata(final).num_rows)
+                if self.fmt == "parquet":
+                    rows.append(pq.read_metadata(final).num_rows)
+                else:
+                    with open(final, "rb") as fh:
+                        rows.append(sum(1 for _ in fh))
                 skipped.append(True)
                 continue
             t = load_partition_state(
@@ -699,7 +706,20 @@ class _ExportPartition:
                 t = t.select(self.columns)
             os.makedirs(pdir, exist_ok=True)
             tmp = f"{final}.tmp.{os.getpid()}"
-            pq.write_table(t, tmp)
+            if self.fmt == "parquet":
+                pq.write_table(t, tmp)
+            else:  # jsonl: the shard format training loaders consume
+                for f in t.schema:
+                    if pa.types.is_binary(f.type) or pa.types.is_large_binary(f.type):
+                        raise TypeError(
+                            f"jsonl export cannot serialize binary column "
+                            f"{f.name!r}; pass columns=[...] without it"
+                        )
+                df = t.to_pandas()
+                df.to_json(
+                    tmp, orient="records", lines=True,
+                    date_format="iso", date_unit="us", force_ascii=False,
+                )
             os.replace(tmp, final)  # publish is atomic; crash leaves tmp only
             pids.append(pid)
             rows.append(t.num_rows)
@@ -722,10 +742,16 @@ def export_partitioned(
     ts_col: str = "warc_ts",
     columns: list[str] | None = None,
     fs=None,
+    fmt: str = "parquet",
 ) -> dict:
     """RESUMABLE partitioned export of the lake's live rows: one output
     directory per lake partition (``out/pid=NNNNN/part-<txid>.parquet``),
     one Ray task per partition, atomic per-partition publish.
+
+    ``fmt="jsonl"`` writes newline-delimited JSON shards instead (the
+    format training data loaders consume); binary columns are rejected
+    with a clear error — select the text columns.  Same resume/skip and
+    snapshot-consistency rules in both formats.
 
     A re-run after a crash skips every partition whose file for the same
     lake transaction already exists — finished work is never redone and
@@ -755,7 +781,7 @@ def export_partitioned(
     lineage = ds.map_batches(
         _ExportPartition(
             lake_root, out_dir, m["txid"], schema, key, ts_col, columns,
-            fs_spec=lake.fs.spec,
+            fs_spec=lake.fs.spec, fmt=fmt,
         ),
         batch_format="pyarrow",
         batch_size=None,

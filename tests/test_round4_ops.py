@@ -329,3 +329,56 @@ def test_export_partitioned_ignores_crash_tmp_files(ray_session, small_wal, tmp_
     assert rep2["rows"] == rep["rows"]
     names = os.listdir(pdir)
     assert final in names  # the real file is back
+
+
+def test_export_jsonl_roundtrip_and_resume(ray_session, small_wal, tmp_path):
+    """fmt='jsonl': shards hold exactly the live rows (values intact
+    through the JSON roundtrip), binary columns are rejected with a
+    clear error, and a re-run skips every finished partition."""
+    import json as _json
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from etl_ray.pipelines.maintenance import export_partitioned
+    from etl_ray.pipelines.replay import bootstrap_lake, read_table_arrow, replay
+
+    root = str(tmp_path / "lake" / "pages")
+    bootstrap_lake(root, small_wal["base"], num_partitions=4)
+    replay(root, small_wal["wal_dir"])
+
+    with pytest.raises(Exception, match="binary"):
+        export_partitioned(
+            root, str(tmp_path / "bad"), fmt="jsonl"
+        )  # html is binary
+
+    out = str(tmp_path / "out_jsonl")
+    res = export_partitioned(
+        root, out, columns=["url", "text", "lang"], fmt="jsonl"
+    )
+    assert res["written"] == 4 and res["skipped"] == 0
+
+    rows = []
+    for pid_dir in sorted(os.listdir(out)):
+        for f in sorted(os.listdir(os.path.join(out, pid_dir))):
+            assert f.endswith(".jsonl")
+            with open(os.path.join(out, pid_dir, f)) as fh:
+                rows.extend(_json.loads(line) for line in fh)
+    got = pd.DataFrame(rows).sort_values("url").reset_index(drop=True)
+    want = (
+        read_table_arrow(root)
+        .select(["url", "text", "lang"])
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["url", "text", "lang"]], want)
+    assert res["rows"] == len(want)
+
+    # resume: everything skips, nothing rewritten
+    res2 = export_partitioned(
+        root, out, columns=["url", "text", "lang"], fmt="jsonl"
+    )
+    assert res2["written"] == 0 and res2["skipped"] == 4
+    assert res2["rows"] == len(want)
