@@ -178,6 +178,9 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--resumable", action="store_true",
                     help="one dir per lake partition with atomic per-partition "
                          "publish; a re-run skips finished partitions")
+    ex.add_argument("--fmt", choices=("parquet", "jsonl"), default="parquet",
+                    help="shard format for --resumable exports (jsonl = "
+                         "newline-delimited JSON for training loaders)")
 
     args = p.parse_args(argv)
 
@@ -353,7 +356,8 @@ def main(argv: list[str] | None = None) -> int:
             from .maintenance import export_partitioned
 
             rep = export_partitioned(
-                args.lake, args.out, at_txid=args.at_txid, columns=cols
+                args.lake, args.out, at_txid=args.at_txid, columns=cols,
+                fmt=args.fmt,
             )
             print(json.dumps({"out": args.out, **rep}))
             return 0

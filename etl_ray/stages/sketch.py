@@ -376,3 +376,69 @@ def approx_quantiles(ds, col: str, qs: list[float], m: int = 512) -> pa.Table:
     return pa.table(
         {"q": pa.array(qs, pa.float64()), "value": pa.array(vals, pa.float64())}
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (mergeable frequency estimates, one-sided error)
+# ---------------------------------------------------------------------------
+
+_CMS_SALT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def cms_partial(col: pa.Array | pa.ChunkedArray, d: int = 4, w: int = 16384) -> np.ndarray:
+    """One batch's Count-Min sketch: int64[d, w].  Row i uses an
+    independent derived hash (splitmix remix of the base row hash with a
+    per-row salt), so the d estimates are independent min candidates.
+    Merge = elementwise sum (associative + commutative); estimates are
+    ONE-SIDED: est >= true always, est <= true + e*N/w with probability
+    1 - e^-d (Cormode & Muthukrishnan 2005)."""
+    from .hashutil import hash64, mix64
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    base = hash64(col)
+    sk = np.zeros((d, w), np.int64)
+    for i in range(d):
+        hi = mix64(base + _CMS_SALT * np.uint64(i + 1))
+        sk[i] += np.bincount((hi % np.uint64(w)).astype(np.int64), minlength=w)
+    return sk
+
+
+def cms_estimate(sk: np.ndarray, keys: pa.Array, d: int | None = None) -> np.ndarray:
+    """Point frequency estimates (min over rows) for ``keys``."""
+    from .hashutil import hash64, mix64
+
+    d = d or sk.shape[0]
+    w = sk.shape[1]
+    base = hash64(keys)
+    est = None
+    for i in range(d):
+        hi = mix64(base + _CMS_SALT * np.uint64(i + 1))
+        v = sk[i][(hi % np.uint64(w)).astype(np.int64)]
+        est = v if est is None else np.minimum(est, v)
+    return est
+
+
+def approx_counts(ds, col: str, keys: list, d: int = 4, w: int = 16384) -> pa.Table:
+    """Dataset-level CMS: per-batch sketch partials sum on the driver
+    (d*w int64 — 512 KB at the defaults, row-count independent), then
+    the requested keys are estimated from the merged sketch.  The
+    shuffle-free frequency query for when exact groupby counts are too
+    expensive and only point lookups are needed."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = cms_partial(batch.column(col), d, w)
+        return pa.table({"sk": pa.array([sk.ravel().tolist()])})
+
+    total = np.zeros(d * w, np.int64)
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        total += np.asarray(r["sk"], np.int64)
+    sk = total.reshape(d, w)
+    karr = pa.array([str(k) for k in keys], pa.string())
+    est = cms_estimate(sk, karr, d)
+    return pa.table(
+        {
+            "key": karr,
+            "est": pa.array(est.astype(np.int64), pa.int64()),
+        }
+    )

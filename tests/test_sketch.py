@@ -231,3 +231,36 @@ def test_exact_topk_frequent_flat_fallback(ray_session):
         key=lambda kv: (-kv[1], kv[0]),
     )[:5]
     assert list(zip(got["item"].to_pylist(), got["cnt"].to_pylist())) == truth
+
+
+def test_cms_one_sided_bound_and_merge(ray_session):
+    """Count-Min: never undercounts, overcount bounded by eN/w w.h.p.,
+    partial sums merge order-free, deterministic across runs."""
+    import collections
+
+    import ray
+
+    from etl_ray.stages.sketch import approx_counts, cms_estimate, cms_partial
+
+    rng = np.random.default_rng(23)
+    vals = (rng.zipf(1.3, size=60_000) % 2_000).astype(np.int64)
+    truth = collections.Counter(vals.tolist())
+    col = pa.array([str(v) for v in vals], pa.string())
+
+    d, w = 4, 16384
+    sk = cms_partial(col, d, w)
+    # merge law: two halves sum to the whole
+    sk2 = cms_partial(col[:30_000], d, w) + cms_partial(col[30_000:], d, w)
+    assert (sk == sk2).all()
+
+    probe = [str(k) for k in list(truth)[:200]]
+    est = cms_estimate(sk, pa.array(probe, pa.string()), d)
+    t = np.array([truth[int(k)] for k in probe])
+    assert (est >= t).all()  # one-sided, always
+    bound = np.e * len(vals) / w
+    assert (est - t <= bound).mean() > 0.98  # 1 - e^-d ≈ 0.982
+
+    # dataset path equals the local sketch on the same keys
+    ds = ray.data.from_arrow(pa.table({"k": col})).repartition(8)
+    got = approx_counts(ds, "k", probe[:20], d=d, w=w)
+    assert got["est"].to_pylist() == est[:20].astype(int).tolist()
