@@ -137,3 +137,41 @@ def test_cli_export_resumable(ray_session, tmp_path, capsys):
     e2 = _run(capsys, "export", "--lake", lake, "--out", out, "--resumable")
     assert e2["written"] == 0 and e2["skipped"] == 4
     assert sorted(os.listdir(out)) == [f"pid={i:05d}" for i in range(4)]
+
+
+def test_cli_zorder_and_replay_group(ray_session, tmp_path, capsys):
+    data = str(tmp_path / "cdc")
+    _run(capsys, "gen", "--out", data, "--urls", "150", "--events", "700",
+         "--segments", "4")
+
+    lake_a = str(tmp_path / "ga" / "pages")
+    lake_b = str(tmp_path / "gb" / "pages")
+    for lake in (lake_a, lake_b):
+        _run(capsys, "bootstrap", "--lake", lake,
+             "--base", f"{data}/base/pages.parquet", "--partitions", "4")
+
+    grp = _run(
+        capsys, "replay-group", "--group", str(tmp_path / "grp"),
+        "--stream", f"a={lake_a}:{data}/wal",
+        "--stream", f"b={lake_b}:{data}/wal",
+    )
+    assert grp["gtxid"] == "gtx000001"
+    assert grp["members"]["a"]["txid"] == grp["members"]["b"]["txid"]
+    assert grp["events_applied"]["a"] > 0
+
+    before = _run(capsys, "show", "--lake", lake_a)
+    z = _run(capsys, "zorder", "--lake", lake_a, "--by", "warc_ts,lang",
+             "--row-group-size", "64")
+    assert z["zorder"] == ["warc_ts", "lang"]
+    after = _run(capsys, "show", "--lake", lake_a)
+    assert after["rows_live"] == before["rows_live"]
+
+    # jsonl resumable export through the CLI
+    exp = _run(capsys, "export", "--lake", lake_a, "--out",
+               str(tmp_path / "ndj"), "--resumable", "--fmt", "jsonl",
+               "--columns", "url,text,lang")
+    assert exp["rows"] == after["rows_live"] and exp["written"] == 4
+    exp2 = _run(capsys, "export", "--lake", lake_a, "--out",
+                str(tmp_path / "ndj"), "--resumable", "--fmt", "jsonl",
+                "--columns", "url,text,lang")
+    assert exp2["skipped"] == 4 and exp2["written"] == 0
