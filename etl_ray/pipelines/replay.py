@@ -709,6 +709,7 @@ def follow(
     fold_chain_over: int | None = None,
     metrics: "callable | None" = None,
     metrics_path: str | None = None,
+    on_commit: "callable | None" = None,
     **replay_kwargs,
 ) -> ReplayStats:
     """Continuous tailing: poll the WAL dir for new segments and replay
@@ -733,6 +734,14 @@ def follow(
     (`/root/reference/README.md:168`) done continuously.  Provide a
     ``metrics`` callback and/or a ``metrics_path`` file (one JSON line
     per poll, append).
+
+    ``on_commit(lake_root, txid)`` fires after every poll that applied
+    segments, with the new head txid — the wiring point for derived
+    state that must track the lake (incremental views
+    ``views.refresh_view``, the host index
+    ``hostindex.refresh_host_index``, group publishes).  Exceptions
+    propagate: derived-state failure should stop the tailer, not
+    silently fall behind.
     """
     import json as _json
     import time
@@ -759,6 +768,8 @@ def follow(
                 key=spec.key,
                 ts_col=spec.ts_col,
             )
+        if on_commit is not None and stats.segments_applied:
+            on_commit(lake_root, LakeTable(lake_root).read_manifest()["txid"])
         idle = idle + 1 if stats.segments_applied == 0 else 0
         polls += 1
         if metrics is not None or metrics_path is not None:

@@ -118,3 +118,48 @@ def test_follow_emits_metrics(ray_session, small_wal, tmp_path):
     # file sink carries the same records
     lines = [json.loads(l) for l in open(mpath)]
     assert lines == records
+
+
+def test_follow_on_commit_keeps_derived_state_current(ray_session, small_wal, tmp_path):
+    """on_commit fires once per applying poll; wiring it to the host
+    index keeps the index consistent with the lake head after tailing."""
+    import os
+    import shutil
+
+    from etl_ray.pipelines.hostindex import (
+        build_host_index, read_index, refresh_host_index,
+    )
+    from etl_ray.pipelines.replay import bootstrap_lake, follow
+    from etl_ray.state.manifest import LakeTable
+
+    root = str(tmp_path / "lake" / "pages")
+    bootstrap_lake(root, small_wal["base"], num_partitions=4)
+    idx_root = str(tmp_path / "idx")
+    build_host_index(idx_root, root)
+
+    wal = str(tmp_path / "wal")
+    os.makedirs(wal)
+    for s in small_wal["segments"]:
+        shutil.copy(s, wal)
+
+    seen = []
+
+    def hook(lake_root, txid):
+        seen.append(txid)
+        refresh_host_index(idx_root, lake_root, to_txid=txid)
+
+    follow(
+        root, wal,
+        poll_interval=0.01, idle_exit_after=1, max_segments_per_tx=4,
+        on_commit=hook,
+    )
+    assert seen, "hook never fired"
+    assert seen[-1] == LakeTable(root).read_manifest()["txid"]
+
+    got = read_index(idx_root).to_pandas().sort_values(["host", "pid"]).reset_index(drop=True)
+    rebuilt_root = str(tmp_path / "idx2")
+    build_host_index(rebuilt_root, root)
+    exp = read_index(rebuilt_root).to_pandas().sort_values(["host", "pid"]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp)
