@@ -229,6 +229,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_index_read": Q.host_index_read,
         # percent_rank() per group (ordered row numbers + sizes)
         "percent_rank_events_by_type": Q.percent_rank_events_by_type,
+        # collocation mining: count-gated PMI over corpus bigrams
+        "pmi_bigrams_docs": Q.pmi_bigrams_docs,
+        # 2-D binned activity profile (bounded 7x24 cells)
+        "dow_hour_heatmap_events": Q.dow_hour_heatmap_events,
         # TPC-H Q3 flavor: dim filter broadcast + native join + topk
         "top_unshipped_orders": Q.top_unshipped_orders,
         # data-quality rule scan (vectorized masks, partial counts)
@@ -1261,6 +1265,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(user_id AS VARCHAR) AS item, count(*) AS cnt
             FROM events GROUP BY user_id
             ORDER BY cnt DESC, item ASC LIMIT 20
+        """,
+        "pmi_bigrams_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS l
+              FROM documents
+            ),
+            uc AS (
+              SELECT tok, count(*) AS c
+              FROM (SELECT unnest(l) AS tok FROM toks)
+              WHERE tok <> '' GROUP BY 1
+            ),
+            bc AS (
+              SELECT l[i] AS t1, l[i+1] AS t2, count(*) AS c12
+              FROM (SELECT l, unnest(range(1, len(l))) AS i
+                    FROM toks WHERE len(l) > 1)
+              GROUP BY 1, 2
+            ),
+            tot AS (
+              SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uc) AS N,
+                     (SELECT CAST(sum(c12) AS DOUBLE) FROM bc) AS B
+            )
+            SELECT t1 || ' ' || t2 AS bigram,
+                   CAST(c12 AS BIGINT) AS c12,
+                   CAST(floor((
+                     ln(CAST(c12 AS DOUBLE) / B)
+                     - ln(CAST(u1.c AS DOUBLE) / N)
+                     - ln(CAST(u2.c AS DOUBLE) / N)
+                   ) * 1000000) AS BIGINT) AS pmi_unats
+            FROM bc
+            JOIN uc u1 ON bc.t1 = u1.tok
+            JOIN uc u2 ON bc.t2 = u2.tok
+            CROSS JOIN tot
+            WHERE c12 >= 20
+        """,
+        "dow_hour_heatmap_events": """
+            SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+                   CAST(hour(ts) AS BIGINT) AS hour,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
         """,
         "percent_rank_events_by_type": """
             SELECT event_type, event_id,

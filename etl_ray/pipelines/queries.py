@@ -4634,3 +4634,111 @@ def top_unshipped_orders(sf_dir: str):
             "revenue_cents": pa.array([r[1] for r in rows], pa.int64()),
         }
     )
+
+
+def pmi_bigrams_docs(sf_dir: str):
+    """Collocation mining: pointwise mutual information for every
+    corpus bigram above a count gate — the association statistic behind
+    phrase detection.  Corpus bigram and unigram counts come from the
+    existing vectorized counters (per-batch partials + bounded groupby);
+    PMI evaluates on the count-gated, vocabulary-bounded result with
+    EXACTLY the SQL's float op sequence (identical divisions, ln,
+    subtraction order -> bit-identical), emitted as floor micro-nats."""
+    from ..stages.text import BigramCounter
+
+    ds = _read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    big = (
+        ds.map_batches(BigramCounter, batch_format="pyarrow", concurrency=(1, 8))
+        .map_batches(
+            lambda t: t.select(["bigram", "n"]), batch_format="pyarrow"
+        )
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="c12"))
+    )
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(
+                t["text"].combine_chunks(), pattern="[ \t\n\r\f\v]+"
+            )
+        )
+        toks = toks.filter(pc.not_equal(toks, pa.scalar("", pa.string())))
+        return (
+            pa.table({"tok": toks})
+            .group_by("tok")
+            .aggregate([("tok", "count")])
+            .rename_columns(["tok", "pn"])
+        )
+
+    uni = (
+        ds.map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("pn", alias_name="c"))
+    )
+
+    uc = {r["tok"]: int(r["c"]) for r in uni.take_all()}
+    bc = {r["bigram"]: int(r["c12"]) for r in big.take_all()}
+    N = float(sum(uc.values()))
+    B = float(sum(bc.values()))
+    MINC = 20
+    out_b, out_c, out_p = [], [], []
+    for bg, c12 in sorted(bc.items()):
+        if c12 < MINC:
+            continue
+        t1, t2 = bg.split(" ", 1)
+        # EXACT SQL op sequence: ln(c12/B) - ln(c1/N) - ln(c2/N)
+        pmi = (
+            np.log(c12 / B) - np.log(uc[t1] / N) - np.log(uc[t2] / N)
+        )
+        out_b.append(bg)
+        out_c.append(c12)
+        out_p.append(int(np.floor(pmi * 1e6)))
+    return pa.table(
+        {
+            "bigram": pa.array(out_b, pa.string()),
+            "c12": pa.array(out_c, pa.int64()),
+            "pmi_unats": pa.array(out_p, pa.int64()),
+        }
+    )
+
+
+def dow_hour_heatmap_events(sf_dir: str):
+    """Activity heatmap cells: event counts per (day-of-week, hour) —
+    the 2-D binned profile behind load dashboards.  One partial-pre-agg
+    groupby over 7x24 bounded cells; dow matches SQL dayofweek
+    (Sunday=0) via the (epoch_days + 4) % 7 identity."""
+    ds = _read_parquet(_p(sf_dir, "events"), columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        days = us // 86_400_000_000
+        dow = (days + 4) % 7  # 1970-01-01 was a Thursday
+        hour = (us // 3_600_000_000) % 24
+        cell = dow * 24 + hour
+        cnt = np.bincount(cell.astype(np.int64), minlength=168)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "cell": pa.array(nz.astype(np.int64), pa.int64()),
+                "pn": pa.array(cnt[nz], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "dow": pa.array(cell // 24, pa.int64()),
+                "hour": pa.array(cell % 24, pa.int64()),
+                "n": t["n"],
+            }
+        )
+
+    return agg.map_batches(expand, batch_format="pyarrow")
