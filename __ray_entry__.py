@@ -233,6 +233,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams_docs": Q.pmi_bigrams_docs,
         # 2-D binned activity profile (bounded 7x24 cells)
         "dow_hour_heatmap_events": Q.dow_hour_heatmap_events,
+        # CDC churn profile: events-per-key depth histogram over the WAL
+        "wal_update_depth": Q.wal_update_depth,
         # TPC-H Q3 flavor: dim filter broadcast + native join + topk
         "top_unshipped_orders": Q.top_unshipped_orders,
         # data-quality rule scan (vectorized masks, partial counts)
@@ -1265,6 +1267,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(user_id AS VARCHAR) AS item, count(*) AS cnt
             FROM events GROUP BY user_id
             ORDER BY cnt DESC, item ASC LIMIT 20
+        """,
+        # same WAL (incl. the redelivered duplicate segment) flattened:
+        # lsn > 0 rows are exactly the change events the engine reads
+        "wal_update_depth": """
+            WITH c AS (
+              SELECT url, count(*) AS depth
+              FROM read_parquet('/tmp/etlray_cdc_1000_8000/data/oracle_events.parquet')
+              WHERE lsn > 0 GROUP BY url)
+            SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n_keys
+            FROM c GROUP BY 1
         """,
         "pmi_bigrams_docs": r"""
             WITH toks AS (

@@ -4742,3 +4742,43 @@ def dow_hour_heatmap_events(sf_dir: str):
         )
 
     return agg.map_batches(expand, batch_format="pyarrow")
+
+
+def wal_update_depth(sf_dir: str):
+    """CDC churn profile: how many keys receive exactly d change events
+    across the WAL — the update-depth histogram that sizes merge fanout
+    and delta-chain policies.  Reads the raw segments as a Dataset,
+    counts per-url events with partial pre-agg, then histograms the
+    counts (two bounded groupbys; urls never leave their buckets as
+    anything wider than (url, n))."""
+    from .replay import list_segments
+
+    n_urls, n_events = _CDC_SIZES.get(os.path.basename(sf_dir.rstrip("/")), (300, 1500))
+    root = _cdc_fixture(n_urls, n_events)
+    segs = list_segments(os.path.join(root, "data", "wal"))
+    ds = _read_parquet(segs, columns=["url"])
+
+    per_url = (
+        ds.map_batches(
+            lambda t: t.group_by("url")
+            .aggregate([("url", "count")])
+            .rename_columns(["url", "pn"]),
+            batch_format="pyarrow",
+        )
+        .groupby("url")
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+    def depth_partial(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["n"])
+            .group_by("n")
+            .aggregate([("n", "count")])
+            .rename_columns(["depth", "pk"])
+        )
+
+    return (
+        per_url.map_batches(depth_partial, batch_format="pyarrow")
+        .groupby("depth")
+        .aggregate(Sum("pk", alias_name="n_keys"))
+    )

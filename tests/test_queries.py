@@ -66,6 +66,7 @@ def test_oracle_queries_match_duckdb(entrymod, con):
                 "cdc_changelog_pages",
                 "lake_recent_hosts",
                 "host_index_read",
+                "wal_update_depth",
             )
             else SF
         )
