@@ -646,6 +646,44 @@ backfill.__doc__ = _backfill_impl.__doc__
 repartition.__doc__ = _repartition_impl.__doc__
 
 
+def _ndjson_write(t: pa.Table, path: str) -> None:
+    """Pure-stdlib NDJSON shard writer — no pandas on the export data
+    path.  Explicit format contract: one JSON object per row in column
+    order, compact separators, UTF-8 unescaped, timestamps/dates as
+    ISO-8601 (microsecond precision), NaN -> null, floats via Python
+    ``repr`` (shortest exact roundtrip).  The per-row loop is fine here:
+    JSON serialization is inherently per-object and each call is bounded
+    to one lake partition's live rows."""
+    import datetime as _dt
+    import json as _json
+    import math as _math
+
+    def _default(o):
+        if isinstance(o, _dt.datetime):
+            return o.isoformat(timespec="microseconds")
+        if isinstance(o, (_dt.date, _dt.time)):
+            return o.isoformat()
+        raise TypeError(
+            f"jsonl export cannot serialize {type(o).__name__}"
+        )
+
+    cols = t.column_names
+    arrays = [t.column(c).to_pylist() for c in cols]
+    with open(path, "w", encoding="utf-8") as fh:
+        for vals in zip(*arrays):
+            rec = {
+                c: (None if isinstance(v, float) and _math.isnan(v) else v)
+                for c, v in zip(cols, vals)
+            }
+            fh.write(
+                _json.dumps(
+                    rec, ensure_ascii=False, separators=(",", ":"),
+                    default=_default,
+                )
+            )
+            fh.write("\n")
+
+
 class _ExportPartition:
     """map_batches callable over partition items: LWW-load one pid's live
     rows, write them to ``out_dir/pid=NNNNN/part-<txid>.parquet`` via
@@ -715,11 +753,7 @@ class _ExportPartition:
                             f"jsonl export cannot serialize binary column "
                             f"{f.name!r}; pass columns=[...] without it"
                         )
-                df = t.to_pandas()
-                df.to_json(
-                    tmp, orient="records", lines=True,
-                    date_format="iso", date_unit="us", force_ascii=False,
-                )
+                _ndjson_write(t, tmp)
             os.replace(tmp, final)  # publish is atomic; crash leaves tmp only
             pids.append(pid)
             rows.append(t.num_rows)

@@ -3323,17 +3323,28 @@ def dense_topk_orders_per_priority(sf_dir: str):
     )
 
     def partial_top(t: pa.Table) -> pa.Table:
+        # Fully vectorized: lexsort (prio, value), dedup consecutive
+        # pairs, keep each group's last <=3 distinct values by
+        # position-from-group-end — no per-group Python loop, so the
+        # partial survives high-cardinality group keys.
         pr = t["o_orderpriority"].to_numpy(zero_copy_only=False)
         pc_ = price_c(t)
-        out_p, out_v = [], []
-        for p in np.unique(pr):
-            vals = np.unique(pc_[pr == p])[-3:]
-            out_p.extend([p] * len(vals))
-            out_v.extend(vals.tolist())
+        order = np.lexsort((pc_, pr))
+        p_s, v_s = pr[order], pc_[order]
+        first = np.ones(len(p_s), bool)
+        first[1:] = (p_s[1:] != p_s[:-1]) | (v_s[1:] != v_s[:-1])
+        p_u, v_u = p_s[first], v_s[first]
+        grp_start = np.ones(len(p_u), bool)
+        grp_start[1:] = p_u[1:] != p_u[:-1]
+        starts = np.nonzero(grp_start)[0]
+        ends = np.append(starts[1:], len(p_u))
+        grp_id = np.cumsum(grp_start) - 1
+        pos_from_end = ends[grp_id] - np.arange(len(p_u))  # 1 = group max
+        keep = pos_from_end <= 3
         return pa.table(
             {
-                "prio": pa.array(out_p, pa.string()),
-                "v": pa.array(out_v, pa.int64()),
+                "prio": pa.array(p_u[keep], pa.string()),
+                "v": pa.array(v_u[keep], pa.int64()),
             }
         )
 
@@ -4053,6 +4064,13 @@ def type_cooccurrence_users(sf_dir: str):
         .aggregate(Count(alias_name="_n"))
         .take_all()
     )
+    if len(types) > 63:  # int64 mask holds 63 type bits; beyond that the
+        # shift overflows silently — fail loud (chunked mask words would
+        # be the extension path for a wider vocabulary).
+        raise ValueError(
+            f"type_cooccurrence_users: {len(types)} distinct event types "
+            "exceed the 63-bit int64 mask; chunk the vocabulary"
+        )
     t_ref = ray.put(types)
 
     def to_bit(t: pa.Table) -> pa.Table:
@@ -4639,11 +4657,16 @@ def top_unshipped_orders(sf_dir: str):
 def pmi_bigrams_docs(sf_dir: str):
     """Collocation mining: pointwise mutual information for every
     corpus bigram above a count gate — the association statistic behind
-    phrase detection.  Corpus bigram and unigram counts come from the
-    existing vectorized counters (per-batch partials + bounded groupby);
-    PMI evaluates on the count-gated, vocabulary-bounded result with
-    EXACTLY the SQL's float op sequence (identical divisions, ln,
-    subtraction order -> bit-identical), emitted as floor micro-nats."""
+    phrase detection.  Fully distributed: the MINC gate applies INSIDE
+    the bigram-count dataset (filter after the groupby), unigram counts
+    for the two slots resolve via two hash-partitioned ``Dataset.join``s
+    against the vocab-bounded unigram table (the ``tfidf_docs`` shape),
+    and PMI evaluates per batch with the SQL's exact float op sequence
+    (identical divisions, ln, subtraction order -> bit-identical),
+    emitted as floor micro-nats.  Only the two scalar totals (N, B)
+    touch the driver; the count tables stay sharded in the object store
+    (``materialize()`` on the DISTINCT-key tables, not the corpus), so
+    the pipeline survives a billions-of-bigrams vocabulary."""
     from ..stages.text import BigramCounter
 
     ds = _read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -4655,6 +4678,7 @@ def pmi_bigrams_docs(sf_dir: str):
         )
         .groupby("bigram")
         .aggregate(Sum("n", alias_name="c12"))
+        .materialize()  # distinct bigrams, sharded — reused by sum + gate
     )
 
     def uni_partial(t: pa.Table) -> pa.Table:
@@ -4675,32 +4699,63 @@ def pmi_bigrams_docs(sf_dir: str):
         ds.map_batches(uni_partial, batch_format="pyarrow")
         .groupby("tok")
         .aggregate(Sum("pn", alias_name="c"))
+        .materialize()  # vocab-bounded — reused by sum + two join probes
     )
 
-    uc = {r["tok"]: int(r["c"]) for r in uni.take_all()}
-    bc = {r["bigram"]: int(r["c12"]) for r in big.take_all()}
-    N = float(sum(uc.values()))
-    B = float(sum(bc.values()))
+    # Global totals: scalar aggregates over the materialized count
+    # tables — two numbers cross to the driver, nothing else does.
+    N = float(uni.sum("c"))
+    B = float(big.sum("c12"))
     MINC = 20
-    out_b, out_c, out_p = [], [], []
-    for bg, c12 in sorted(bc.items()):
-        if c12 < MINC:
-            continue
-        t1, t2 = bg.split(" ", 1)
-        # EXACT SQL op sequence: ln(c12/B) - ln(c1/N) - ln(c2/N)
-        pmi = (
-            np.log(c12 / B) - np.log(uc[t1] / N) - np.log(uc[t2] / N)
+
+    def gate_and_split(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["c12"], pa.scalar(MINC, pa.int64())))
+        parts = pc.split_pattern(t["bigram"], " ", max_splits=1)
+        return pa.table(
+            {
+                "bigram": t["bigram"],
+                "c12": t["c12"],
+                "t1": pc.list_element(parts, 0),
+                "t2": pc.list_element(parts, 1),
+            }
         )
-        out_b.append(bg)
-        out_c.append(c12)
-        out_p.append(int(np.floor(pmi * 1e6)))
-    return pa.table(
-        {
-            "bigram": pa.array(out_b, pa.string()),
-            "c12": pa.array(out_c, pa.int64()),
-            "pmi_unats": pa.array(out_p, pa.int64()),
-        }
+
+    gated = big.map_batches(gate_and_split, batch_format="pyarrow")
+    j1 = gated.join(
+        uni, "inner", num_partitions=8, on=("t1",), right_on=("tok",)
     )
+    j1 = j1.map_batches(
+        lambda t: pa.table(
+            {
+                "bigram": t["bigram"],
+                "c12": t["c12"],
+                "t2": t["t2"],
+                "c1": t["c"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = j1.join(
+        uni, "inner", num_partitions=8, on=("t2",), right_on=("tok",)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        c12 = t["c12"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = t["c1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c2 = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # EXACT SQL op sequence: ln(c12/B) - ln(c1/N) - ln(c2/N)
+        pmi = np.log(c12 / B) - np.log(c1 / N) - np.log(c2 / N)
+        return pa.table(
+            {
+                "bigram": t["bigram"],
+                "c12": t["c12"],
+                "pmi_unats": pa.array(
+                    np.floor(pmi * 1e6).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return j2.map_batches(finish, batch_format="pyarrow")
 
 
 def dow_hour_heatmap_events(sf_dir: str):
