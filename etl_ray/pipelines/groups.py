@@ -19,8 +19,11 @@ Crash semantics (the two-phase shape, replayed instead of locked):
   pointer still names the previous consistent set; each member's commit
   is durable and idempotent, so re-running :func:`replay_group` no-ops
   the already-applied segments and publishes the pointer;
-* the pointer write itself is one ``write_json_atomic`` (tmp +
-  ``os.replace``), the same primitive the per-table manifest uses.
+* the pointer publish is a conditional put of the next sequenced record
+  under ``commits/`` (the same put-if-absent primitive the per-table
+  manifest commit uses, ``state/fs.py``): two concurrent publishers
+  cannot mint the same gtxid, and the loser retries on top of the
+  winner — ``GROUP.json`` is just a cache of the commit-log head.
 
 Time travel composes: any historical group entry (``history``) can be
 read consistently as long as ``vacuum`` has not reclaimed the member
@@ -49,9 +52,41 @@ def _group_path(group_root: str) -> str:
     return os.path.join(group_root, "GROUP.json")
 
 
+def _group_head(f, group_root: str) -> tuple[int, dict] | None:
+    """Highest committed (seq, record) in the group commit log; falls
+    back to the GROUP.json pointer for pre-commit-log group dirs."""
+    cdir = os.path.join(group_root, "commits")
+    if f.exists(cdir):
+        seqs = [
+            int(n[:-5])
+            for n in f.listdir(cdir)
+            if n.endswith(".json") and n[:-5].isdigit()
+        ]
+        if seqs:
+            s = max(seqs)
+            return s, f.read_json(os.path.join(cdir, f"{s:09d}.json"))
+    try:
+        rec = f.read_json(_group_path(group_root))
+        return int(rec["gtxid"][3:]), rec
+    except FileNotFoundError:
+        return None
+
+
 def read_group(group_root: str, fs=None) -> dict:
-    """The raw committed group record (gtxid, members, history)."""
-    return _resolve(fs).read_json(_group_path(group_root))
+    """The raw committed group record (gtxid, members, history).
+    GROUP.json is a cache of the commit-log head; if a publisher crashed
+    between winning the conditional put and refreshing the pointer, the
+    head is adopted (and the cache repaired, best-effort)."""
+    f = _resolve(fs)
+    rec = f.read_json(_group_path(group_root))
+    head = _group_head(f, group_root)
+    if head is not None and head[0] > int(rec["gtxid"][3:]):
+        rec = head[1]
+        try:
+            f.write_json_atomic(_group_path(group_root), rec)
+        except OSError:
+            pass
+    return rec
 
 
 def group_snapshot(group_root: str, gtxid: str | None = None, fs=None) -> GroupSnapshot:
@@ -98,22 +133,37 @@ def replay_group(
         }
 
     path = _group_path(group_root)
-    try:
-        prev = f.read_json(path)
-    except FileNotFoundError:
-        prev = None
-    seq = (int(prev["gtxid"][3:]) + 1) if prev else 1
-    history = []
-    if prev:
-        history = ([{"gtxid": prev["gtxid"], "members": prev["members"]}]
-                   + prev.get("history", []))[:_HISTORY_CAP]
+    cdir = os.path.join(group_root, "commits")
     f.makedirs(group_root)
-    f.write_json_atomic(
-        path,
-        {
+    f.makedirs(cdir)
+    # Mint the next gtxid via conditional put: two concurrent group
+    # publishers both reading head S race on commits/{S+1}.json; exactly
+    # one wins, the loser re-reads the winner's record and re-publishes
+    # on top of it (its members are already durably committed, so the
+    # retry is pure pointer work — no lost history entry either way).
+    from ..state.manifest import CommitConflict
+
+    for _ in range(16):
+        head = _group_head(f, group_root)
+        seq = (head[0] + 1) if head else 1
+        prev = head[1] if head else None
+        history = []
+        if prev:
+            history = ([{"gtxid": prev["gtxid"], "members": prev["members"]}]
+                       + prev.get("history", []))[:_HISTORY_CAP]
+        rec = {
             "gtxid": f"gtx{seq:06d}",
             "members": members,
             "history": history,
-        },
+        }
+        try:
+            f.create_exclusive_json(
+                os.path.join(cdir, f"{seq:09d}.json"), rec
+            )
+        except FileExistsError:
+            continue  # another publisher won this seq — reload and retry
+        f.write_json_atomic(path, rec)  # pointer cache refresh
+        return stats
+    raise CommitConflict(
+        f"group publish at {group_root} lost 16 consecutive races"
     )
-    return stats

@@ -504,10 +504,28 @@ def vacuum(lake_root: str, keep_txids: list[str] | None = None) -> dict:
             if seq <= committed_seq:
                 lake.fs.remove(os.path.join(lake.dlq_dir, f))
                 removed_dlq += 1
+    # Commit-log retention: records below the head are only needed for
+    # head recovery (time travel resolves through manifests/{txid}.json,
+    # which vacuum never touches), BUT a record also blocks a stale
+    # writer from re-winning its sequence number — deleting one re-opens
+    # that writer's lost-update hole.  Keep a 64-deep tail: a writer
+    # whose manifest read is >64 commits stale has long since lost the
+    # advisory writer lock and must reload anyway.
+    removed_commits = 0
+    if lake.fs.exists(lake.commits_dir):
+        seqs = sorted(
+            int(n[:-5])
+            for n in lake.fs.listdir(lake.commits_dir)
+            if n.endswith(".json") and n[:-5].isdigit()
+        )
+        for seq in seqs[:-64]:
+            lake.fs.remove(os.path.join(lake.commits_dir, f"{seq:09d}.json"))
+            removed_commits += 1
     return {
         "removed_parts": removed_parts,
         "removed_staging_dirs": removed_staging,
         "removed_dlq": removed_dlq,
+        "removed_commits": removed_commits,
     }
 
 

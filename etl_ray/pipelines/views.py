@@ -105,25 +105,78 @@ def _reduce(parts: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def _view_head(fs, view_root: str) -> tuple[int, dict] | None:
+    """Highest committed (seq, meta) in the view commit log; falls back
+    to the VIEW.json pointer for pre-commit-log view dirs (seq 0)."""
+    cdir = os.path.join(view_root, "commits")
+    if fs.exists(cdir):
+        seqs = [
+            int(n[:-5])
+            for n in fs.listdir(cdir)
+            if n.endswith(".json") and n[:-5].isdigit()
+        ]
+        if seqs:
+            s = max(seqs)
+            return s, fs.read_json(os.path.join(cdir, f"{s:09d}.json"))
+    meta_path = os.path.join(view_root, "VIEW.json")
+    if fs.exists(meta_path):
+        meta = fs.read_json(meta_path)
+        return int(meta.get("seq", 0)), meta
+    return None
+
+
 def _view_file(view_root: str) -> tuple[str, str] | None:
     from ..state.fs import resolve
 
-    fs = resolve(None)
-    meta_path = os.path.join(view_root, "VIEW.json")
-    if not fs.exists(meta_path):
+    head = _view_head(resolve(None), view_root)
+    if head is None:
         return None
-    meta = fs.read_json(meta_path)
+    meta = head[1]
     return os.path.join(view_root, meta["file"]), meta["txid"]
 
 
-def _publish(view_root: str, ds: ray.data.Dataset, txid: str) -> dict:
+_NO_EXPECT = object()  # sentinel: publish unconditionally (full rebuild)
+
+
+def _publish(
+    view_root: str, ds: ray.data.Dataset, txid: str,
+    expect_base=_NO_EXPECT,
+) -> dict:
+    """Commit a new view snapshot via conditional put.  ``expect_base``
+    (a lake txid or None for "no view yet") guards incremental
+    refreshes: the rows being published were derived FROM that base, so
+    if another refresher advanced the head first, this publish must lose
+    — it raises CommitConflict and the caller re-runs against the new
+    head.  ``build_view`` passes no expectation (a full rebuild is valid
+    on top of anything).  Parquet goes to a writer-unique dir first; the
+    put decides which dir the view points at, so a losing writer's files
+    are orphan garbage, never mixed into the winning snapshot."""
     from ..state.fs import resolve
+    from ..state.manifest import CommitConflict
 
     fs = resolve(None)
     fs.makedirs(view_root)
-    out_dir = os.path.join(view_root, f"view-{txid}")
-    ds.write_parquet(out_dir)
-    meta = {"txid": txid, "file": f"view-{txid}"}
+    cdir = os.path.join(view_root, "commits")
+    fs.makedirs(cdir)
+    head = _view_head(fs, view_root)
+    if expect_base is not _NO_EXPECT:
+        head_txid = head[1]["txid"] if head else None
+        if head_txid != expect_base:
+            raise CommitConflict(
+                f"view at {view_root} moved to {head_txid} (expected "
+                f"{expect_base}); re-run the refresh against the new head"
+            )
+    seq = (head[0] + 1) if head else 1
+    rel = f"view-{txid}-w{os.getpid()}"
+    ds.write_parquet(os.path.join(view_root, rel))
+    meta = {"txid": txid, "file": rel, "seq": seq}
+    try:
+        fs.create_exclusive_json(os.path.join(cdir, f"{seq:09d}.json"), meta)
+    except FileExistsError:
+        raise CommitConflict(
+            f"view seq {seq} at {view_root} was committed by another "
+            "writer; re-run the refresh against the new head"
+        ) from None
     fs.write_json_atomic(os.path.join(view_root, "VIEW.json"), meta)
     return meta
 
@@ -165,7 +218,10 @@ def refresh_view(view_root: str, lake_root: str, to_txid: str | None = None) -> 
         ),
         batch_format="pyarrow",
     )
-    return _publish(view_root, _reduce(stored.union(delta_parts)), to_txid)
+    return _publish(
+        view_root, _reduce(stored.union(delta_parts)), to_txid,
+        expect_base=cur_txid,
+    )
 
 
 def read_view(view_root: str) -> pa.Table:

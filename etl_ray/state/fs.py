@@ -14,12 +14,21 @@ rewrite.  Two implementations ship:
   test suite runs green on it (ETLRAY_FS=pyarrow-local).
 
 Atomic publish on a real object store: ``move`` on S3 is copy+delete —
-NOT atomic.  The manifest layout already mitigates this (per-tx records
-under ``manifests/`` are immutable and content-complete; the root
-``MANIFEST.json`` swap is the only mutable object), but a production S3
-deployment should replace ``replace()`` with a conditional put
-(If-None-Match on a version token) or an external commit service;
-pyarrow's filesystem API does not expose conditional writes.
+NOT atomic.  The commit protocol therefore does NOT depend on rename
+atomicity for correctness: every transaction is decided by
+``create_exclusive_json`` — an atomic PUT-IF-ABSENT of the next
+sequenced commit record (``commits/{seq:09d}.json``) — which maps 1:1
+onto the object stores' native conditional put (S3 ``If-None-Match: *``,
+GCS ``ifGenerationMatch=0``, Azure ``If-None-Match: *``).  Exactly one
+of two racing writers creates the record; the loser gets
+``FileExistsError`` and must reload + retry.  The mutable root
+(``MANIFEST.json`` / ``GROUP.json`` / ``VIEW.json``) is demoted to a
+read-optimized CACHE of the commit head: readers repair it from the
+commit log when it lags, so a non-atomic root swap can never lose or
+tear a transaction.  The local adapters emulate the conditional put
+with ``os.link`` (atomic fail-if-exists on POSIX, including NFS); a
+remote adapter overrides ``create_exclusive_json`` with the store's
+native conditional write.
 
 Adapters are addressed by a SPEC STRING so Ray tasks can reconstruct
 them worker-side without shipping filesystem handles: ``resolve(spec)``.
@@ -75,6 +84,13 @@ class OsFS:
     def write_json(self, path: str, obj: dict) -> None:
         with open(path, "w") as f:
             json.dump(obj, f, indent=1)
+
+    def create_exclusive_json(self, path: str, obj: dict) -> None:
+        """Atomic put-if-absent — the object-store conditional put.
+        Raises FileExistsError when an object already exists at ``path``
+        (the CAS loss signal).  ``os.link`` is the POSIX emulation: the
+        link either creates ``path`` or fails EEXIST, atomically."""
+        _link_exclusive_json(path, obj)
 
 
 class PyArrowFS:
@@ -135,6 +151,47 @@ class PyArrowFS:
     def write_json(self, path: str, obj: dict) -> None:
         with self.fs.open_output_stream(path) as f:
             f.write(json.dumps(obj, indent=1).encode())
+
+    def create_exclusive_json(self, path: str, obj: dict) -> None:
+        """Atomic put-if-absent.  pyarrow's filesystem API exposes no
+        conditional write, so the LocalFileSystem stand-in uses the same
+        ``os.link`` emulation as OsFS (paths are local).  A remote
+        S3/GCS adapter MUST override this with the store's native
+        conditional put (If-None-Match / ifGenerationMatch=0) — the
+        loud error below is the port checklist item."""
+        import pyarrow.fs as pafs
+
+        if not isinstance(self.fs, pafs.LocalFileSystem):
+            raise NotImplementedError(
+                "conditional put requires the store's native API; "
+                "override create_exclusive_json in the remote adapter"
+            )
+        _link_exclusive_json(path, obj)
+
+
+import itertools as _itertools
+
+_cas_counter = _itertools.count()
+
+
+def _link_exclusive_json(path: str, obj: dict) -> None:
+    """Write ``obj`` to a tmp file, then atomically link it to ``path``.
+    ``os.link`` fails with EEXIST if ``path`` exists — exactly one of N
+    racing callers wins, with no lock and no TOCTOU window."""
+    import threading
+
+    tmp = (
+        f"{path}.cas.{os.getpid()}.{threading.get_ident()}"
+        f".{next(_cas_counter)}"
+    )
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+    finally:
+        os.unlink(tmp)
 
 
 def resolve(spec: str | None = None):

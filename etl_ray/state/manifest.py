@@ -8,11 +8,19 @@ from file-granularity at-least-once to LSN-range exactly-once:
 * merge tasks write partition files into ``staging/{txid}/`` (side-effect
   safe: Ray may retry a task; the retried task overwrites the same
   deterministic staging path);
-* the driver then publishes everything in ONE atomic ``os.replace`` of
-  ``MANIFEST.json`` — current partition->file map, applied segments,
-  applied LSN ranges, schema version, lineage.  Readers resolve data files
-  only through the manifest, so orphaned staging/part files from a crashed
-  or retried transaction are invisible;
+* the driver then publishes everything via ONE conditional put
+  (put-if-absent, ``state/fs.py``) of the next sequenced commit record
+  ``commits/{seq:09d}.json`` — current partition->file map, applied
+  segments, applied LSN ranges, schema version, lineage.  The put is the
+  COMMIT POINT: of two racing writers that both read tx_seq N, exactly
+  one creates record N+1; the loser raises ``CommitConflict`` with
+  nothing published.  ``MANIFEST.json`` is a read-optimized cache of the
+  head, refreshed after the put and repaired by readers when it lags —
+  so no step relies on rename atomicity, and the protocol ports to S3 /
+  GCS where rename is copy+delete but conditional put is native.
+  Readers resolve data files only through the manifest, so orphaned
+  staging/part files from a crashed, retried, or CONFLICTED transaction
+  are invisible;
 * resume = diff pending WAL segments against ``applied_segments`` in the
   committed manifest; replaying an already-applied segment is a no-op.
 
@@ -22,7 +30,8 @@ Layout of a lake table directory::
       parts/part-{pid:05d}-{txid}.parquet   data (orphans possible, ignored)
       staging/{txid}/part-{pid:05d}.parquet pre-commit scratch
       manifests/{txid}.json                 immutable per-tx lineage record
-      MANIFEST.json                         THE atomically-swapped root
+      commits/{seq:09d}.json                commit log (conditional-put CAS)
+      MANIFEST.json                         root cache of the commit head
 """
 
 from __future__ import annotations
@@ -74,6 +83,7 @@ class LakeTable:
         self.staging_root = os.path.join(root, "staging")
         self.manifests_dir = os.path.join(root, "manifests")
         self.manifest_path = os.path.join(root, "MANIFEST.json")
+        self.commits_dir = os.path.join(root, "commits")
         self.default_num_partitions = num_partitions
 
     # -- init / read ------------------------------------------------------
@@ -82,8 +92,13 @@ class LakeTable:
         return self.fs.exists(self.manifest_path)
 
     def init(self, schema: pa.Schema, num_partitions: int | None = None) -> dict:
-        """Create an empty table (txid tx000000, no partitions yet)."""
-        for d in (self.parts_dir, self.staging_root, self.manifests_dir):
+        """Create an empty table (txid tx000000, no partitions yet).
+        The seq-0 commit record is published via the conditional put, so
+        two racing initializers cannot both claim the table."""
+        for d in (
+            self.parts_dir, self.staging_root, self.manifests_dir,
+            self.commits_dir,
+        ):
             self.fs.makedirs(d)
         manifest = {
             "txid": "tx000000",
@@ -96,11 +111,49 @@ class LakeTable:
             "applied_lsn_ranges": [],
             "lineage": [],  # per-tx summary records
         }
+        try:
+            self.fs.create_exclusive_json(self._commit_path(0), manifest)
+        except FileExistsError:
+            raise CommitConflict(
+                f"lake table at {self.root} is already initialized"
+            ) from None
         self._atomic_write(manifest)
         return manifest
 
+    def _commit_path(self, seq: int) -> str:
+        return os.path.join(self.commits_dir, f"{seq:09d}.json")
+
+    def commit_head(self) -> tuple[int, dict] | None:
+        """Highest committed (seq, manifest) in the commit log, or None
+        for pre-commit-log lakes (older layout: root manifest only)."""
+        if not self.fs.exists(self.commits_dir):
+            return None
+        seqs = [
+            int(n[:-5])
+            for n in self.fs.listdir(self.commits_dir)
+            if n.endswith(".json") and n[:-5].isdigit()
+        ]
+        if not seqs:
+            return None
+        head = max(seqs)
+        return head, self.fs.read_json(self._commit_path(head))
+
     def read_manifest(self) -> dict:
-        return self.fs.read_json(self.manifest_path)
+        """Committed root state.  ``MANIFEST.json`` is a read-optimized
+        CACHE of the commit-log head: if a writer crashed between winning
+        the conditional put and refreshing the root, the head is adopted
+        here and the cache repaired (best-effort — readers may lack write
+        permission).  A missing root still raises FileNotFoundError: the
+        commit log supplements the root, it does not replace it."""
+        m = self.fs.read_json(self.manifest_path)
+        head = self.commit_head()
+        if head is not None and head[0] > int(m.get("tx_seq", -1)):
+            m = head[1]
+            try:
+                self._atomic_write(m)
+            except OSError:
+                pass
+        return m
 
     def schema(self, manifest: dict | None = None) -> pa.Schema:
         m = manifest or self.read_manifest()
@@ -288,6 +341,20 @@ class LakeTable:
                 **(extras or {}),
             }
         ]
+        # THE commit point: conditional put of the next sequenced commit
+        # record.  Exactly one of two racing writers that both read
+        # tx_seq N creates commits/{N+1}.json; the loser's staged files
+        # stay invisible (readers resolve through manifests only) and it
+        # must reload the manifest and retry its whole transaction.
+        self.fs.makedirs(self.commits_dir)  # pre-commit-log lakes upgrade here
+        try:
+            self.fs.create_exclusive_json(self._commit_path(m["tx_seq"]), m)
+        except FileExistsError:
+            raise CommitConflict(
+                f"tx_seq {m['tx_seq']} already committed by another writer "
+                f"on {self.root}; reload the manifest and retry"
+            ) from None
+        # root cache refresh (non-decisive: readers repair from the head)
         self._atomic_write(m)
         # post-commit GC of this tx's staging dir (safe: manifest is durable)
         self.fs.rmtree(os.path.join(self.staging_root, txid))
@@ -319,6 +386,12 @@ class LakeTable:
 
     def _atomic_write(self, manifest: dict) -> None:
         self.fs.write_json_atomic(self.manifest_path, manifest)
+
+
+class CommitConflict(RuntimeError):
+    """Another writer won the conditional put for this sequence number.
+    The losing transaction committed NOTHING (its staged files are
+    unreferenced and vacuum-reclaimable); reload the manifest and retry."""
 
 
 class WriterLockHeld(RuntimeError):
