@@ -83,6 +83,12 @@ def _consume(res) -> int:
     return len(res)
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return round(s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2, 3)
+
+
 def run_bench() -> dict:
     import logging
 
@@ -185,9 +191,7 @@ def run_bench() -> dict:
         # remove ONLY this run's lake dir, never the shared scratch root
         # with the cached WAL
         shutil.rmtree(os.path.dirname(lake_root), ignore_errors=True)
-    headline = sorted(runs)[len(runs) // 2] if len(runs) % 2 else round(
-        sum(sorted(runs)[len(runs) // 2 - 1 : len(runs) // 2 + 1]) / 2, 3
-    )
+    headline = _median(runs)
 
     # steady-state tailing shape: BIG base lake, SMALL change stream,
     # applied as 4 incremental transactions — rewrite vs merge-on-read
@@ -229,13 +233,24 @@ def run_bench() -> dict:
                 tailing["rewrite_sec"] / tailing["delta_sec"], 2
             )
 
-    qtimes = {}
+    # Per-query times use the SAME median-of-N estimator as the headline
+    # (round-4 lesson: single-shot query times caught one of the box's
+    # hour-scale slow windows and masqueraded as a 4x regression — the
+    # headline, median-of-3, was immune in the same run).  All trial
+    # values are emitted so round-over-round comparison is
+    # trial-for-trial clean.
+    qtimes, qtrials = {}, {}
     if not os.environ.get("ETLRAY_SKIP_QUERIES"):
+        n_qt = int(os.environ.get("BENCH_QUERY_TRIALS", "3"))
         for name in QUERY_SUBSET:
             fn = getattr(Q, name)
-            t0 = time.perf_counter()
-            _consume(fn(SF_DIR))
-            qtimes[name] = round(time.perf_counter() - t0, 3)
+            ts = []
+            for _ in range(n_qt):
+                t0 = time.perf_counter()
+                _consume(fn(SF_DIR))
+                ts.append(round(time.perf_counter() - t0, 3))
+            qtimes[name] = _median(ts)
+            qtrials[name] = ts
 
     result = {
         "metric": "cdc replay seconds (WAL -> committed lake), plus query suite",
@@ -249,6 +264,7 @@ def run_bench() -> dict:
         "events_per_sec": round(n_events / headline, 1),
         "rows_live": stats.rows_live,
         "replay_runs_sec": runs,
+        "query_trials_sec": qtrials,
         "tailing_4tx": tailing,
     }
     ray.shutdown()

@@ -85,6 +85,97 @@ def test_fake_broker_source_out_of_order(ray_session, small_wal, tmp_path):
     assert replay(root, broker).transactions == 0
 
 
+def test_broker_follow_tail_exactly_once(ray_session, small_wal, tmp_path):
+    """The real broker-backed SegmentSource (sources/broker.py) under
+    follow(): segments published OUT OF ORDER while the consumer tails,
+    plus one duplicate redelivery — the final state must equal the
+    oracle with every segment applied exactly once (ledger = committed
+    offsets; the broker holds no consumer state)."""
+    from etl_ray.pipelines.replay import bootstrap_lake, follow, read_table_arrow
+    from etl_ray.sources.broker import FakeBroker
+    from etl_ray.state.manifest import LakeTable
+
+    root = str(tmp_path / "lake_fb" / "pages")
+    bootstrap_lake(root, small_wal["base"], num_partitions=8)
+    broker = FakeBroker(str(tmp_path / "broker"))
+    segs = small_wal["segments"]
+    ids = [broker.produce_file(s) for s in segs]
+    half = len(ids) // 2
+
+    def produce():
+        time.sleep(0.4)
+        for sid in ids[half:]:  # newest WAL segments become visible FIRST
+            broker.publish(sid)
+            time.sleep(0.1)
+        broker.publish(ids[-1])  # broker redelivery of an already-sent one
+        for sid in ids[:half]:  # the older segments arrive late
+            broker.publish(sid)
+            time.sleep(0.1)
+
+    t = threading.Thread(target=produce)
+    t.start()
+    records = []
+    stats = follow(
+        root, broker.source(), poll_interval=0.25, idle_exit_after=4,
+        metrics=records.append,
+    )
+    t.join()
+
+    assert stats.segments_applied == len(segs)  # the dup was NOT re-applied
+    ledger = LakeTable(root).read_manifest()["applied_segments"]
+    # exactly once: every segment ledgered exactly one time (plus the
+    # bootstrap's __base__ entry), no re-application of the redelivery
+    assert len(ledger) == len(set(ledger))
+    assert set(ledger) == {"__base__"} | {os.path.basename(s) for s in segs}
+    oracle = replay_oracle(small_wal["base"], segs)
+    assert read_table_arrow(root).equals(oracle)
+    # consumer-group view: all delivered segments committed, zero lag,
+    # and the duplicate delivery is visible as deliveries > delivered
+    off = broker.source().committed_offsets(
+        {os.path.basename(s) for s in ledger}
+    )
+    assert off["committed"] == len(segs) and off["lag"] == 0
+    assert off["deliveries"] == len(segs) + 1
+    assert stats.transactions >= 2  # consumed across multiple polls
+    assert records[-1]["lag_segments"] == 0  # metrics see broker lag too
+
+
+def test_broker_restart_mid_tail_resumes_from_ledger(ray_session, small_wal, tmp_path):
+    """Consumer dies mid-tail; more segments are published while it is
+    down; a FRESH consumer handle over the same broker root resumes from
+    the lake ledger (committed offsets) — nothing reapplied, nothing
+    lost."""
+    from etl_ray.pipelines.replay import bootstrap_lake, follow, read_table_arrow
+    from etl_ray.sources.broker import BrokerSource, FakeBroker
+    from etl_ray.state.manifest import LakeTable
+
+    root = str(tmp_path / "lake_rs" / "pages")
+    bootstrap_lake(root, small_wal["base"], num_partitions=8)
+    broker = FakeBroker(str(tmp_path / "broker_rs"))
+    segs = small_wal["segments"]
+    ids = [broker.produce_file(s) for s in segs]
+
+    for sid in (ids[2], ids[0], ids[1]):  # out-of-order early burst
+        broker.publish(sid)
+    s1 = follow(root, broker.source(), poll_interval=0.01, max_polls=1)
+    assert s1.segments_applied == 3
+
+    for sid in reversed(ids[3:]):  # arrivals while the consumer is down
+        broker.publish(sid)
+
+    # restart: new source object, same broker root, offsets from ledger
+    s2 = follow(
+        root, BrokerSource(str(tmp_path / "broker_rs")),
+        poll_interval=0.01, idle_exit_after=1,
+    )
+    assert s2.segments_applied == len(segs) - 3
+    ledger = LakeTable(root).read_manifest()["applied_segments"]
+    assert len(ledger) == len(set(ledger))
+    assert set(ledger) == {"__base__"} | {os.path.basename(s) for s in segs}
+    oracle = replay_oracle(small_wal["base"], segs)
+    assert read_table_arrow(root).equals(oracle)
+
+
 def test_follow_emits_metrics(ray_session, small_wal, tmp_path):
     """Per-poll observability records: throughput, lag, chains, DLQ."""
     import json
