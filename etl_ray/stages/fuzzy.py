@@ -22,14 +22,26 @@ the variant space, emit candidate pairs only within a variant group,
 verify the exact distance in the same task (no second shuffle), then
 global-distinct the verified pairs on 256 hash buckets.  Per key this
 ships O(L) copies of an L-char key — bounded and local; the all-pairs
-L^2 comparison never happens.  A ``max_group`` cap bounds the pair
-blowup from boilerplate-identical prefixes, same rule as MinHash's
-``max_bucket``.
+L^2 comparison never happens.
 
-Verification is vectorized: variants are padded into a fixed-width
-uint8 matrix once per group; equal-length candidates check Hamming<=1
-with one numpy reduction; length-diff-1 candidates use the two-pointer
-rule (first mismatch, then suffix-shift compare) on the same matrix.
+Within a variant group, verification runs over DISTINCT keys (one
+representative each); verified key pairs then expand to their id cross
+products, and distance-0 (equal-key) id pairs are emitted only in the
+key's own identity-variant group.  ``max_group`` therefore caps
+distinct keys per variant group — never exact-duplicate multiplicity —
+and the distinct-key count is intrinsically alphabet-bounded (every
+member of a variant group is a one-insertion parent of the variant, or
+the variant itself), so the cap is a safety valve.  When it does bite,
+pairs ARE dropped and the task emits a loud RuntimeWarning with the
+group count (no silent caps).
+
+Verification is vectorized AND per code point (matching per-character
+Levenshtein semantics — one multibyte substitution is one edit, not
+two): representative keys are padded into a fixed-width uint32
+codepoint matrix once per group; equal-length candidates check
+Hamming<=1 with one numpy reduction; length-diff-1 candidates use the
+two-pointer rule (first mismatch, then suffix-shift compare) on the
+same matrix.
 """
 
 from __future__ import annotations
@@ -52,14 +64,17 @@ def _neighborhood(key: str) -> list[str]:
 
 
 def _pad_matrix(keys: list[str], width: int) -> tuple[np.ndarray, np.ndarray]:
-    """(n, width) uint8 matrix of utf-8 bytes (zero-padded) + byte lengths."""
+    """(n, width) uint32 matrix of CODE POINTS (zero-padded) + char
+    lengths — per-character edit distance, not per-byte, so a single
+    multibyte substitution counts as one edit exactly like SQL
+    ``levenshtein``."""
     n = len(keys)
-    m = np.zeros((n, width), np.uint8)
+    m = np.zeros((n, width), np.uint32)
     lens = np.empty(n, np.int64)
     for i, k in enumerate(keys):
-        b = k.encode()[:width]
-        m[i, : len(b)] = np.frombuffer(b, np.uint8)
-        lens[i] = len(b)
+        k = k[:width]
+        m[i, : len(k)] = np.fromiter(map(ord, k), np.uint32, len(k))
+        lens[i] = len(k)
     return m, lens
 
 
@@ -100,10 +115,15 @@ def fuzzy_pairs_ed1(
     max_group: int = 512,
 ) -> ray.data.Dataset:
     """All (id_a < id_b) pairs whose ``key_col`` prefixes of ``key_len``
-    chars are within Levenshtein distance 1.  Exact — blocking is
-    lossless for distance <= 1; only the ``max_group`` cap (degenerate
-    identical-prefix groups) can drop pairs, and those are exact-dup
-    pairs the exact-dedup path already finds."""
+    chars are within Levenshtein distance 1 (per CODE POINT).  Blocking
+    is lossless for distance <= 1; verification runs over distinct keys
+    per variant group, so exact-duplicate multiplicity can never
+    truncate results.  ``max_group`` caps DISTINCT keys per variant
+    group — intrinsically alphabet-bounded, so effectively a safety
+    valve — and when it does bite, the drop is reported with a
+    RuntimeWarning (no silent caps).  A verified cross-key pair may be
+    re-emitted from up to 2(L+1) shared variant groups; the final
+    256-bucket distinct collapses that bounded duplication."""
 
     def variants(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_pylist()
@@ -113,6 +133,7 @@ def fuzzy_pairs_ed1(
         v_ids: list[int] = []
         v_keys: list[str] = []
         v_hash: list[str] = []
+        v_self: list[bool] = []
         for i, k in zip(ids, keys):
             if k is None:
                 continue
@@ -120,12 +141,14 @@ def fuzzy_pairs_ed1(
                 v_ids.append(i)
                 v_keys.append(k)
                 v_hash.append(v)
+                v_self.append(v == k)
         vh = hash64(pa.array(v_hash, pa.string())) if v_hash else np.empty(0, np.uint64)
         return pa.table(
             {
                 "vh": pa.array(vh.view(np.int64), pa.int64()),
                 "id": pa.array(v_ids, pa.int64()),
                 "key": pa.array(v_keys, pa.string()),
+                "self": pa.array(v_self, pa.bool_()),
             }
         )
 
@@ -139,31 +162,64 @@ def fuzzy_pairs_ed1(
             return _PAIR_SCHEMA.empty_table()
         vh = g.column("vh").to_numpy(zero_copy_only=False)
         ids = g.column("id").to_numpy(zero_copy_only=False)
-        keys = g.column("key").to_pylist()
-        order = np.lexsort((ids, vh))
-        vh, ids = vh[order], ids[order]
-        keys = [keys[i] for i in order]
-        m, lens = _pad_matrix(keys, key_len * 4)  # utf-8 worst case
+        selfs = g.column("self").to_numpy(zero_copy_only=False)
+        karr = np.array(g.column("key").to_pylist(), dtype=object)
+        order = np.lexsort((ids, karr, vh))
+        vh, ids, karr, selfs = vh[order], ids[order], karr[order], selfs[order]
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
-        starts = np.flatnonzero(np.r_[True, vh[1:] != vh[:-1]])
-        ends = np.r_[starts[1:], len(vh)]
-        for s, e in zip(starts, ends):
-            n = min(e - s, max_group)
-            if n < 2:
+        truncated = 0
+        g_starts = np.flatnonzero(np.r_[True, vh[1:] != vh[:-1]])
+        g_ends = np.r_[g_starts[1:], len(vh)]
+        for s, e in zip(g_starts, g_ends):
+            if e - s < 2:
                 continue
-            loc = np.arange(s, s + n)
-            ii, jj = np.triu_indices(n, k=1)
-            ii, jj = loc[ii], loc[jj]
-            neq = ids[ii] != ids[jj]
-            ii, jj = ii[neq], jj[neq]
-            if len(ii) == 0:
+            kg = karr[s:e]
+            k_start = np.flatnonzero(np.r_[True, kg[1:] != kg[:-1]]) + s
+            k_end = np.r_[k_start[1:], e]
+            # distance-0 (equal-key) id pairs: emitted ONLY in the key's
+            # own identity-variant group, once per unordered id pair
+            for ks, ke in zip(k_start, k_end):
+                if not selfs[ks]:
+                    continue
+                uids = np.unique(ids[ks:ke])
+                if len(uids) < 2:
+                    continue
+                ii0, jj0 = np.triu_indices(len(uids), k=1)
+                out_a.append(uids[ii0])
+                out_b.append(uids[jj0])
+            nk = len(k_start)
+            if nk < 2:
                 continue
+            if nk > max_group:
+                truncated += 1
+                k_start, k_end = k_start[:max_group], k_end[:max_group]
+                nk = max_group
+            # verify ed<=1 between one representative per DISTINCT key
+            m, lens = _pad_matrix([str(karr[i]) for i in k_start], key_len)
+            ii, jj = np.triu_indices(nk, k=1)
             ok = _dist_le1(m, lens, ii, jj)
-            a, b = ids[ii[ok]], ids[jj[ok]]
-            lo, hi = np.minimum(a, b), np.maximum(a, b)
-            out_a.append(lo)
-            out_b.append(hi)
+            for i, j in zip(ii[ok], jj[ok]):
+                ua = np.unique(ids[k_start[i]:k_end[i]])
+                ub = np.unique(ids[k_start[j]:k_end[j]])
+                a = np.repeat(ua, len(ub))
+                b = np.tile(ub, len(ua))
+                neq = a != b
+                a, b = a[neq], b[neq]
+                if len(a):
+                    out_a.append(np.minimum(a, b))
+                    out_b.append(np.maximum(a, b))
+        if truncated:
+            import warnings
+
+            warnings.warn(
+                f"fuzzy_pairs_ed1: {truncated} variant group(s) exceeded "
+                f"max_group={max_group} distinct keys; ed<=1 pairs beyond "
+                "the cap were DROPPED — raise max_group or pre-filter the "
+                "degenerate key prefix",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         if not out_a:
             return _PAIR_SCHEMA.empty_table()
         return pa.table(
@@ -185,6 +241,8 @@ def fuzzy_pairs_ed1(
     # global distinct on 256 pair-hash buckets (same pair can be found
     # under several shared variants that live in different buckets)
     def pair_bucket(t: pa.Table) -> pa.Table:
+        # bucket key only needs determinism: int64 wraparound on huge ids
+        # is fine here (the exact pair identity is preserved below)
         combined = pc.add(
             pc.multiply(t.column("id_a"), pa.scalar(1 << 31, pa.int64())),
             t.column("id_b"),
@@ -192,13 +250,17 @@ def fuzzy_pairs_ed1(
         return t.append_column("_pb", hash_bucket(combined, num_buckets))
 
     def uniq(g: pa.Table) -> pa.Table:
+        # two-column unique via lexsort + run boundaries — no bit
+        # packing, so ids >= 2^31 cannot collide or mis-decode
         a = g.column("id_a").to_numpy(zero_copy_only=False)
         b = g.column("id_b").to_numpy(zero_copy_only=False)
-        c = np.unique(a * (1 << 31) + b)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
         return pa.table(
             {
-                "id_a": pa.array((c >> 31).astype(np.int64)),
-                "id_b": pa.array((c & ((1 << 31) - 1)).astype(np.int64)),
+                "id_a": pa.array(a[keep].astype(np.int64)),
+                "id_b": pa.array(b[keep].astype(np.int64)),
             }
         )
 

@@ -586,6 +586,15 @@ class CharLMScorer:
     quality-model shape (a CCNet/KenLM-style perplexity filter reduced
     to its distributable core).
 
+    CONTRACT: the model is defined over UTF-8 BYTES (that is what keeps
+    the table at 256x256 = 512 KB; a codepoint table would be unbounded)
+    — so byte bigrams equal character bigrams only on ASCII text.  A SQL
+    oracle written with per-character substr pairs agrees with this
+    scorer iff the corpus is ASCII; on multibyte text the byte model is
+    still well-defined (and arguably better for LM filtering), it just
+    is not the per-character statistic.  The repo's doc fixtures are
+    ASCII, which the oracle comparison relies on.
+
     TRAIN: :func:`charlm_counts` aggregates the corpus's 256x256 byte
     bigram counts as per-batch numpy bincount partials (one tiny
     all-reduce; the model is 512 KB of int64).  SCORE: this actor-pool

@@ -214,7 +214,9 @@ def _lev(a: str, b: str) -> int:
     return prev[-1]
 
 
-_words = st.text(alphabet="abcdef", min_size=0, max_size=12)
+# includes multibyte code points: the verifier is per-character (one
+# multibyte substitution = ONE edit), matching the per-char DP reference
+_words = st.text(alphabet="abcdéfß漢", min_size=0, max_size=12)
 
 
 @settings(max_examples=300, deadline=None)
