@@ -25,8 +25,50 @@ def entry() -> Any:
     return Q.upsert_lww_events("/root/testdata/sf0.001")
 
 
+# Round-5 rotation of the driver-checked prefix (the correctness driver
+# samples the FIRST 50 registry entries): CORRECTNESS_r01..r04 always saw
+# the same 50, so 75 registry entries had never had a driver-recorded row.
+# This list front-loads the CDC flagship core PLUS ~20 round-4/5 additions
+# (fuzzy join, coalesce upserts, zorder-pruned serving read, percent_rank,
+# Q3-flavor, distributed PMI, ...) per the round-4 verdict's task 7.  Every
+# name here has a full SQL oracle.  Entries NOT listed keep their original
+# relative order after the prefix; the registry's key SET is unchanged.
+_DRIVER_PREFIX = [
+    # CDC / lake flagship core (north-star shapes)
+    "cdc_replay_pages", "cdc_replay_pages_delta", "upsert_lww_events",
+    "q1_pricing_summary", "cdc_table_diff", "incremental_domain_stats",
+    "scd2_history_pages", "dlq_quarantine_pages", "cdc_changelog_pages",
+    "lake_training_docs", "lake_recent_hosts", "host_index_read",
+    "pages_per_domain", "canonical_urls", "sparse_attr_latest_events",
+    "wal_update_depth",
+    # relational core sample
+    "project_cast_lineitem", "anti_join_customers_without_orders",
+    "semi_join_customers_with_open_orders", "join_orders_lineitem_native",
+    "asof_join_events_orders", "range_join_events_sessions",
+    "topk_events_per_user", "hourly_event_stats", "revenue_by_segment",
+    "json_extract_props", "sliding_window_events", "session_windows_events",
+    "left_join_customer_order_counts", "full_outer_join_daily_activity",
+    # text / dedup / similarity sample
+    "token_count_docs", "dedup_docs_exact", "minhash_pairs_docs",
+    "shingle_jaccard_docs", "knn_brute_embeddings", "tfidf_docs",
+    "decontaminate_docs", "pack_sequences_docs",
+    # round-4/5 additions never driver-checked before
+    "fuzzy_pairs_docs", "coalesce_upsert_users", "coalesce_upsert_users_delta",
+    "percent_rank_events_by_type", "top_unshipped_orders", "pmi_bigrams_docs",
+    "trailing_1h_sum_per_user", "winsorize_values_by_type",
+    "topk_frequent_users", "multimodal_decode_real", "charlm_score_docs",
+    "dq_violations_orders",
+]
+
+
+def _rotate(reg: dict[str, Callable[[str], Any]]) -> dict[str, Callable[[str], Any]]:
+    head = {k: reg[k] for k in _DRIVER_PREFIX}
+    assert len(head) == 50, f"driver prefix must be 50 names, got {len(head)}"
+    return head | {k: v for k, v in reg.items() if k not in head}
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
-    return {
+    return _rotate({
         # relational core (reference operator families)
         "q1_pricing_summary": Q.q1_pricing_summary,
         "project_cast_lineitem": Q.project_cast_lineitem,
@@ -239,7 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_unshipped_orders": Q.top_unshipped_orders,
         # data-quality rule scan (vectorized masks, partial counts)
         "dq_violations_orders": Q.dq_violations_orders,
-    }
+    })
 
 
 def oracle_sql() -> dict[str, str]:
