@@ -281,6 +281,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_unshipped_orders": Q.top_unshipped_orders,
         # data-quality rule scan (vectorized masks, partial counts)
         "dq_violations_orders": Q.dq_violations_orders,
+        # C4-style paragraph-level exact dedup + document reassembly
+        "paragraph_dedup_docs": Q.paragraph_dedup_docs,
+        # Gopher-rule quality gate (integer-exact mean-length band)
+        "gopher_quality_docs": Q.gopher_quality_docs,
+        # BM25 retrieval scoring (two-pass tf/df + corpus scalars)
+        "bm25_docs": Q.bm25_docs,
     })
 
 
@@ -1760,6 +1766,83 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id FROM arrivals a
             WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.d = a.d)
             GROUP BY d
+        """,
+        # C4 semantics: a paragraph (16-word window) survives only at its
+        # first (doc_id, para_idx) occurrence corpus-wide; docs reassemble
+        # from survivors (docs with none drop out)
+        "paragraph_dedup_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) AS tok,
+                     unnest(range(0, len(regexp_extract_all(text, '[^ \t\n\r\f\v]+')))) AS pos
+              FROM documents),
+            paras AS (
+              SELECT doc_id, CAST(pos // 16 AS BIGINT) AS para_idx,
+                     string_agg(tok, ' ' ORDER BY pos) AS para
+              FROM toks GROUP BY doc_id, para_idx),
+            firsts AS (
+              SELECT doc_id, para_idx, para,
+                     row_number() OVER (PARTITION BY para
+                                        ORDER BY doc_id, para_idx) AS rn
+              FROM paras)
+            SELECT doc_id, string_agg(para, ' ' ORDER BY para_idx) AS clean_text
+            FROM firsts WHERE rn = 1 GROUP BY doc_id
+        """,
+        # integer-exact Gopher gate: mean word length in [3,10] as a
+        # cross-multiply, stopword floor, word-count band
+        "gopher_quality_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) AS tok
+              FROM documents),
+            agg AS (
+              SELECT doc_id,
+                     count(*) AS n_words,
+                     sum(length(tok)) AS sum_word_len,
+                     sum(CASE WHEN list_contains(
+                           ['a','and','for','in','is','it','of','that','the','to'],
+                           lower(tok)) THEN 1 ELSE 0 END) AS stop_hits
+              FROM toks GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   CAST(sum_word_len AS BIGINT) AS sum_word_len,
+                   CAST(stop_hits AS BIGINT) AS stop_hits,
+                   CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                              AND 3 * n_words <= sum_word_len
+                              AND sum_word_len <= 10 * n_words
+                              AND stop_hits >= 2
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM agg
+        """,
+        # BM25 with every float step in the SAME order as the engine
+        # (ln via libm on both sides; remaining ops single correctly-
+        # rounded IEEE steps), compared as floor(1e6 * score)
+        "bm25_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) AS tok
+              FROM documents),
+            tf AS (SELECT doc_id, tok AS token, count(*) AS tf FROM toks
+                   GROUP BY doc_id, tok),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+            tot AS (SELECT count(*) AS n FROM documents),
+            sdl AS (SELECT sum(dl) AS sumdl FROM dl)
+            SELECT tf.doc_id, tf.token,
+                   CAST(tf.tf AS BIGINT) AS tf,
+                   CAST(df.df AS BIGINT) AS df,
+                   CAST(dl.dl AS BIGINT) AS dl,
+                   CAST(floor(1000000.0 * (
+                     (ln(1.0 + (CAST(tot.n - df.df AS DOUBLE) + 0.5)
+                               / (CAST(df.df AS DOUBLE) + 0.5))
+                      * (CAST(tf.tf AS DOUBLE) * 2.2))
+                     / (CAST(tf.tf AS DOUBLE)
+                        + 1.2 * (0.25 + 0.75 * (CAST(dl.dl * tot.n AS DOUBLE)
+                                                / CAST(sdl.sumdl AS DOUBLE))))
+                   )) AS BIGINT) AS bm25_fp
+            FROM tf
+            JOIN df USING (token)
+            JOIN dl USING (doc_id), tot, sdl
         """,
     }
 

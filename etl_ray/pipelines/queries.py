@@ -4837,3 +4837,134 @@ def wal_update_depth(sf_dir: str):
         .groupby("depth")
         .aggregate(Sum("pk", alias_name="n_keys"))
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: paragraph-level dedup, Gopher quality gate, BM25
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup_docs(sf_dir: str):
+    """C4-style paragraph-level exact dedup + document reassembly: each
+    distinct 16-word paragraph survives only at its FIRST corpus
+    occurrence in (doc_id, para_idx) order (stages/dedup.paragraph_dedup
+    — one bounded digest-bucket shuffle, winners decided locally), then
+    surviving paragraphs rejoin into per-document clean text
+    (analytic.grouped_concat ORDER BY para_idx).  Docs whose every
+    paragraph was seen earlier disappear — the C4 semantics.  Oracle:
+    row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx)=1
+    + ordered string_agg."""
+    from ..stages.analytic import grouped_concat
+    from ..stages.dedup import paragraph_dedup
+
+    ds = _read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    kept = paragraph_dedup(ds, words_per_para=16)
+    return grouped_concat(
+        kept,
+        key="doc_id",
+        order_by=["para_idx"],
+        value_col="para",
+        sep=" ",
+        out_col="clean_text",
+    )
+
+
+def gopher_quality_docs(sf_dir: str):
+    """Gopher-rule quality gate (stages/text.GopherQuality): integer
+    word/length/stopword signals plus the keep decision with the mean-
+    word-length band as an integer cross-multiply (3*n <= sum_len <=
+    10*n) — no float rounding anywhere, so the whole gate is SQL-hash-
+    checkable."""
+    from ..stages.text import GopherQuality
+
+    ds = _read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(
+        GopherQuality, batch_format="pyarrow", concurrency=(1, 8)
+    )
+
+
+def bm25_docs(sf_dir: str):
+    """BM25 (k1=1.2, b=0.75, Lucene idf = ln(1 + (N-df+0.5)/(df+0.5)))
+    per (doc, token) over the whole corpus — the retrieval-scoring
+    extension of tfidf_docs.  Same two-pass streaming shape: the tf pass
+    also derives per-doc length dl batch-locally (documents arrive whole,
+    so dl = run-sum of tf — no extra shuffle); df aggregates the posting
+    stream; corpus scalars N and sumdl are the only driver values.  The
+    score is emitted as floor(1e6 * bm25) int64 with every float step
+    identically ordered in the SQL oracle (idf via libm ln on both
+    engines; all other steps are single correctly-rounded IEEE ops)."""
+    from ..stages.text import PostingLister, TermCounter
+
+    docs_path = _p(sf_dir, "documents")
+
+    tc = TermCounter()
+
+    def tf_dl(t: pa.Table) -> pa.Table:
+        out = tc(t)
+        did = out.column("doc_id").to_numpy(zero_copy_only=False)
+        tf = out.column("tf").to_numpy(zero_copy_only=False)
+        # doc runs are contiguous in TermCounter output (lexsort by
+        # (doc, token)); dl = per-run tf sum scattered back to rows
+        starts = np.flatnonzero(np.concatenate(([True], did[1:] != did[:-1])))
+        sums = np.add.reduceat(tf, starts) if len(tf) else np.array([], np.int64)
+        dl = np.repeat(sums, np.diff(np.append(starts, len(tf))))
+        return out.append_column("dl", pa.array(dl.astype(np.int64)))
+
+    tf = _read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+        tf_dl, batch_format="pyarrow"
+    )
+    df = (
+        _read_parquet(docs_path, columns=["doc_id", "text"])
+        .map_batches(PostingLister, batch_format="pyarrow", concurrency=(1, 8))
+        .groupby("token")
+        .aggregate(Count(alias_name="df"))
+    )
+    # corpus scalars: N from parquet row-count metadata, sumdl from one
+    # narrow streaming aggregate (total whitespace tokens)
+    n_docs = _read_parquet(docs_path, columns=["doc_id"]).count()
+    from ..stages.text import TokenCounter
+
+    sumdl = int(
+        _read_parquet(docs_path, columns=["doc_id", "text"])
+        .map_batches(TokenCounter, batch_format="pyarrow", concurrency=(1, 8))
+        .map_batches(lambda t: t.select(["n_tokens"]), batch_format="pyarrow")
+        .sum("n_tokens")
+    )
+
+    joined = tf.join(
+        df, "inner", num_partitions=8, on=("token",), right_on=("token",),
+        right_suffix="_r",
+    )
+
+    import math
+
+    def score(t: pa.Table) -> pa.Table:
+        tfv = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dlv = t["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # idf via libm (math.log) on the few distinct df values — numpy's
+        # SIMD log is NOT ulp-identical to DuckDB's libm ln
+        uniq = np.unique(dfv)
+        idf_u = np.array(
+            [
+                math.log(1.0 + (float(n_docs - d) + 0.5) / (float(d) + 0.5))
+                for d in uniq
+            ],
+            np.float64,
+        )
+        idf = idf_u[np.searchsorted(uniq, dfv)]
+        den = tfv + 1.2 * (0.25 + 0.75 * ((dlv * n_docs).astype(np.float64) / float(sumdl)))
+        s = (idf * (tfv * 2.2)) / den
+        fp = np.floor(1_000_000.0 * s).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "token": t["token"],
+                "tf": t["tf"],
+                "df": t["df"],
+                "dl": t["dl"],
+                "bm25_fp": pa.array(fp),
+            }
+        )
+
+    return joined.map_batches(score, batch_format="pyarrow")

@@ -835,3 +835,113 @@ def dup_clusters(
         lambda t: pa.table({"doc_id": t["node"], "cluster_id": t["label"]}),
         batch_format="pyarrow",
     ).sort("doc_id")
+
+
+class ParagraphSplitter:
+    """Sub-document unit split for paragraph-level dedup: consecutive
+    windows of ``words_per_para`` whitespace tokens per document, joined
+    with single spaces — one (doc_id, para_idx, para) row per window.
+
+    Real web text would split on blank lines; the synthetic corpus has
+    no newlines, so the unit is a fixed word window (the operator under
+    test — global first-occurrence dedup of sub-document units — is
+    identical either way; swap this splitter for a '\\n\\n' splitter on
+    real pages).  Tokenization is one vectorized regex split per batch;
+    window assembly joins python-list slices per doc (string assembly is
+    inherently byte work — same cost class as the per-run joins in
+    analytic.grouped_concat, and output size ~= input size)."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        words_per_para: int = 16,
+    ):
+        assert words_per_para > 0
+        self.text_col = text_col
+        self.id_col = id_col
+        self.w = words_per_para
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).combine_chunks()
+        parts = pc.split_pattern_regex(texts, pattern="[ \t\n\r\f\v]+")
+        ids = batch.column(self.id_col).to_pylist()
+        out_id, out_idx, out_para = [], [], []
+        for did, toks in zip(ids, parts.to_pylist()):
+            if toks and toks[0] == "":
+                toks = toks[1:]
+            if toks and toks[-1] == "":
+                toks = toks[:-1]
+            if not toks:
+                continue
+            for k in range(0, (len(toks) + self.w - 1) // self.w):
+                out_id.append(did)
+                out_idx.append(k)
+                out_para.append(" ".join(toks[k * self.w : (k + 1) * self.w]))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "para_idx": pa.array(out_idx, pa.int64()),
+                "para": pa.array(out_para, pa.string()),
+            }
+        )
+
+
+_PARA_IDX_BITS = 20  # para_idx < 2^20 (a 16M-word doc); doc_id < 2^43
+
+
+def paragraph_dedup(ds, *, words_per_para: int = 16, n_buckets: int = 256):
+    """C4-style paragraph-level exact dedup: across the WHOLE corpus,
+    each distinct paragraph (fixed word window, ParagraphSplitter) is
+    kept only at its first occurrence in (doc_id, para_idx) order; every
+    later occurrence — in other documents or later in the same one — is
+    dropped.  Returns the kept (doc_id, para_idx, para) rows; reassemble
+    per doc with analytic.grouped_concat(para, ' ' ORDER BY para_idx).
+
+    Scale shape: occurrences shuffle ONCE keyed by md5(para) first byte
+    (256 bounded groups — all occurrences of a paragraph land in one
+    group, so the winner is decided locally and no join-back is needed);
+    within a group the first-occurrence take is vectorized (dictionary-
+    encode digest, lexsort by (digest, doc_id<<20|para_idx), group
+    heads).  The exchange ships paragraph text once — unavoidable, the
+    output IS the surviving text.  Reference analogue: content dedup
+    D1/D2 (`src/pipeline/core/client_clickhouse.py:181,193`) applied at
+    sub-record granularity."""
+    import hashlib
+
+    def split_digest(batch: pa.Table) -> pa.Table:
+        t = ParagraphSplitter(words_per_para=words_per_para)(batch)
+        paras = t.column("para").to_pylist()
+        digs = [hashlib.md5(p.encode()).digest() for p in paras]
+        bucket = pa.array([d[0] % n_buckets for d in digs], pa.int32())
+        return t.append_column(
+            "pdig", pa.array(digs, pa.binary(16))
+        ).append_column("pbucket", bucket)
+
+    def keep_first(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "para_idx": pa.array([], pa.int64()),
+                    "para": pa.array([], pa.string()),
+                }
+            )
+        codes = pc.dictionary_encode(g.column("pdig").combine_chunks()).indices
+        codes = codes.to_numpy(zero_copy_only=False).astype(np.int64)
+        did = g.column("doc_id").to_numpy(zero_copy_only=False)
+        pidx = g.column("para_idx").to_numpy(zero_copy_only=False)
+        if len(did) and (did.max() >= (1 << (63 - _PARA_IDX_BITS)) or pidx.max() >= (1 << _PARA_IDX_BITS)):
+            raise ValueError("doc_id/para_idx exceed packed-order range")
+        packed = (did << _PARA_IDX_BITS) | pidx
+        order = np.lexsort((packed, codes))
+        heads = order[np.concatenate(([True], np.diff(codes[order]) != 0))]
+        return g.select(["doc_id", "para_idx", "para"]).take(
+            pa.array(np.sort(heads))
+        )
+
+    return (
+        ds.map_batches(split_digest, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(keep_first, batch_format="pyarrow")
+    )

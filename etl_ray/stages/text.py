@@ -689,3 +689,70 @@ def charlm_logp(counts: np.ndarray, alpha: float = 1.0) -> np.ndarray:
     ln((c + alpha) / (row_total + 256*alpha))."""
     row = counts.sum(axis=1, keepdims=True).astype(np.float64)
     return np.log((counts + alpha) / (row + 256.0 * alpha))
+
+
+class GopherQuality:
+    """Gopher-style document quality gate (Rae et al. 2021, public
+    "Scaling Language Models" filtering rules), in integer-exact form so
+    the gate is SQL-hash-checkable:
+
+    * ``n_words``      — count of ASCII-whitespace token runs
+    * ``sum_word_len`` — total codepoints across those tokens
+    * ``stop_hits``    — tokens (lowercased) in the English stopword set
+    * ``keep``         — 1 iff 50 <= n_words <= 100_000
+                         AND 3*n_words <= sum_word_len <= 10*n_words
+                         (mean word length in [3, 10] without a float
+                         division — cross-multiplied, so no rounding)
+                         AND stop_hits >= 2
+
+    Fully vectorized: one regex split per batch, flattened token stream
+    with parent indices, per-doc sums via np.bincount.  Reference
+    analogue: per-record quality/validity gates in the mapper chain
+    (`src/pipeline/etl/avax/*_etl.py` filter steps)."""
+
+    MIN_WORDS, MAX_WORDS = 50, 100_000
+    MIN_MEAN, MAX_MEAN = 3, 10  # integer cross-multiply bounds
+    MIN_STOP = 2
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.stop_en = pa.array(sorted(_STOPWORDS["en"]), pa.string())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        texts = batch.column(self.text_col).combine_chunks()
+        parts = pc.split_pattern_regex(texts, pattern="[ \t\n\r\f\v]+")
+        flat = pc.list_flatten(parts)
+        par = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        keep_tok = pc.not_equal(flat, pa.scalar("", pa.string()))
+        keep_np = keep_tok.to_numpy(zero_copy_only=False)
+        if not keep_np.all():
+            idx = np.flatnonzero(keep_np)
+            flat = flat.take(pa.array(idx))
+            par = par[idx]
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n_words = np.bincount(par, minlength=n).astype(np.int64)
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        sum_len = np.bincount(par, weights=tok_len, minlength=n).astype(np.int64)
+        is_stop = pc.is_in(
+            pc.utf8_lower(flat), value_set=self.stop_en
+        ).to_numpy(zero_copy_only=False)
+        stop_hits = np.bincount(par, weights=is_stop, minlength=n).astype(np.int64)
+        keep = (
+            (n_words >= self.MIN_WORDS)
+            & (n_words <= self.MAX_WORDS)
+            & (self.MIN_MEAN * n_words <= sum_len)
+            & (sum_len <= self.MAX_MEAN * n_words)
+            & (stop_hits >= self.MIN_STOP)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column(self.id_col),
+                "n_words": pa.array(n_words),
+                "sum_word_len": pa.array(sum_len),
+                "stop_hits": pa.array(stop_hits),
+                "keep": pa.array(keep),
+            }
+        )

@@ -61,7 +61,14 @@ def test_sigkill_mid_replay_then_resume(tmp_path):
     p.wait(timeout=30)
     assert killed, "replay finished before we could kill it; enlarge the WAL"
 
-    m_mid = json.load(open(os.path.join(lake, "MANIFEST.json")))
+    # AUTHORITATIVE head, not the MANIFEST.json cache: SIGKILL can land
+    # between the commit-log conditional put (commit N durable) and the
+    # root-cache refresh, leaving the cache one commit behind — the
+    # resume would then look like it applied one segment "twice".
+    # read_manifest() adopts the log head (and repairs the cache).
+    from etl_ray.state.manifest import LakeTable
+
+    m_mid = LakeTable(lake).read_manifest()
     applied_mid = len(m_mid["applied_segments"])
     assert applied_mid < 1 + len(paths["segments"]), "nothing left to resume"
 
@@ -120,7 +127,14 @@ def test_sigkill_mid_delta_replay_then_resume(tmp_path):
     p.wait(timeout=30)
     assert killed, "replay finished before we could kill it; enlarge the WAL"
 
-    m_mid = json.load(open(os.path.join(lake, "MANIFEST.json")))
+    # AUTHORITATIVE head, not the MANIFEST.json cache: SIGKILL can land
+    # between the commit-log conditional put (commit N durable) and the
+    # root-cache refresh, leaving the cache one commit behind — the
+    # resume would then look like it applied one segment "twice".
+    # read_manifest() adopts the log head (and repairs the cache).
+    from etl_ray.state.manifest import LakeTable
+
+    m_mid = LakeTable(lake).read_manifest()
     applied_mid = len(m_mid["applied_segments"])
     assert applied_mid < 1 + len(paths["segments"]), "nothing left to resume"
 

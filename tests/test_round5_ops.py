@@ -1,0 +1,168 @@
+"""Round-5 operators: paragraph-level exact dedup (C4 semantics),
+Gopher-rule quality gate, BM25 scoring.
+
+Differentials against plain-Python references on crafted corpora (the
+repo's standard pattern); the sf0.01 DuckDB hash checks live in the
+sweep (tools/sweep_correctness.py)."""
+
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# ParagraphSplitter
+# ---------------------------------------------------------------------------
+
+
+def test_paragraph_splitter_windows():
+    from etl_ray.stages.dedup import ParagraphSplitter
+
+    toks = [f"w{i}" for i in range(37)]
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [" ".join(toks), "  lone  ", ""],
+        }
+    )
+    out = ParagraphSplitter(words_per_para=16)(t)
+    rows = list(zip(*[out[c].to_pylist() for c in out.column_names]))
+    # doc 1: 37 tokens -> windows of 16/16/5; doc 2: one 1-word window
+    # (whitespace-trimmed); doc 3: empty -> no rows
+    assert rows == [
+        (1, 0, " ".join(toks[0:16])),
+        (1, 1, " ".join(toks[16:32])),
+        (1, 2, " ".join(toks[32:37])),
+        (2, 0, "lone"),
+    ]
+
+
+def test_paragraph_dedup_first_occurrence(ray_session):
+    """Duplicate paragraphs across docs AND within one doc: only the
+    first (doc_id, para_idx) occurrence corpus-wide survives."""
+    import ray.data
+
+    from etl_ray.stages.dedup import paragraph_dedup
+
+    A = " ".join(f"a{i}" for i in range(16))
+    B = " ".join(f"b{i}" for i in range(16))
+    C = " ".join(f"c{i}" for i in range(16))
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            # doc1 = A B; doc2 = B C B (intra-doc dup too); doc3 = A C
+            "text": [f"{A} {B}", f"{B} {C} {B}", f"{A} {C}"],
+        }
+    )
+    kept = paragraph_dedup(ray.data.from_arrow(t), words_per_para=16)
+    got = sorted(
+        zip(
+            kept.to_pandas()["doc_id"],
+            kept.to_pandas()["para_idx"],
+            kept.to_pandas()["para"],
+        )
+    )
+    # A first at (1,0); B first at (1,1); C first at (2,1).  Doc 3 keeps
+    # nothing (both its paragraphs seen earlier).
+    assert got == [(1, 0, A), (1, 1, B), (2, 1, C)]
+
+
+# ---------------------------------------------------------------------------
+# GopherQuality
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_quality_matches_reference():
+    from etl_ray.stages.text import _STOPWORDS, GopherQuality
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    out = GopherQuality()(tbl)
+    stop = _STOPWORDS["en"]
+    for i in range(tbl.num_rows):
+        words = (tbl["text"][i].as_py() or "").split()
+        n, s = len(words), sum(len(w) for w in words)
+        hits = sum(w.lower() in stop for w in words)
+        keep = int(50 <= n <= 100_000 and 3 * n <= s <= 10 * n and hits >= 2)
+        assert out["n_words"][i].as_py() == n
+        assert out["sum_word_len"][i].as_py() == s
+        assert out["stop_hits"][i].as_py() == hits
+        assert out["keep"][i].as_py() == keep
+    # the gate must actually discriminate on this corpus
+    kept = sum(out["keep"].to_pylist())
+    assert 0 < kept < tbl.num_rows
+
+
+def test_gopher_quality_rule_boundaries():
+    from etl_ray.stages.text import GopherQuality
+
+    g = GopherQuality()
+    mk = lambda words: pa.table(
+        {"doc_id": pa.array([0], pa.int64()), "text": [" ".join(words)]}
+    )
+    # exactly 50 words, mean length exactly 3, two stopwords -> keep
+    ok = ["the", "for"] + ["abc"] * 48
+    assert g(mk(ok))["keep"][0].as_py() == 1
+    # 49 words -> word-count floor fails
+    assert g(mk(ok[1:]))["keep"][0].as_py() == 0
+    # one stopword -> stopword floor fails
+    assert g(mk(["the"] + ["abc"] * 49))["keep"][0].as_py() == 0
+    # mean word length just under 3 (3n-1 chars) -> fails
+    under = ["the", "for"] + ["abc"] * 47 + ["ab"]
+    assert g(mk(under))["keep"][0].as_py() == 0
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_matches_plain_reference(ray_session, tmp_path):
+    from etl_ray.pipelines.queries import bm25_docs
+
+    docs = {
+        1: "cat sat on the mat",
+        2: "cat cat dog",
+        3: "dog runs far away from the mat today",
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(docs), pa.int64()),
+                "text": [docs[k] for k in sorted(docs)],
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = bm25_docs(str(tmp_path)).to_pandas()
+
+    # plain reference
+    N = len(docs)
+    toks = {d: t.split() for d, t in docs.items()}
+    sumdl = sum(len(v) for v in toks.values())
+    tf = {(d, w): toks[d].count(w) for d in toks for w in set(toks[d])}
+    df = {}
+    for d, w in tf:
+        df[w] = df.get(w, 0) + 1
+    expect = {}
+    for (d, w), f in tf.items():
+        dl = len(toks[d])
+        idf = math.log(1.0 + (float(N - df[w]) + 0.5) / (float(df[w]) + 0.5))
+        den = f + 1.2 * (0.25 + 0.75 * (float(dl * N) / float(sumdl)))
+        expect[(d, w)] = math.floor(1e6 * ((idf * (f * 2.2)) / den))
+
+    got = {
+        (r.doc_id, r.token): (r.tf, r.df, r.dl, r.bm25_fp)
+        for r in out.itertuples()
+    }
+    assert set(got) == set(expect)
+    for (d, w), (f, dfl, dl, fp) in got.items():
+        assert f == tf[(d, w)]
+        assert dfl == df[w]
+        assert dl == len(toks[d])
+        assert fp == expect[(d, w)], (d, w)
