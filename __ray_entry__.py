@@ -46,7 +46,6 @@ _DRIVER_PREFIX = [
     "semi_join_customers_with_open_orders", "join_orders_lineitem_native",
     "asof_join_events_orders", "range_join_events_sessions",
     "topk_events_per_user", "hourly_event_stats", "revenue_by_segment",
-    "json_extract_props", "sliding_window_events", "session_windows_events",
     "left_join_customer_order_counts", "full_outer_join_daily_activity",
     # text / dedup / similarity sample
     "token_count_docs", "dedup_docs_exact", "minhash_pairs_docs",
@@ -58,6 +57,10 @@ _DRIVER_PREFIX = [
     "trailing_1h_sum_per_user", "winsorize_values_by_type",
     "topk_frequent_users", "multimodal_decode_real", "charlm_score_docs",
     "dq_violations_orders",
+    # round-5 additions (paragraph-level C4 dedup, Gopher gate, BM25) —
+    # swapped in for json_extract_props / sliding_window_events /
+    # session_windows_events, each driver-green in r1-r4
+    "paragraph_dedup_docs", "gopher_quality_docs", "bm25_docs",
 ]
 
 
