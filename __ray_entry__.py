@@ -46,7 +46,7 @@ _DRIVER_PREFIX = [
     "semi_join_customers_with_open_orders", "join_orders_lineitem_native",
     "asof_join_events_orders", "range_join_events_sessions",
     "topk_events_per_user", "hourly_event_stats", "revenue_by_segment",
-    "left_join_customer_order_counts", "full_outer_join_daily_activity",
+    "full_outer_join_daily_activity",
     # text / dedup / similarity sample
     "token_count_docs", "dedup_docs_exact", "minhash_pairs_docs",
     "shingle_jaccard_docs", "knn_brute_embeddings", "tfidf_docs",
@@ -57,10 +57,12 @@ _DRIVER_PREFIX = [
     "trailing_1h_sum_per_user", "winsorize_values_by_type",
     "topk_frequent_users", "multimodal_decode_real", "charlm_score_docs",
     "dq_violations_orders",
-    # round-5 additions (paragraph-level C4 dedup, Gopher gate, BM25) —
-    # swapped in for json_extract_props / sliding_window_events /
-    # session_windows_events, each driver-green in r1-r4
+    # round-5 additions (paragraph-level C4 dedup, Gopher gate, BM25,
+    # flagship #3 replay->dedup->gate chain) — swapped in for
+    # json_extract_props / sliding_window_events / session_windows_events
+    # / left_join_customer_order_counts, each driver-green in r1-r4
     "paragraph_dedup_docs", "gopher_quality_docs", "bm25_docs",
+    "lake_clean_corpus",
 ]
 
 
@@ -290,6 +292,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality_docs": Q.gopher_quality_docs,
         # BM25 retrieval scoring (two-pass tf/df + corpus scalars)
         "bm25_docs": Q.bm25_docs,
+        # flagship #3: replay -> lake -> line-paragraph dedup -> Gopher gate
+        "lake_clean_corpus": Q.lake_clean_corpus,
     })
 
 
@@ -1846,6 +1850,49 @@ def oracle_sql() -> dict[str, str]:
             FROM tf
             JOIN df USING (token)
             JOIN dl USING (doc_id), tot, sdl
+        """,
+        # flagship #3: live lake (LWW window) -> newline-paragraph
+        # first-occurrence dedup -> per-url reassembly -> integer-exact
+        # Gopher gate on the cleaned text (min 40 words, mean-length
+        # cross-multiply; stopword floor 0 — the synthetic page
+        # vocabulary has no English stopwords)
+        "lake_clean_corpus": r"""
+            WITH w AS (
+              SELECT url, warc_ts, lsn, op, text,
+                     row_number() OVER (
+                       PARTITION BY url ORDER BY warc_ts DESC, lsn DESC) AS rn
+              FROM read_parquet('/tmp/etlray_cdc_1000_8000/data/oracle_events.parquet')
+            ),
+            live AS (SELECT url, text FROM w WHERE rn = 1 AND op <> 'delete'),
+            lines AS (
+              SELECT url,
+                     unnest(string_split(text, chr(10))) AS para,
+                     unnest(range(0, len(string_split(text, chr(10))))) AS para_idx
+              FROM live),
+            nonempty AS (SELECT * FROM lines WHERE para <> ''),
+            firsts AS (
+              SELECT url, para_idx, para,
+                     row_number() OVER (PARTITION BY para
+                                        ORDER BY url, para_idx) AS rn
+              FROM nonempty),
+            clean AS (
+              SELECT url, string_agg(para, chr(10) ORDER BY para_idx) AS clean_text
+              FROM firsts WHERE rn = 1 GROUP BY url),
+            toks AS (
+              SELECT url,
+                     unnest(regexp_extract_all(clean_text, '[^ \t\n\r\f\v]+')) AS tok
+              FROM clean),
+            agg AS (
+              SELECT url, count(*) AS n_words, sum(length(tok)) AS sum_word_len
+              FROM toks GROUP BY url)
+            SELECT c.url, c.clean_text,
+                   CAST(a.n_words AS BIGINT) AS n_words,
+                   CAST(a.sum_word_len AS BIGINT) AS sum_word_len,
+                   CAST(CASE WHEN a.n_words BETWEEN 40 AND 100000
+                              AND 3 * a.n_words <= a.sum_word_len
+                              AND a.sum_word_len <= 10 * a.n_words
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM clean c JOIN agg a USING (url)
         """,
     }
 

@@ -4968,3 +4968,60 @@ def bm25_docs(sf_dir: str):
         )
 
     return joined.map_batches(score, batch_format="pyarrow")
+
+
+def lake_clean_corpus(sf_dir: str):
+    """Flagship #3 — full training-data chain over the CDC lake: replay
+    the fixture WAL into a pages lake, stream the live pages, split each
+    page into REAL newline paragraphs (stages/dedup.LineSplitter —
+    para_idx counts lines INCLUDING empties, then empties drop, matching
+    SQL unnest-with-ordinality), C4-style first-occurrence paragraph
+    dedup across the whole lake (generic string-key path: boilerplate
+    headers/footers shared between pages survive only at their first
+    (url, para_idx) occurrence), reassemble per-url clean text, then a
+    Gopher-style integer-exact quality gate (min 40 words, mean word
+    length in [3,10] by cross-multiply) on the CLEANED text.  One
+    digest-bucket shuffle + one concat-bucket shuffle; signals are
+    bincount-vectorized.  Reference analogue: the dedup + validity gates
+    of the mapper chain (`src/pipeline/core/client_clickhouse.py:181`,
+    `src/pipeline/etl/avax/*_etl.py`) composed into one pipeline."""
+    from ..stages.analytic import grouped_concat
+    from ..stages.dedup import LineSplitter, paragraph_dedup
+    from ..stages.text import GopherQuality
+    from .replay import bootstrap_lake, read_table, replay
+
+    n_urls, n_events = _CDC_SIZES.get(os.path.basename(sf_dir.rstrip("/")), (300, 1500))
+    root = _cdc_fixture(n_urls, n_events)
+    data_dir = os.path.join(root, "data")
+    lake_root = os.path.join(root, "lake", f"clean{os.getpid()}", "pages")
+    bootstrap_lake(lake_root, os.path.join(data_dir, "base", "pages.parquet"), num_partitions=16)
+    replay(lake_root, os.path.join(data_dir, "wal"))
+
+    kept = paragraph_dedup(
+        read_table(lake_root, columns=["url", "text"]),
+        splitter=LineSplitter(id_col="url"),
+    )
+    clean = grouped_concat(
+        kept,
+        key="doc_id",
+        order_by=["para_idx"],
+        value_col="para",
+        sep="\n",
+        out_col="clean_text",
+    )
+
+    gq = GopherQuality(text_col="clean_text", id_col="doc_id", min_words=40, min_stop=0)
+
+    def gate(t: pa.Table) -> pa.Table:
+        sig = gq(t)  # row-aligned with the input batch
+        return pa.table(
+            {
+                "url": t["doc_id"],
+                "clean_text": t["clean_text"],
+                "n_words": sig["n_words"],
+                "sum_word_len": sig["sum_word_len"],
+                "keep": sig["keep"],
+            }
+        )
+
+    return clean.map_batches(gate, batch_format="pyarrow")

@@ -865,6 +865,7 @@ class ParagraphSplitter:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).combine_chunks()
         parts = pc.split_pattern_regex(texts, pattern="[ \t\n\r\f\v]+")
+        id_type = batch.column(self.id_col).type  # int64 docs, string urls
         ids = batch.column(self.id_col).to_pylist()
         out_id, out_idx, out_para = [], [], []
         for did, toks in zip(ids, parts.to_pylist()):
@@ -880,9 +881,43 @@ class ParagraphSplitter:
                 out_para.append(" ".join(toks[k * self.w : (k + 1) * self.w]))
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
+                "doc_id": pa.array(out_id, id_type),
                 "para_idx": pa.array(out_idx, pa.int64()),
                 "para": pa.array(out_para, pa.string()),
+            }
+        )
+
+
+class LineSplitter:
+    """Real-paragraph split for web pages: one (doc_id, para_idx, para)
+    row per newline-separated line of text.  para_idx is the line's
+    position INCLUDING empty lines (matching SQL unnest-with-ordinality
+    over string_split before the non-empty filter), then empty lines are
+    dropped.  Fully vectorized: one split kernel, flatten + parent
+    indices, positions from list offsets — no Python loop over rows."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).combine_chunks()
+        parts = pc.split_pattern(texts, pattern="\n")
+        flat = pc.list_flatten(parts)
+        par = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        # position within each document = global index - that doc's start
+        offs = parts.offsets.to_numpy(zero_copy_only=False)
+        pos = np.arange(len(flat), dtype=np.int64) - offs[par]
+        keep = pc.not_equal(flat, pa.scalar("", pa.string()))
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(keep_np)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": batch.column(self.id_col).take(pa.array(par[idx])),
+                "para_idx": pa.array(pos[idx]),
+                "para": flat.take(pa.array(idx)),
             }
         )
 
@@ -890,7 +925,7 @@ class ParagraphSplitter:
 _PARA_IDX_BITS = 20  # para_idx < 2^20 (a 16M-word doc); doc_id < 2^43
 
 
-def paragraph_dedup(ds, *, words_per_para: int = 16, n_buckets: int = 256):
+def paragraph_dedup(ds, *, words_per_para: int = 16, n_buckets: int = 256, splitter=None):
     """C4-style paragraph-level exact dedup: across the WHOLE corpus,
     each distinct paragraph (fixed word window, ParagraphSplitter) is
     kept only at its first occurrence in (doc_id, para_idx) order; every
@@ -909,8 +944,11 @@ def paragraph_dedup(ds, *, words_per_para: int = 16, n_buckets: int = 256):
     sub-record granularity."""
     import hashlib
 
+    if splitter is None:
+        splitter = ParagraphSplitter(words_per_para=words_per_para)
+
     def split_digest(batch: pa.Table) -> pa.Table:
-        t = ParagraphSplitter(words_per_para=words_per_para)(batch)
+        t = splitter(batch)
         paras = t.column("para").to_pylist()
         digs = [hashlib.md5(p.encode()).digest() for p in paras]
         bucket = pa.array([d[0] % n_buckets for d in digs], pa.int32())
@@ -919,26 +957,43 @@ def paragraph_dedup(ds, *, words_per_para: int = 16, n_buckets: int = 256):
         ).append_column("pbucket", bucket)
 
     def keep_first(g: pa.Table) -> pa.Table:
+        id_type = g.schema.field("doc_id").type
         if g.num_rows == 0:
             return pa.table(
                 {
-                    "doc_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], id_type),
                     "para_idx": pa.array([], pa.int64()),
                     "para": pa.array([], pa.string()),
                 }
             )
-        codes = pc.dictionary_encode(g.column("pdig").combine_chunks()).indices
-        codes = codes.to_numpy(zero_copy_only=False).astype(np.int64)
-        did = g.column("doc_id").to_numpy(zero_copy_only=False)
-        pidx = g.column("para_idx").to_numpy(zero_copy_only=False)
-        if len(did) and (did.max() >= (1 << (63 - _PARA_IDX_BITS)) or pidx.max() >= (1 << _PARA_IDX_BITS)):
-            raise ValueError("doc_id/para_idx exceed packed-order range")
-        packed = (did << _PARA_IDX_BITS) | pidx
-        order = np.lexsort((packed, codes))
-        heads = order[np.concatenate(([True], np.diff(codes[order]) != 0))]
-        return g.select(["doc_id", "para_idx", "para"]).take(
-            pa.array(np.sort(heads))
+        if pa.types.is_integer(id_type):
+            # int64 ids: pack (doc_id, para_idx) into one sort key and
+            # take group heads via lexsort — fastest path
+            codes = pc.dictionary_encode(g.column("pdig").combine_chunks()).indices
+            codes = codes.to_numpy(zero_copy_only=False).astype(np.int64)
+            did = g.column("doc_id").to_numpy(zero_copy_only=False)
+            pidx = g.column("para_idx").to_numpy(zero_copy_only=False)
+            if len(did) and (did.max() >= (1 << (63 - _PARA_IDX_BITS)) or pidx.max() >= (1 << _PARA_IDX_BITS)):
+                raise ValueError("doc_id/para_idx exceed packed-order range")
+            packed = (did << _PARA_IDX_BITS) | pidx
+            order = np.lexsort((packed, codes))
+            heads = order[np.concatenate(([True], np.diff(codes[order]) != 0))]
+            return g.select(["doc_id", "para_idx", "para"]).take(
+                pa.array(np.sort(heads))
+            )
+        # generic ids (string urls): Arrow multi-key sort, then group
+        # heads where the digest changes between adjacent sorted rows —
+        # still fully vectorized, no Python loop
+        srt = g.sort_by(
+            [("pdig", "ascending"), ("doc_id", "ascending"), ("para_idx", "ascending")]
         )
+        dig = srt.column("pdig").combine_chunks()
+        n = srt.num_rows
+        neq = pc.not_equal(dig.slice(1, n - 1), dig.slice(0, n - 1))
+        mask = pa.chunked_array(
+            [pa.array([True]), neq.combine_chunks() if isinstance(neq, pa.ChunkedArray) else neq]
+        )
+        return srt.filter(mask).select(["doc_id", "para_idx", "para"])
 
     return (
         ds.map_batches(split_digest, batch_format="pyarrow")

@@ -714,9 +714,21 @@ class GopherQuality:
     MIN_MEAN, MAX_MEAN = 3, 10  # integer cross-multiply bounds
     MIN_STOP = 2
 
-    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+    def __init__(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        min_words: int | None = None,
+        max_words: int | None = None,
+        min_stop: int | None = None,
+    ):
         self.text_col = text_col
         self.id_col = id_col
+        # per-instance thresholds (class constants are the published
+        # Gopher values; web-lake callers gate smaller pages)
+        self.MIN_WORDS = self.MIN_WORDS if min_words is None else min_words
+        self.MAX_WORDS = self.MAX_WORDS if max_words is None else max_words
+        self.MIN_STOP = self.MIN_STOP if min_stop is None else min_stop
         self.stop_en = pa.array(sorted(_STOPWORDS["en"]), pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:

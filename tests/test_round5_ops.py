@@ -166,3 +166,69 @@ def test_bm25_matches_plain_reference(ray_session, tmp_path):
         assert dfl == df[w]
         assert dl == len(toks[d])
         assert fp == expect[(d, w)], (d, w)
+
+
+# ---------------------------------------------------------------------------
+# LineSplitter + string-key paragraph dedup (flagship #3 building blocks)
+# ---------------------------------------------------------------------------
+
+
+def test_line_splitter_positions():
+    from etl_ray.stages.dedup import LineSplitter
+
+    t = pa.table(
+        {"url": ["u1", "u2", "u3"], "text": ["a b\n\nc d\ne", "x\na b", ""]}
+    )
+    out = LineSplitter(id_col="url")(t)
+    rows = list(zip(*[out[c].to_pylist() for c in out.column_names]))
+    # para_idx counts lines INCLUDING the empty ones (SQL ordinality),
+    # then empty lines drop; the empty doc contributes nothing
+    assert rows == [
+        ("u1", 0, "a b"),
+        ("u1", 2, "c d"),
+        ("u1", 3, "e"),
+        ("u2", 0, "x"),
+        ("u2", 1, "a b"),
+    ]
+
+
+def test_paragraph_dedup_string_keys(ray_session):
+    """Generic (string doc key) path: first occurrence in (url,
+    para_idx) lexicographic order wins, across and within docs."""
+    import ray.data
+
+    from etl_ray.stages.dedup import LineSplitter, paragraph_dedup
+
+    t = pa.table(
+        {
+            "url": ["b.com", "a.com", "c.com"],
+            # 'hdr' appears in all three; a.com sorts first so wins;
+            # 'x' repeats within c.com (intra-doc dup)
+            "text": ["hdr\nbodyB", "hdr\nbodyA", "hdr\nx\nx"],
+        }
+    )
+    kept = paragraph_dedup(
+        ray.data.from_arrow(t), splitter=LineSplitter(id_col="url")
+    )
+    got = sorted(
+        zip(
+            kept.to_pandas()["doc_id"],
+            kept.to_pandas()["para_idx"],
+            kept.to_pandas()["para"],
+        )
+    )
+    assert got == [
+        ("a.com", 0, "hdr"),
+        ("a.com", 1, "bodyA"),
+        ("b.com", 1, "bodyB"),
+        ("c.com", 1, "x"),
+    ]
+
+
+def test_gopher_quality_custom_thresholds():
+    from etl_ray.stages.text import GopherQuality
+
+    g = GopherQuality(min_words=2, min_stop=0)
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()), "text": ["abc def", "abc"]})
+    out = g(t)
+    assert out["keep"].to_pylist() == [1, 0]
