@@ -294,6 +294,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_docs": Q.bm25_docs,
         # flagship #3: replay -> lake -> line-paragraph dedup -> Gopher gate
         "lake_clean_corpus": Q.lake_clean_corpus,
+        # token-id encoding (gated vocab broadcast, index_in hash probe)
+        "encode_docs": Q.encode_docs,
     })
 
 
@@ -1893,6 +1895,22 @@ def oracle_sql() -> dict[str, str]:
                               AND a.sum_word_len <= 10 * a.n_words
                         THEN 1 ELSE 0 END AS BIGINT) AS keep
             FROM clean c JOIN agg a USING (url)
+        """,
+        # token-id encoding: dense ids by (count DESC, token ASC) over the
+        # count>=5 vocabulary, OOV -> 0, one row per token occurrence
+        "encode_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) AS tok,
+                     unnest(range(0, len(regexp_extract_all(text, '[^ \t\n\r\f\v]+')))) AS pos
+              FROM documents),
+            counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+            vocab AS (
+              SELECT tok, row_number() OVER (ORDER BY c DESC, tok ASC) AS tid
+              FROM counts WHERE c >= 5)
+            SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos,
+                   CAST(COALESCE(v.tid, 0) AS BIGINT) AS token_id
+            FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
         """,
     }
 

@@ -4931,9 +4931,12 @@ def bm25_docs(sf_dir: str):
         .sum("n_tokens")
     )
 
+    import ray as _ray
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
     joined = tf.join(
-        df, "inner", num_partitions=8, on=("token",), right_on=("token",),
-        right_suffix="_r",
+        df, "inner", num_partitions=max(2, min(64, ncpu // 2)),
+        on=("token",), right_on=("token",), right_suffix="_r",
     )
 
     import math
@@ -5025,3 +5028,79 @@ def lake_clean_corpus(sf_dir: str):
         )
 
     return clean.map_batches(gate, batch_format="pyarrow")
+
+
+def encode_docs(sf_dir: str):
+    """Token-id encoding — the corpus-encode step between vocabulary
+    building and sequence packing in a training-data pipeline: build the
+    count-gated vocabulary (count >= 5), assign dense ids by frequency
+    rank (ties broken by token text; ids start at 1), then re-stream the
+    corpus mapping every token position to its id, OOV -> 0.  Output one
+    (doc_id, pos, token_id) row per token occurrence.
+
+    Scale shape: the vocab aggregate is gated INSIDE the distributed
+    groupby (count >= MINC bounds it to the head of the Zipf curve —
+    the same bounded-broadcast contract as decontaminate_docs, with the
+    same documented fallback: an ungated or giant vocabulary would
+    switch to a hash-partitioned join on token).  The gated vocab
+    broadcasts once via ray.put; per batch the encode is one
+    `pc.index_in` hash-probe kernel over the flattened token stream —
+    no Python loop, no second shuffle.  Reference analogue: the
+    surrogate-id mapping stages (`src/pipeline/etl/avax/*_etl.py`
+    M7-style id assignment) applied at token granularity."""
+    from ..stages.text import flatten_tokens
+
+    MINC = 5
+    docs_path = _p(sf_dir, "documents")
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        flat, par, pos = flatten_tokens(t["text"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(pa.array(par)),
+                "pos": pa.array(pos),
+                "token": flat,
+            }
+        )
+
+    counts = (
+        _read_parquet(docs_path, columns=["doc_id", "text"])
+        .map_batches(tok_rows, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Count(alias_name="c"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["c"], MINC)),
+            batch_format="pyarrow",
+        )
+    )
+    vocab_parts = [t for t in ray.get(counts.to_arrow_refs()) if t.num_rows]
+    vocab = (
+        pa.concat_tables(vocab_parts, promote_options="default")
+        if vocab_parts
+        else pa.table({"token": pa.array([], pa.string()), "c": pa.array([], pa.int64())})
+    )
+    # deterministic dense ids: frequency desc, token asc, starting at 1
+    vocab = vocab.sort_by([("c", "descending"), ("token", "ascending")])
+    tokens = vocab["token"].combine_chunks()
+    ids = np.arange(1, len(tokens) + 1, dtype=np.int64)
+    vocab_ref = ray.put((tokens, ids))
+
+    def encode(t: pa.Table) -> pa.Table:
+        toks, tids = ray.get(vocab_ref)
+        rows = tok_rows(t)
+        idx = pc.index_in(rows["token"], value_set=toks)
+        idx_np = idx.to_numpy(zero_copy_only=False)
+        tid = np.zeros(len(rows), dtype=np.int64)
+        hit = idx.is_valid().to_numpy(zero_copy_only=False)
+        tid[hit] = tids[idx_np[hit].astype(np.int64)]
+        return pa.table(
+            {
+                "doc_id": rows["doc_id"],
+                "pos": rows["pos"],
+                "token_id": pa.array(tid),
+            }
+        )
+
+    return _read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+        encode, batch_format="pyarrow"
+    )

@@ -768,3 +768,33 @@ class GopherQuality:
                 "keep": pa.array(keep),
             }
         )
+
+
+def flatten_tokens(texts):
+    """Vectorized corpus flatten: whitespace-split a string column and
+    return (flat_tokens, parent_row_indices, positions) where positions
+    number the NON-EMPTY tokens 0.. within each row — exactly the
+    ordinals SQL's unnest(regexp_extract_all(text, '\\S+')) produces
+    (regexp matches never include empties).  One split kernel + offset
+    arithmetic; no Python loop."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    parts = pc.split_pattern_regex(texts, pattern="[ \t\n\r\f\v]+")
+    flat = pc.list_flatten(parts)
+    par = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, pa.scalar("", pa.string()))
+    idx = np.flatnonzero(keep.to_numpy(zero_copy_only=False))
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    flat = flat.take(pa.array(idx))
+    par = par[idx]
+    # renumber positions over the surviving tokens per row: global index
+    # minus the index of each row's first survivor
+    n = len(par)
+    if n == 0:
+        return flat, par, np.array([], np.int64)
+    starts = np.flatnonzero(np.concatenate(([True], par[1:] != par[:-1])))
+    pos = np.arange(n, dtype=np.int64) - np.repeat(
+        np.arange(n, dtype=np.int64)[starts], np.diff(np.append(starts, n))
+    )
+    return flat, par, pos

@@ -232,3 +232,62 @@ def test_gopher_quality_custom_thresholds():
     t = pa.table({"doc_id": pa.array([1, 2], pa.int64()), "text": ["abc def", "abc"]})
     out = g(t)
     assert out["keep"].to_pylist() == [1, 0]
+
+
+# ---------------------------------------------------------------------------
+# flatten_tokens + encode_docs
+# ---------------------------------------------------------------------------
+
+
+def test_flatten_tokens_positions():
+    from etl_ray.stages.text import flatten_tokens
+
+    flat, par, pos = flatten_tokens(
+        pa.array(["a b  c", "  x ", "", "d"], pa.string())
+    )
+    assert flat.to_pylist() == ["a", "b", "c", "x", "d"]
+    assert par.tolist() == [0, 0, 0, 1, 3]
+    # positions number the surviving tokens 0.. per row (SQL unnest
+    # ordinals over regexp_extract_all, which never yields empties)
+    assert pos.tolist() == [0, 1, 2, 0, 0]
+
+
+def test_encode_docs_matches_reference(ray_session, tmp_path):
+    import pyarrow.parquet as _pq
+
+    from etl_ray.pipelines.queries import encode_docs
+
+    docs = {
+        1: "cat sat on the mat",          # freq: cat(5+?) ...
+        2: "cat cat cat dog mat",
+        3: "cat mat cat rare",
+    }
+    _pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(docs), pa.int64()),
+                "text": [docs[k] for k in sorted(docs)],
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = encode_docs(str(tmp_path)).to_pandas()
+
+    # plain reference: vocab = tokens with count >= 5, ids by (count
+    # DESC, token ASC) starting at 1; here only 'cat' (6) qualifies
+    counts = {}
+    for t in docs.values():
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    vocab = sorted(
+        [(w, c) for w, c in counts.items() if c >= 5],
+        key=lambda x: (-x[1], x[0]),
+    )
+    ids = {w: i + 1 for i, (w, _) in enumerate(vocab)}
+    expect = {}
+    for d, t in docs.items():
+        for p, w in enumerate(t.split()):
+            expect[(d, p)] = ids.get(w, 0)
+    got = {(r.doc_id, r.pos): r.token_id for r in out.itertuples()}
+    assert got == expect
+    assert ids == {"cat": 1}  # sanity: the fixture exercises both paths
