@@ -296,6 +296,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_clean_corpus": Q.lake_clean_corpus,
         # token-id encoding (gated vocab broadcast, index_in hash probe)
         "encode_docs": Q.encode_docs,
+        # Unicode NFC + lower + whitespace-collapse normalization
+        "normalize_text_docs": Q.normalize_text_docs,
+        # near-dup RETENTION: clusters -> keep min-id representative
+        "neardup_keep_docs": Q.neardup_keep_docs,
+        # CCNet-style perplexity head/middle/tail bucketing
+        "ccnet_bucket_docs": Q.ccnet_bucket_docs,
     })
 
 
@@ -1911,6 +1917,98 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos,
                    CAST(COALESCE(v.tid, 0) AS BIGINT) AS token_id
             FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        """,
+        # NFC(lower) -> edge-trim -> whitespace collapse; RE2 on both
+        # engines, so the regex dialect is shared
+        "normalize_text_docs": r"""
+            WITH n AS (
+              SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(nfc_normalize(lower(text)),
+                                      '^[ \t\n\r\f\v]+|[ \t\n\r\f\v]+$',
+                                      '', 'g'),
+                       '[ \t\n\r\f\v]+', ' ', 'g') AS norm_text
+              FROM documents)
+            SELECT doc_id, norm_text,
+                   CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+            FROM n
+        """,
+        # same pair predicate + transitive closure as dup_clusters_docs,
+        # then keep = (not clustered) OR (cluster representative)
+        "neardup_keep_docs": f"""
+            WITH RECURSIVE {_SHINGLE_CTES},
+            pairs AS (
+              SELECT id_a, id_b
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+            ),
+            e AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach(n, m) AS (
+              SELECT a, a FROM e
+              UNION
+              SELECT reach.n, e.b FROM reach JOIN e ON reach.m = e.a
+            ),
+            clusters AS (
+              SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+            )
+            SELECT d.doc_id,
+                   CAST(CASE WHEN c.cluster_id IS NULL
+                              OR c.cluster_id = d.doc_id
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+        """,
+        # same smoothed byte-bigram model as charlm_score_docs; mean =
+        # floor(lm/n_pairs) over doubles (single IEEE div, identical both
+        # engines); tertile thresholds via the floor(q*(n-1)) rank rule
+        # shared with quantiles_events
+        "ccnet_bucket_docs": r"""
+            WITH pairs AS (
+              SELECT doc_id, substr(text, i, 2) AS pg
+              FROM documents, unnest(range(1, length(text))) AS t(i)
+              WHERE length(text) >= 2
+            ),
+            cnt AS (SELECT pg, count(*) AS c FROM pairs GROUP BY 1),
+            rowt AS (
+              SELECT substr(pg, 1, 1) AS c1, sum(c) AS rt
+              FROM cnt GROUP BY 1
+            ),
+            scored AS (
+              SELECT p.doc_id,
+                     count(*) AS n_pairs,
+                     CAST(floor(sum(ln(
+                       (cnt.c + 1.0) / (rowt.rt + 256.0)
+                     )) * 1000000) AS BIGINT) AS lm
+              FROM pairs p
+              JOIN cnt ON p.pg = cnt.pg
+              JOIN rowt ON substr(p.pg, 1, 1) = rowt.c1
+              GROUP BY 1
+            ),
+            m AS (
+              SELECT doc_id,
+                     CAST(floor(CAST(lm AS DOUBLE) / CAST(n_pairs AS DOUBLE))
+                          AS BIGINT) AS mean_unats
+              FROM scored
+            ),
+            r AS (
+              SELECT mean_unats AS v,
+                     row_number() OVER (ORDER BY mean_unats) AS rn
+              FROM m
+            ),
+            nn AS (SELECT count(*) AS c FROM r),
+            th1 AS (SELECT v FROM r, nn
+                    WHERE rn = CAST(floor((1.0/3.0) * (c - 1)) AS BIGINT) + 1),
+            th2 AS (SELECT v FROM r, nn
+                    WHERE rn = CAST(floor((2.0*(1.0/3.0)) * (c - 1)) AS BIGINT) + 1)
+            SELECT m.doc_id, m.mean_unats,
+                   CASE WHEN m.mean_unats >= (SELECT v FROM th2) THEN 'head'
+                        WHEN m.mean_unats >= (SELECT v FROM th1) THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM m
         """,
     }
 

@@ -5104,3 +5104,135 @@ def encode_docs(sf_dir: str):
     return _read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
         encode, batch_format="pyarrow"
     )
+
+
+def normalize_text_docs(sf_dir: str):
+    """Unicode text normalization — the first mapper of every web-text
+    pipeline: NFC-normalize(lower(text)), strip leading/trailing ASCII
+    whitespace, collapse internal whitespace runs to single spaces.
+    Entirely Arrow kernels (utf8_lower / utf8_normalize /
+    replace_substring_regex — RE2, same engine family as DuckDB's
+    regexp_replace), zero Python per row.  Reference analogue: the
+    per-record string-cleaning mappers in the ETL chains
+    (`src/pipeline/etl/avax/*_etl.py` projection steps)."""
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = t.column("text").combine_chunks()
+        s = pc.utf8_normalize(pc.utf8_lower(s), form="NFC")
+        s = pc.replace_substring_regex(
+            s, pattern=r"^[ \t\n\r\f\v]+|[ \t\n\r\f\v]+$", replacement=""
+        )
+        s = pc.replace_substring_regex(
+            s, pattern=r"[ \t\n\r\f\v]+", replacement=" "
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "norm_text": s,
+                "n_chars_norm": pc.cast(pc.utf8_length(s), pa.int64()),
+            }
+        )
+
+    ds = _read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def neardup_keep_docs(sf_dir: str):
+    """Near-dup RETENTION (the RefinedWeb/C4 'keep one representative
+    per duplicate cluster' decision, not just pair listing): shingle-
+    Jaccard pairs -> distributed connected components -> keep the
+    min-doc_id member of each cluster; docs in no cluster survive
+    untouched.  The corpus-vs-clusters resolution is a hash-partitioned
+    LEFT join (the cluster table is O(duplicated docs) — NOT broadcast,
+    at 100 TB it can be a third of the corpus).  Output: (doc_id, keep)
+    for every document."""
+    from ..stages.blockutil import drop_empty_blocks
+    from ..stages.dedup import dup_clusters, shingle_jaccard_pairs
+
+    ds = _read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    pairs = shingle_jaccard_pairs(ds, ngram=3, max_df=64, threshold=0.5)
+    # (doc_id, cluster_id), one row per clustered doc; narrow — the
+    # materialize exists so the trailing sort's schemaless empty blocks
+    # can be stripped before this feeds a join side (blockutil note)
+    clusters = drop_empty_blocks(dup_clusters(pairs).materialize())
+    ids = ds.map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+    )
+    joined = ids.join(
+        clusters, "left_outer", num_partitions=8,
+        on=("doc_id",), right_suffix="_r",
+    )
+
+    def decide(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id")
+        cid = pc.coalesce(t.column("cluster_id"), did)
+        return pa.table(
+            {
+                "doc_id": did,
+                "keep": pc.cast(pc.equal(cid, did), pa.int64()),
+            }
+        )
+
+    return joined.map_batches(decide, batch_format="pyarrow")
+
+
+def ccnet_bucket_docs(sf_dir: str):
+    """CCNet-style perplexity bucketing: score every doc with the
+    corpus-trained char-bigram LM (charlm_score_docs machinery), derive
+    the per-byte mean log-prob, and split the corpus at its exact
+    1/3 / 2/3 quantiles into head / middle / tail buckets (head = most
+    probable text).  The scored intermediate is narrow (doc_id + two
+    ints) and materialized once so the quantile pass does not re-run
+    inference; thresholds are two scalars on the driver (same
+    floor(q*(n-1)) rank selection as quantiles_events, so the SQL
+    oracle reproduces them exactly).  Bucket comparison is on integer
+    floor-mean-micro-nats — cross-engine exact."""
+    from ..stages.quantiles import exact_quantiles
+    from ..stages.text import CharLMScorer, charlm_counts, charlm_logp
+
+    ds = _read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    counts = charlm_counts(ds)
+    logp_ref = ray.put(charlm_logp(counts))
+
+    def mean_unats(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["n_pairs"], pa.scalar(1, pa.int64())))
+        a = t.column("lm_score_unats").to_numpy(zero_copy_only=False)
+        b = t.column("n_pairs").to_numpy(zero_copy_only=False)
+        m = np.floor(a.astype(np.float64) / b.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "mean_unats": pa.array(m)}
+        )
+
+    scored = (
+        ds.map_batches(
+            CharLMScorer,
+            fn_constructor_args=(logp_ref,),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .map_batches(mean_unats, batch_format="pyarrow")
+        .materialize()  # narrow (doc_id, int64); quantile pass must not re-run inference
+    )
+    third = 1.0 / 3.0
+    qt = exact_quantiles(scored, "mean_unats", [third, 2.0 * third])
+    vals = qt.column("value").to_pylist()
+    t1, t2 = int(vals[0]), int(vals[1])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        m = t.column("mean_unats")
+        head = pc.greater_equal(m, pa.scalar(t2, pa.int64()))
+        mid = pc.greater_equal(m, pa.scalar(t1, pa.int64()))
+        b = pc.if_else(
+            head,
+            pa.scalar("head", pa.string()),
+            pc.if_else(
+                mid,
+                pa.scalar("middle", pa.string()),
+                pa.scalar("tail", pa.string()),
+            ),
+        )
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "mean_unats": m, "bucket": b}
+        )
+
+    return scored.map_batches(bucket, batch_format="pyarrow")

@@ -732,6 +732,10 @@ def dup_clusters(
     if edges.count() == 0:
         return _ray.data.from_arrow(out_schema.empty_table())
 
+    # the executor's zero-column empty blocks (group/sort splits) poison
+    # join partitions — strip them at every materialization point
+    from .blockutil import drop_empty_blocks
+
     def bucket_by(col: str):
         def add(t: pa.Table) -> pa.Table:
             return t.append_column("bucket", hash_bucket(t.column(col), num_buckets))
@@ -743,7 +747,7 @@ def dup_clusters(
         arr = pa.array(n, pa.int64())
         return pa.table({"node": arr, "label": arr})
 
-    labels = (
+    labels = drop_empty_blocks(
         edges.map_batches(bucket_by("src"), batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(init_bucket, batch_format="pyarrow")
@@ -803,10 +807,17 @@ def dup_clusters(
         )
 
     for _ in range(max_iters):
+        # the two label projections MUST be materialized before joining:
+        # a lazy map_batches side gives Ray no schema for a hash
+        # partition that receives zero blocks (labels collapse onto few
+        # keys as components converge), and the join finalize then fails
+        # on a schemaless empty table ("no match for FieldRef src").
+        # Narrow (2x int64) tables, same size class as the per-iteration
+        # `merged` materialization below.
         lab_src = labels.map_batches(
             lambda t: pa.table({"src": t["node"], "label": t["label"]}),
             batch_format="pyarrow",
-        )
+        ).materialize()
         cand = edges.join(lab_src, "inner", num_partitions=npart, on=("src",))
         # pointer jumping: label[label[n]] is also a candidate for n.
         # Plain neighbor propagation needs O(diameter) rounds (a 10^6-row
@@ -815,7 +826,7 @@ def dup_clusters(
         ptr_in = labels.map_batches(
             lambda t: pa.table({"src": t["label"], "node": t["node"]}),
             batch_format="pyarrow",
-        )
+        ).materialize()
         jump = ptr_in.join(lab_src, "inner", num_partitions=npart, on=("src",))
         merged = (
             cand.map_batches(cand_rows, batch_format="pyarrow")
@@ -826,6 +837,7 @@ def dup_clusters(
             .map_groups(reduce_min, batch_format="pyarrow")
             .materialize()
         )
+        merged = drop_empty_blocks(merged)
         n_changed = merged.sum("changed") or 0
         labels = merged
         if n_changed == 0:

@@ -291,3 +291,88 @@ def test_encode_docs_matches_reference(ray_session, tmp_path):
     got = {(r.doc_id, r.pos): r.token_id for r in out.itertuples()}
     assert got == expect
     assert ids == {"cat": 1}  # sanity: the fixture exercises both paths
+
+
+# ---------------------------------------------------------------------------
+# normalization / near-dup retention / CCNet bucketing (round-5 batch 2)
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_text_docs(ray_session, tmp_path, monkeypatch):
+    """NFC(lower) + edge trim + whitespace-run collapse, vs plain
+    Python unicodedata reference."""
+    import unicodedata
+
+    from etl_ray.pipelines.queries import normalize_text_docs
+
+    texts = [
+        "  Hello   WORLD \t x ",
+        "tabs\tand\nnewlines\r\fhere",
+        "already clean",
+        "",
+        "   ",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": texts,
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = normalize_text_docs(str(tmp_path)).to_pandas().sort_values("doc_id")
+
+    def ref(s):
+        s = unicodedata.normalize("NFC", s.lower())
+        s = " ".join(s.split())  # splits on all ASCII whitespace, trims
+        return s
+
+    for did, got, n in zip(out["doc_id"], out["norm_text"], out["n_chars_norm"]):
+        want = ref(texts[did])
+        assert got == want, (did, got, want)
+        assert n == len(want)
+
+
+def test_neardup_keep_representative(ray_session, tmp_path):
+    """Exact-duplicate trio + singleton: only the min-doc_id member of
+    the cluster keeps=1; untouched docs keep=1."""
+    from etl_ray.pipelines.queries import neardup_keep_docs
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    texts = {7: dup, 3: dup, 9: dup, 1: "completely different text about databases and streams"}
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(texts), pa.int64()),
+                "text": list(texts.values()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = neardup_keep_docs(str(tmp_path)).to_pandas()
+    keep = dict(zip(out["doc_id"], out["keep"]))
+    assert keep == {1: 1, 3: 1, 7: 0, 9: 0}
+
+
+def test_ccnet_buckets_partition_corpus(ray_session):
+    """Buckets cover the whole (scorable) corpus, thresholds are the
+    exact tertile ranks, and bucket order respects the score order."""
+    from etl_ray.pipelines.queries import ccnet_bucket_docs
+
+    out = ccnet_bucket_docs(SF).to_pandas()
+    assert set(out["bucket"]) == {"head", "middle", "tail"}
+    assert len(out) == 500  # every sf0.001 doc has >= 2 bytes
+    h = out[out["bucket"] == "head"]["mean_unats"]
+    m = out[out["bucket"] == "middle"]["mean_unats"]
+    t = out[out["bucket"] == "tail"]["mean_unats"]
+    assert h.min() > m.max() or h.min() >= m.max()  # head >= t2 > middle
+    assert m.min() >= t.max() or m.min() > t.max()
+    # tertile sizes within one rank of n/3 on each side
+    import numpy as _np
+
+    v = _np.sort(out["mean_unats"].values)
+    n = len(v)
+    t1, t2 = v[int((1.0 / 3.0) * (n - 1))], v[int((2.0 * (1.0 / 3.0)) * (n - 1))]
+    assert (out["mean_unats"] >= t2).sum() == len(h)
+    assert ((out["mean_unats"] >= t1) & (out["mean_unats"] < t2)).sum() == len(m)
