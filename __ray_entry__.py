@@ -45,12 +45,11 @@ _DRIVER_PREFIX = [
     "project_cast_lineitem", "anti_join_customers_without_orders",
     "semi_join_customers_with_open_orders", "join_orders_lineitem_native",
     "asof_join_events_orders", "range_join_events_sessions",
-    "topk_events_per_user", "hourly_event_stats", "revenue_by_segment",
-    "full_outer_join_daily_activity",
+    "topk_events_per_user",
     # text / dedup / similarity sample
     "token_count_docs", "dedup_docs_exact", "minhash_pairs_docs",
-    "shingle_jaccard_docs", "knn_brute_embeddings", "tfidf_docs",
-    "decontaminate_docs", "pack_sequences_docs",
+    "shingle_jaccard_docs", "knn_brute_embeddings",
+    "pack_sequences_docs",
     # round-4/5 additions never driver-checked before
     "fuzzy_pairs_docs", "coalesce_upsert_users", "coalesce_upsert_users_delta",
     "percent_rank_events_by_type", "top_unshipped_orders", "pmi_bigrams_docs",
@@ -58,11 +57,16 @@ _DRIVER_PREFIX = [
     "topk_frequent_users", "multimodal_decode_real", "charlm_score_docs",
     "dq_violations_orders",
     # round-5 additions (paragraph-level C4 dedup, Gopher gate, BM25,
-    # flagship #3 replay->dedup->gate chain) — swapped in for
-    # json_extract_props / sliding_window_events / session_windows_events
-    # / left_join_customer_order_counts, each driver-green in r1-r4
+    # flagship #3 replay->dedup->gate chain, token-id encode, text
+    # normalization, near-dup retention, CCNet bucketing, DSIR weights)
+    # — swapped in for json_extract_props / sliding_window_events /
+    # session_windows_events / left_join_customer_order_counts /
+    # hourly_event_stats / revenue_by_segment / full_outer_join_daily
+    # _activity / tfidf_docs / decontaminate_docs, each driver-green in
+    # r1-r4
     "paragraph_dedup_docs", "gopher_quality_docs", "bm25_docs",
-    "lake_clean_corpus",
+    "lake_clean_corpus", "encode_docs", "normalize_text_docs",
+    "neardup_keep_docs", "ccnet_bucket_docs", "dsir_weights_docs",
 ]
 
 
@@ -302,6 +306,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_keep_docs": Q.neardup_keep_docs,
         # CCNet-style perplexity head/middle/tail bucketing
         "ccnet_bucket_docs": Q.ccnet_bucket_docs,
+        # DSIR hashed-ngram importance weights (target=en vs raw corpus)
+        "dsir_weights_docs": Q.dsir_weights_docs,
+        # quality-ordered byte-budget selection (distributed prefix scan)
+        "budget_select_docs": Q.budget_select_docs,
     })
 
 
@@ -2009,6 +2017,82 @@ def oracle_sql() -> dict[str, str]:
                         WHEN m.mean_unats >= (SELECT v FROM th1) THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM m
+        """,
+        # DSIR hashed-unigram importance: md5-prefix bucket (the engine's
+        # md5_bucket), Laplace-smoothed target/raw log-ratio per bucket
+        # (float sequence op-identical to the engine), per-doc INTEGER sum
+        "dsir_weights_docs": r"""
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     unnest(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) AS tok
+              FROM documents),
+            b AS (
+              SELECT doc_id,
+                     CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                       % 4096 AS bucket,
+                     lang
+              FROM toks),
+            cnt AS (
+              SELECT bucket,
+                     count(*) AS cr,
+                     sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+              FROM b GROUP BY bucket),
+            tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM cnt),
+            fp AS (
+              SELECT bucket,
+                     CAST(floor(1000000.0 * ln(
+                       ((ct + 1.0) * (nr + 4096.0))
+                       / ((cr + 1.0) * (nt + 4096.0))
+                     )) AS BIGINT) AS lr
+              FROM cnt, tot)
+            SELECT b.doc_id,
+                   count(*) AS n_tokens,
+                   CAST(sum(fp.lr) AS BIGINT) AS weight_fp
+            FROM b JOIN fp USING (bucket)
+            GROUP BY 1
+        """,
+        # same charlm model + integer mean as ccnet_bucket_docs; keep
+        # docs while the running byte total (best mean first, doc_id
+        # tiebreak) fits half the scorable corpus bytes
+        "budget_select_docs": r"""
+            WITH pairs AS (
+              SELECT doc_id, substr(text, i, 2) AS pg
+              FROM documents, unnest(range(1, length(text))) AS t(i)
+              WHERE length(text) >= 2
+            ),
+            cnt AS (SELECT pg, count(*) AS c FROM pairs GROUP BY 1),
+            rowt AS (
+              SELECT substr(pg, 1, 1) AS c1, sum(c) AS rt
+              FROM cnt GROUP BY 1
+            ),
+            scored AS (
+              SELECT p.doc_id,
+                     count(*) AS n_pairs,
+                     CAST(floor(sum(ln(
+                       (cnt.c + 1.0) / (rowt.rt + 256.0)
+                     )) * 1000000) AS BIGINT) AS lm
+              FROM pairs p
+              JOIN cnt ON p.pg = cnt.pg
+              JOIN rowt ON substr(p.pg, 1, 1) = rowt.c1
+              GROUP BY 1
+            ),
+            m AS (
+              SELECT doc_id,
+                     CAST(n_pairs + 1 AS BIGINT) AS n_bytes,
+                     CAST(floor(CAST(lm AS DOUBLE) / CAST(n_pairs AS DOUBLE))
+                          AS BIGINT) AS mean_unats
+              FROM scored
+            ),
+            tot AS (SELECT CAST(sum(n_bytes) // 2 AS BIGINT) AS b FROM m),
+            cum AS (
+              SELECT doc_id, mean_unats, n_bytes,
+                     CAST(SUM(n_bytes) OVER (
+                       ORDER BY mean_unats DESC, doc_id ASC
+                     ) AS BIGINT) AS cum_bytes
+              FROM m
+            )
+            SELECT doc_id, mean_unats, n_bytes, cum_bytes
+            FROM cum, tot WHERE cum_bytes <= b
         """,
     }
 

@@ -5236,3 +5236,165 @@ def ccnet_bucket_docs(sf_dir: str):
         )
 
     return scored.map_batches(bucket, batch_format="pyarrow")
+
+
+def dsir_weights_docs(sf_dir: str):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — the hashed-ngram
+    variant, unigram features): log-ratio of a TARGET hashed-token
+    distribution (lang='en' docs) to the RAW corpus distribution,
+    Laplace-smoothed over 4096 md5 buckets, summed per document.
+
+    Distributed shape (the train-then-score two-pass, like charlm):
+    pass 1 aggregates per-bucket (raw, target) token counts — nonzero
+    buckets only per batch, one tiny groupby, <=4096 rows reach the
+    driver BY CONSTRUCTION (the feature space is the bound, not the
+    corpus).  The driver derives floor-micro-nat log-ratios per bucket
+    (libm ln — the bm25 determinism rule) and broadcasts the 32 KB
+    table; pass 2 re-tokenizes and accumulates each doc's weight as an
+    INTEGER dot product (order-free exact, so the SQL oracle hash-
+    matches).  Output: (doc_id, n_tokens, weight_fp)."""
+    import math
+
+    from ..stages.text import flatten_tokens, md5_bucket
+
+    NB = 4096
+    docs_path = _p(sf_dir, "documents")
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        flat, par, _ = flatten_tokens(t.column("text"))
+        b = md5_bucket(flat, NB)
+        en = np.asarray(
+            pc.equal(t.column("lang"), pa.scalar("en", pa.string())).to_numpy(
+                zero_copy_only=False
+            ),
+            bool,
+        )[par]
+        cr = np.bincount(b, minlength=NB)
+        ct = np.bincount(b[en], minlength=NB)
+        nz = np.flatnonzero(cr)
+        return pa.table(
+            {
+                "bucket": pa.array(nz.astype(np.int64)),
+                "cr": pa.array(cr[nz].astype(np.int64)),
+                "ct": pa.array(ct[nz].astype(np.int64)),
+            }
+        )
+
+    stats = (
+        _read_parquet(docs_path, columns=["lang", "text"])
+        .map_batches(bucket_counts, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("cr", alias_name="cr"), Sum("ct", alias_name="ct"))
+        .take_all()
+    )  # <= 4096 rows by construction of the hashed feature space
+    bk = np.array([r["bucket"] for r in stats], np.int64)
+    cr = np.array([r["cr"] for r in stats], np.int64)
+    ct = np.array([r["ct"] for r in stats], np.int64)
+    nr, nt = int(cr.sum()), int(ct.sum())
+    fp = np.zeros(NB, np.int64)
+    for b, c_r, c_t in zip(bk, cr, ct):
+        # float sequence mirrored op-for-op in the SQL oracle
+        fp[b] = math.floor(
+            1_000_000.0
+            * math.log(
+                ((c_t + 1.0) * (nr + 4096.0)) / ((c_r + 1.0) * (nt + 4096.0))
+            )
+        )
+    fp_ref = ray.put(fp)
+
+    class _Score:
+        def __init__(self, ref):
+            self.__name__ = "_Score"
+            self.fp = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            flat, par, _ = flatten_tokens(t.column("text"))
+            b = md5_bucket(flat, NB)
+            n = t.num_rows
+            ntok = np.bincount(par, minlength=n).astype(np.int64)
+            w = np.zeros(n, np.int64)
+            np.add.at(w, par, self.fp[b])  # int64 accumulation: exact
+            keep = ntok >= 1
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id").filter(pa.array(keep)),
+                    "n_tokens": pa.array(ntok[keep]),
+                    "weight_fp": pa.array(w[keep]),
+                }
+            )
+
+    return _read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+        _Score, fn_constructor_args=(fp_ref,), batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+def budget_select_docs(sf_dir: str):
+    """Quality-ordered BUDGET SELECTION — the final cut every training-
+    data pipeline makes: rank the corpus by a quality score (the charlm
+    byte-bigram mean, best first) and keep documents while the running
+    byte total fits the budget (here: half the scorable corpus bytes).
+
+    Distributed shape: the running total over a GLOBAL order is the
+    two-phase prefix scan (`analytic.ordered_cumsum` — range-bucketed
+    partials, driver prefix over <=256 bucket sums, one offset-broadcast
+    pass; the data never single-threads).  The order key packs
+    (-mean_unats, doc_id) into one int64 — contract: mean in (-2^24, 0]
+    micro-nats/byte (byte-bigram log-probs are > -16.6 nats by
+    construction of Laplace smoothing over 256 symbols) and doc_id <
+    2^39, ASSERTED per batch, never silently truncated.  Output one row
+    per kept doc: (doc_id, mean_unats, n_bytes, cum_bytes); the oracle
+    is SUM() OVER (ORDER BY mean DESC, doc_id) <= budget."""
+    from ..stages.analytic import ordered_cumsum
+    from ..stages.text import CharLMScorer, charlm_counts, charlm_logp
+
+    MEAN_BITS, ID_BITS = 24, 39
+    ds = _read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    counts = charlm_counts(ds)
+    logp_ref = ray.put(charlm_logp(counts))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["n_pairs"], pa.scalar(1, pa.int64())))
+        lm = t.column("lm_score_unats").to_numpy(zero_copy_only=False)
+        npair = t.column("n_pairs").to_numpy(zero_copy_only=False)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        mean = np.floor(lm.astype(np.float64) / npair.astype(np.float64)).astype(np.int64)
+        if len(mean):
+            if mean.min() <= -(1 << MEAN_BITS) or mean.max() > 0:
+                raise ValueError("budget_select_docs: mean_unats out of packed-order contract")
+            if did.min() < 0 or did.max() >= (1 << ID_BITS):
+                raise ValueError("budget_select_docs: doc_id out of packed-order contract")
+        okey = ((-mean) << ID_BITS) | did
+        return pa.table(
+            {
+                "okey": pa.array(okey),
+                "doc_id": pa.array(did),
+                "mean_unats": pa.array(mean),
+                "n_bytes": pa.array((npair + 1).astype(np.int64)),
+            }
+        )
+
+    scored = (
+        ds.map_batches(
+            CharLMScorer,
+            fn_constructor_args=(logp_ref,),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .map_batches(prep, batch_format="pyarrow")
+        # consumed twice (budget scalar + the scan's three passes): pin
+        # the narrow 4-int table once so the scorer pool never re-runs
+        .materialize()
+    )
+    # budget: half the scorable corpus bytes (one scalar aggregate)
+    budget = int(scored.sum("n_bytes")) // 2
+    cum = ordered_cumsum(
+        scored, order_col="okey", value_col="n_bytes", out_col="cum_bytes"
+    )
+    return cum.map_batches(
+        lambda t: t.filter(
+            pc.less_equal(t["cum_bytes"], pa.scalar(budget, pa.int64()))
+        ).select(["doc_id", "mean_unats", "n_bytes", "cum_bytes"]),
+        batch_format="pyarrow",
+    )

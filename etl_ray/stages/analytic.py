@@ -191,7 +191,22 @@ def ordered_cumsum(
     B = min(n_buckets, span)
 
     def bucket_of(arr: np.ndarray) -> np.ndarray:
-        return ((arr.astype(np.int64) - lo) * B // span).astype(np.int32)
+        a = arr.astype(np.int64) - lo
+        if span <= np.iinfo(np.int64).max // B:
+            b = (a * B) // span
+        else:
+            # exact integer math would overflow ((span * B) >= 2^63 —
+            # e.g. packed 60-bit order keys).  The float mapping is
+            # MONOTONE non-decreasing (int->float64 conversion, multiply
+            # by a positive constant, truncation — each order-preserving
+            # in IEEE), so bucket order still equals global order; only
+            # the bucket-boundary placement shifts, which affects
+            # balance, never correctness.
+            b = np.minimum(
+                (a.astype(np.float64) * (float(B) / float(span))).astype(np.int64),
+                B - 1,
+            )
+        return b.astype(np.int32)
 
     def tag(t: pa.Table) -> pa.Table:
         o = t[order_col].to_numpy(zero_copy_only=False)

@@ -798,3 +798,29 @@ def flatten_tokens(texts):
         np.arange(n, dtype=np.int64)[starts], np.diff(np.append(starts, n))
     )
     return flat, par, pos
+
+
+def md5_bucket(flat, n_buckets: int) -> np.ndarray:
+    """SQL-replicable token bucketing: ``int(md5(token)[:8], 16) %
+    n_buckets`` per element — the same digest prefix DuckDB's ``md5()``
+    emits (oracle expression ``CAST(concat('0x', substr(md5(tok),1,8))
+    AS BIGINT) % n``).  Hashes once per DISTINCT value in the batch
+    (dictionary-encode first) then scatters through the indices; the
+    per-distinct python loop is the md5 cost floor — there is no
+    vectorized md5 kernel — and distinct tokens per batch are bounded
+    by vocabulary, not corpus."""
+    import hashlib
+
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    d = pc.dictionary_encode(flat)
+    uniq = d.dictionary.to_pylist()
+    bu = np.fromiter(
+        (
+            int(hashlib.md5(u.encode()).hexdigest()[:8], 16) % n_buckets
+            for u in uniq
+        ),
+        np.int64,
+        len(uniq),
+    )
+    return bu[d.indices.to_numpy(zero_copy_only=False)]

@@ -67,6 +67,7 @@ def test_oracle_queries_match_duckdb(entrymod, con):
                 "lake_recent_hosts",
                 "host_index_read",
                 "wal_update_depth",
+                "lake_clean_corpus",
             )
             else SF
         )

@@ -376,3 +376,133 @@ def test_ccnet_buckets_partition_corpus(ray_session):
     t1, t2 = v[int((1.0 / 3.0) * (n - 1))], v[int((2.0 * (1.0 / 3.0)) * (n - 1))]
     assert (out["mean_unats"] >= t2).sum() == len(h)
     assert ((out["mean_unats"] >= t1) & (out["mean_unats"] < t2)).sum() == len(m)
+
+
+def test_md5_bucket_matches_duckdb():
+    """Engine bucketing == the oracle's md5-prefix expression."""
+    import duckdb
+
+    from etl_ray.stages.text import md5_bucket
+
+    toks = pa.array(["hello", "world", "a", "Ünïcode", "x1", "hello"])
+    got = md5_bucket(toks, 4096)
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            "SELECT CAST(concat('0x', substr(md5(?),1,8)) AS BIGINT) % 4096",
+            [t],
+        ).fetchone()[0]
+        for t in toks.to_pylist()
+    ]
+    assert got.tolist() == want
+
+
+def test_dsir_weights_matches_reference(ray_session, tmp_path):
+    """Plain-python DSIR reference (same hashing, smoothing, libm ln,
+    integer sum) on a crafted bilingual corpus."""
+    import hashlib
+    import math
+
+    from etl_ray.pipelines.queries import dsir_weights_docs
+
+    docs = {
+        0: ("en", "the cat sat on the mat"),
+        1: ("en", "the dog ran fast"),
+        2: ("de", "der hund lief schnell"),
+        3: ("de", "die katze sass auf der matte"),
+        4: ("en", ""),  # zero tokens -> absent from output
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(docs), pa.int64()),
+                "lang": [v[0] for v in docs.values()],
+                "text": [v[1] for v in docs.values()],
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    NB = 4096
+    bucket = lambda t: int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % NB
+    cr, ct = {}, {}
+    for lang, text in docs.values():
+        for t in text.split():
+            b = bucket(t)
+            cr[b] = cr.get(b, 0) + 1
+            if lang == "en":
+                ct[b] = ct.get(b, 0) + 1
+    nr, nt = sum(cr.values()), sum(ct.values())
+    fp = {
+        b: math.floor(
+            1_000_000.0
+            * math.log(
+                ((ct.get(b, 0) + 1.0) * (nr + 4096.0))
+                / ((c + 1.0) * (nt + 4096.0))
+            )
+        )
+        for b, c in cr.items()
+    }
+    want = {}
+    for did, (lang, text) in docs.items():
+        toks = text.split()
+        if toks:
+            want[did] = (len(toks), sum(fp[bucket(t)] for t in toks))
+
+    out = dsir_weights_docs(str(tmp_path)).to_pandas()
+    got = {
+        r.doc_id: (r.n_tokens, r.weight_fp) for r in out.itertuples()
+    }
+    assert got == want
+    # target-language docs should score higher on average than raw
+    en_w = [w for d, (n, w) in want.items() if docs[d][0] == "en" and n]
+    de_w = [w for d, (n, w) in want.items() if docs[d][0] == "de"]
+    assert min(en_w) > max(de_w)
+
+
+def test_ordered_cumsum_large_packed_keys(ray_session):
+    """Regression: order keys near 2^60 overflowed the exact integer
+    bucket mapping ((arr-lo)*B); the monotone float fallback must keep
+    bucket order == global order."""
+    import ray.data
+
+    from etl_ray.stages.analytic import ordered_cumsum
+
+    rng = np.random.default_rng(5)
+    keys = rng.choice(np.int64(1) << 60, size=500, replace=False).astype(np.int64)
+    vals = rng.integers(1, 100, size=500).astype(np.int64)
+    t = pa.table({"k": keys, "v": vals})
+    out = (
+        ordered_cumsum(ray.data.from_arrow(t), order_col="k", value_col="v")
+        .to_pandas()
+        .sort_values("k")
+    )
+    order = np.argsort(keys)
+    assert (out["cum_v"].values == np.cumsum(vals[order])).all()
+
+
+def test_budget_select_laws(ray_session):
+    """Selection is the maximal quality-ordered prefix within budget:
+    cum is monotone along (mean DESC, doc_id), total <= half the
+    scorable bytes, and no further doc fits."""
+    from etl_ray.pipelines.queries import budget_select_docs
+
+    out = (
+        budget_select_docs(SF)
+        .to_pandas()
+        .sort_values(["mean_unats", "doc_id"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    assert len(out) > 0
+    assert (out["cum_bytes"].values == out["n_bytes"].cumsum().values).all()
+    # reconstruct the budget: half of all scorable bytes
+    import pyarrow.parquet as _pq
+
+    texts = _pq.read_table(
+        os.path.join(SF, "documents.parquet"), columns=["text"]
+    )["text"].to_pylist()
+    total = sum(len(t.encode()) for t in texts if t and len(t.encode()) >= 2)
+    budget = total // 2
+    assert out["cum_bytes"].iloc[-1] <= budget
+    # the NEXT doc in quality order would overflow the budget (prefix
+    # maximality): every non-selected scorable doc appended would exceed
+    assert out["n_bytes"].sum() == out["cum_bytes"].iloc[-1]
