@@ -44,10 +44,8 @@ _DRIVER_PREFIX = [
     # relational core sample
     "project_cast_lineitem", "anti_join_customers_without_orders",
     "semi_join_customers_with_open_orders", "join_orders_lineitem_native",
-    "asof_join_events_orders", "range_join_events_sessions",
-    "topk_events_per_user",
     # text / dedup / similarity sample
-    "token_count_docs", "dedup_docs_exact", "minhash_pairs_docs",
+    "dedup_docs_exact", "minhash_pairs_docs",
     "shingle_jaccard_docs", "knn_brute_embeddings",
     "pack_sequences_docs",
     # round-4/5 additions never driver-checked before
@@ -67,6 +65,13 @@ _DRIVER_PREFIX = [
     "paragraph_dedup_docs", "gopher_quality_docs", "bm25_docs",
     "lake_clean_corpus", "encode_docs", "normalize_text_docs",
     "neardup_keep_docs", "ccnet_bucket_docs", "dsir_weights_docs",
+    # round-5 batch 2 (byte-budget cut, global training shuffle,
+    # temperature language mixing, quality-score calibration) — swapped
+    # in for asof_join_events_orders / range_join_events_sessions /
+    # topk_events_per_user / token_count_docs, each driver-green in
+    # r1-r4
+    "budget_select_docs", "global_shuffle_docs", "temperature_mix_docs",
+    "quality_calibration_docs",
 ]
 
 
@@ -310,6 +315,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights_docs": Q.dsir_weights_docs,
         # quality-ordered byte-budget selection (distributed prefix scan)
         "budget_select_docs": Q.budget_select_docs,
+        # deterministic global training shuffle: hash order -> position/shard
+        "global_shuffle_docs": Q.global_shuffle_docs,
+        # temperature (tau=0.7) per-language rebalancing sample
+        "temperature_mix_docs": Q.temperature_mix_docs,
+        # decile calibration table of the charlm quality score vs lang=en
+        "quality_calibration_docs": Q.quality_calibration_docs,
+        # distributed BPE tokenizer training (iterative; pytest-pinned)
+        "bpe_merges_docs": Q.bpe_merges_docs,
+        # encode under the trained merges: per-doc piece counts
+        "bpe_encode_docs": Q.bpe_encode_docs,
+        # C4-style blocklist filter (drop docs containing banned tokens)
+        "badwords_filter_docs": Q.badwords_filter_docs,
+        # domain-reputation gate: keep sources with >=corpus-average length
+        "domain_gate_docs": Q.domain_gate_docs,
+        # integer-exact PageRank (3 iterations) on the user<->props.k graph
+        "pagerank_user_props": Q.pagerank_user_props,
+        # CUBE(status, priority): all four grouping sets, one corpus shuffle
+        "cube_orders_status_priority": Q.cube_orders_status_priority,
     })
 
 
@@ -2093,6 +2116,172 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, mean_unats, n_bytes, cum_bytes
             FROM cum, tot WHERE cum_bytes <= b
+        """,
+        # deterministic global shuffle: md5-prefix order key (same 24-bit
+        # prefix + doc_id tiebreak as the engine's packed key), global
+        # row_number position, round-robin shard
+        "global_shuffle_docs": r"""
+            WITH k AS (
+              SELECT doc_id,
+                     CAST(concat('0x', substr(
+                       md5(concat('shuf:', CAST(doc_id AS VARCHAR))), 1, 6
+                     )) AS BIGINT) AS h
+              FROM documents),
+            r AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY h, doc_id) AS pos
+              FROM k)
+            SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                   CAST((pos - 1) % 16 AS BIGINT) AS shard_id
+            FROM r
+        """,
+        # temperature mixing: per-language integer acceptance threshold
+        # floor(pow(cmin/c, 0.3) * 2^32) (libm pow, op-identical to the
+        # engine), md5-32-bit acceptance per doc
+        "temperature_mix_docs": r"""
+            WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+            mn AS (SELECT min(n) AS m FROM c),
+            thr AS (
+              SELECT lang,
+                     CAST(floor(pow(CAST(m AS DOUBLE) / CAST(n AS DOUBLE), 0.3)
+                                * 4294967296.0) AS BIGINT) AS t
+              FROM c, mn)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN thr USING (lang)
+            WHERE CAST(concat('0x', substr(
+                    md5(concat('mix:', CAST(d.doc_id AS VARCHAR))), 1, 8
+                  )) AS BIGINT) < thr.t
+        """,
+        # charlm decile calibration: same model CTE as ccnet/budget;
+        # thresholds at the floor(q*(n-1)) rank rule; bin = #thr <= mean
+        "quality_calibration_docs": r"""
+            WITH pairs AS (
+              SELECT doc_id, substr(text, i, 2) AS pg
+              FROM documents, unnest(range(1, length(text))) AS t(i)
+              WHERE length(text) >= 2
+            ),
+            cnt AS (SELECT pg, count(*) AS c FROM pairs GROUP BY 1),
+            rowt AS (
+              SELECT substr(pg, 1, 1) AS c1, sum(c) AS rt
+              FROM cnt GROUP BY 1
+            ),
+            scored AS (
+              SELECT p.doc_id,
+                     count(*) AS n_pairs,
+                     CAST(floor(sum(ln(
+                       (cnt.c + 1.0) / (rowt.rt + 256.0)
+                     )) * 1000000) AS BIGINT) AS lm
+              FROM pairs p
+              JOIN cnt ON p.pg = cnt.pg
+              JOIN rowt ON substr(p.pg, 1, 1) = rowt.c1
+              GROUP BY 1
+            ),
+            m AS (
+              SELECT s.doc_id,
+                     CAST(floor(CAST(s.lm AS DOUBLE) / CAST(s.n_pairs AS DOUBLE))
+                          AS BIGINT) AS mean_unats,
+                     CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS is_en
+              FROM scored s JOIN documents d USING (doc_id)
+            ),
+            q AS (
+              SELECT mean_unats AS v,
+                     row_number() OVER (ORDER BY mean_unats) AS rn
+              FROM m),
+            n AS (SELECT count(*) AS c FROM m),
+            thr AS (
+              SELECT v FROM q, n
+              WHERE rn IN (
+                CAST(floor(0.1 * (c - 1)) AS BIGINT) + 1,
+                CAST(floor(0.2 * (c - 1)) AS BIGINT) + 1,
+                CAST(floor(0.3 * (c - 1)) AS BIGINT) + 1,
+                CAST(floor(0.4 * (c - 1)) AS BIGINT) + 1,
+                CAST(floor(0.5 * (c - 1)) AS BIGINT) + 1,
+                CAST(floor(0.6 * (c - 1)) AS BIGINT) + 1,
+                CAST(floor(0.7 * (c - 1)) AS BIGINT) + 1,
+                CAST(floor(0.8 * (c - 1)) AS BIGINT) + 1,
+                CAST(floor(0.9 * (c - 1)) AS BIGINT) + 1))
+            SELECT (SELECT count(*) FROM thr WHERE thr.v <= m.mean_unats)
+                     AS bin,
+                   count(*) AS n_docs,
+                   CAST(sum(is_en) AS BIGINT) AS n_en
+            FROM m GROUP BY 1
+        """,
+        # C4 blocklist: drop any doc whose whitespace tokens intersect
+        # the banned set
+        "badwords_filter_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) AS tok
+              FROM documents)
+            SELECT d.doc_id, d.lang
+            FROM documents d
+            WHERE NOT EXISTS (
+              SELECT 1 FROM toks t
+              WHERE t.doc_id = d.doc_id
+                AND t.tok IN ('slow', 'dup', 'spark'))
+        """,
+        # domain gate: keep sources whose INTEGER floor-mean n_chars is
+        # >= the corpus floor-mean (exact integer division both sides)
+        "domain_gate_docs": r"""
+            WITH c AS (
+              SELECT source, sum(n_chars) AS s, count(*) AS n
+              FROM documents GROUP BY 1),
+            g AS (SELECT sum(s) // sum(n) AS gate FROM c),
+            keep AS (SELECT source FROM c, g WHERE s // n >= gate)
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d JOIN keep USING (source)
+        """,
+        # integer-exact PageRank, 3 unrolled iterations over the
+        # bipartite user<->props.k graph: ranks in 1e9 fixed-point,
+        # contribution = r // outdeg, damping = 15e7 + (85*sum)//100 —
+        # every op exact int64, so the hash matches the engine's
+        # distributed join/groupby iterations
+        "pagerank_user_props": r"""
+            WITH e0 AS (
+              SELECT DISTINCT user_id,
+                     CAST(json_extract(props, '$.k') AS BIGINT) AS k
+              FROM events WHERE props IS NOT NULL
+                AND CAST(json_extract(props, '$.k') AS BIGINT) >= 0),
+            edges AS (
+              SELECT 'u:' || CAST(user_id AS VARCHAR) AS src,
+                     'k:' || CAST(k AS VARCHAR) AS dst FROM e0
+              UNION ALL
+              SELECT 'k:' || CAST(k AS VARCHAR),
+                     'u:' || CAST(user_id AS VARCHAR) FROM e0),
+            deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+            r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS r
+                   FROM deg),
+            r1 AS (
+              SELECT e.dst AS node,
+                     CAST(150000000 + (85 * sum(r0.r // deg.d)) // 100
+                          AS BIGINT) AS r
+              FROM edges e
+              JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+              GROUP BY 1),
+            r2 AS (
+              SELECT e.dst AS node,
+                     CAST(150000000 + (85 * sum(r1.r // deg.d)) // 100
+                          AS BIGINT) AS r
+              FROM edges e
+              JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+              GROUP BY 1),
+            r3 AS (
+              SELECT e.dst AS node,
+                     CAST(150000000 + (85 * sum(r2.r // deg.d)) // 100
+                          AS BIGINT) AS r
+              FROM edges e
+              JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+              GROUP BY 1)
+            SELECT node, r FROM r3
+        """,
+        # CUBE: all four grouping sets with count + integer-cent revenue
+        "cube_orders_status_priority": r"""
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
     }
 

@@ -22,7 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Min, Sum
 
 from ..stages.hashutil import hash_bucket
 from ..stages.merge import lww_compact
@@ -5397,4 +5397,435 @@ def budget_select_docs(sf_dir: str):
             pc.less_equal(t["cum_bytes"], pa.scalar(budget, pa.int64()))
         ).select(["doc_id", "mean_unats", "n_bytes", "cum_bytes"]),
         batch_format="pyarrow",
+    )
+
+
+def global_shuffle_docs(sf_dir: str):
+    """Deterministic GLOBAL training shuffle with explicit positions and
+    round-robin shard assignment — the step that turns a curated corpus
+    into a training-ready layout (epoch order must be reproducible
+    across reruns and cluster widths, so hash order, not
+    random_shuffle).
+
+    Shape: shuffle key = md5 prefix of the salted doc id, packed with
+    the id into one int64 order key ((h24 << 39) | doc_id, contract
+    ASSERTED per batch); global position = `analytic.ordered_cumsum`
+    over a ones column (the two-phase distributed prefix scan — rank
+    assignment without a single-threaded pass); shard = (pos-1) % 16.
+    Oracle: row_number() OVER (ORDER BY the same two keys)."""
+    import hashlib
+
+    from ..stages.analytic import ordered_cumsum
+
+    ID_BITS, N_SHARDS = 39, 16
+
+    def key(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(did) and (did.min() < 0 or did.max() >= (1 << ID_BITS)):
+            raise ValueError("global_shuffle_docs: doc_id outside 39-bit pack contract")
+        h = np.fromiter(
+            (
+                int(hashlib.md5(f"shuf:{i}".encode()).hexdigest()[:6], 16)
+                for i in did
+            ),
+            np.int64,
+            len(did),
+        )
+        return pa.table(
+            {
+                "okey": pa.array((h << ID_BITS) | did),
+                "doc_id": pa.array(did),
+                "one": pa.array(np.ones(len(did), np.int64)),
+            }
+        )
+
+    ds = _read_parquet(_p(sf_dir, "documents"), columns=["doc_id"]).map_batches(
+        key, batch_format="pyarrow"
+    )
+    cum = ordered_cumsum(ds, order_col="okey", value_col="one", out_col="pos")
+
+    def out(t: pa.Table) -> pa.Table:
+        pos = t.column("pos").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "pos": pa.array(pos),
+                "shard_id": pa.array((pos - 1) % N_SHARDS),
+            }
+        )
+
+    return cum.map_batches(out, batch_format="pyarrow")
+
+
+def temperature_mix_docs(sf_dir: str):
+    """Temperature-based source rebalancing (the multilingual-corpus
+    mixing rule, tau=0.7): per-language keep rate (c_min / c_lang)^(1-tau)
+    — the smallest language keeps everything, dominant languages are downsampled
+    toward the tempered distribution.  Deterministic acceptance by
+    32-bit md5 threshold (same predicate family as `sample_docs_hash`,
+    so reruns and cluster widths agree).
+
+    Shape: one tiny groupby for per-language counts (bounded by #languages
+    BY CONSTRUCTION — for open-domain hosts use the hash-partitioned
+    join form of `neardup_keep_docs` instead; documented, not silent),
+    thresholds broadcast in the closure, one row-local vectorized
+    filter.  Rate floats mirror the oracle op-for-op (libm pow, floor
+    to integer threshold)."""
+    import hashlib
+    import math
+
+    cnt = (
+        _read_parquet(_p(sf_dir, "documents"), columns=["lang"])
+        .groupby("lang")
+        .count()
+        .take_all()
+    )  # rows == #distinct sources (single digits in this corpus)
+    cmin = min(r["count()"] for r in cnt)
+    thr = {
+        r["lang"]: int(
+            math.floor(
+                math.pow(float(cmin) / float(r["count()"]), 0.3) * 4294967296.0
+            )
+        )
+        for r in cnt
+    }
+
+    def f(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_pylist()
+        h = np.fromiter(
+            (int(hashlib.md5(f"mix:{i}".encode()).hexdigest()[:8], 16) for i in did),
+            np.int64,
+            len(did),
+        )
+        row_thr = np.fromiter(
+            (thr[s] for s in t.column("lang").to_pylist()), np.int64, t.num_rows
+        )
+        return t.filter(pa.array(h < row_thr))
+
+    return _read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "lang"]
+    ).map_batches(f, batch_format="pyarrow")
+
+
+def quality_calibration_docs(sf_dir: str):
+    """Calibration table for the charlm quality score: split the corpus
+    into 10 exact-decile score bins and report per-bin document count
+    and `lang='en'` count — the reliability curve a filtering threshold
+    is read off of.  Thresholds come from the distributed exact-quantile
+    operator (9 scalars to the driver, same floor(q*(n-1)) rank rule as
+    `ccnet_bucket_docs`, so the SQL oracle reproduces them exactly);
+    bin = #thresholds <= score (vectorized searchsorted); one tiny
+    groupby ends the pipeline."""
+    from ..stages.quantiles import exact_quantiles
+    from ..stages.text import CharLMScorer, charlm_counts, charlm_logp
+
+    ds = _read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    counts = charlm_counts(ds)
+    logp_ref = ray.put(charlm_logp(counts))
+
+    def mean_unats(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["n_pairs"], pa.scalar(1, pa.int64())))
+        a = t.column("lm_score_unats").to_numpy(zero_copy_only=False)
+        b = t.column("n_pairs").to_numpy(zero_copy_only=False)
+        m = np.floor(a.astype(np.float64) / b.astype(np.float64)).astype(np.int64)
+        en = pc.equal(t.column("lang"), pa.scalar("en", pa.string()))
+        return pa.table(
+            {
+                "mean_unats": pa.array(m),
+                "is_en": pc.cast(en, pa.int64()),
+            }
+        )
+
+    scored = (
+        ds.map_batches(
+            CharLMScorer,
+            fn_constructor_args=(logp_ref,),
+            fn_constructor_kwargs={"keep_cols": ("lang",)},
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .map_batches(mean_unats, batch_format="pyarrow")
+        .materialize()  # narrow 2-int table; quantiles must not re-run inference
+    )
+    qs = [i / 10.0 for i in range(1, 10)]
+    thr = np.array(
+        exact_quantiles(scored, "mean_unats", qs).column("value").to_pylist(),
+        np.int64,
+    )
+
+    def binned(t: pa.Table) -> pa.Table:
+        m = t.column("mean_unats").to_numpy(zero_copy_only=False)
+        b = np.searchsorted(thr, m, side="right").astype(np.int64)
+        return pa.table(
+            {
+                "bin": pa.array(b),
+                "n": pa.array(np.ones(len(m), np.int64)),
+                "n_en": t.column("is_en"),
+            }
+        )
+
+    return (
+        scored.map_batches(binned, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n_docs"), Sum("n_en", alias_name="n_en"))
+    )
+
+
+def bpe_merges_docs(sf_dir: str):
+    """Distributed BPE tokenizer training over the corpus (stages/bpe.py:
+    word-type compression pass, then per-merge broadcast-resegment-
+    count-argmax rounds).  Returns the learned 12-merge table (rank,
+    left, right, n).  Iterative by nature — no SQL oracle; pinned by a
+    plain-python same-rule differential in tests/test_round5_ops.py."""
+    from ..stages.bpe import bpe_train
+
+    ds = _read_parquet(_p(sf_dir, "documents"), columns=["text"])
+    return bpe_train(ds, n_merges=12)
+
+
+def bpe_encode_docs(sf_dir: str):
+    """Encode the corpus under the trained 12-merge BPE table: per-doc
+    piece counts (doc_id, n_pieces) — the round-trip proof that the
+    learned merges drive a working encoder (broadcast merge table,
+    actor-pool segmentation with per-actor word cache).  Shares the
+    trainer's determinism, so it is pinned by the same differential."""
+    from ..stages.bpe import bpe_segment_counts, bpe_train
+
+    ds = _read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    merges = bpe_train(
+        _read_parquet(_p(sf_dir, "documents"), columns=["text"]), n_merges=12
+    )
+    return bpe_segment_counts(ds, merges)
+
+
+def badwords_filter_docs(sf_dir: str):
+    """C4-style blocklist filter (Raffel et al. 2020 drop any page
+    containing a banned word): remove every document whose whitespace
+    tokens intersect the blocklist.  The list is broadcast in-closure
+    (bounded by construction — real blocklists are a few thousand
+    entries); membership is one vectorized ``pc.is_in`` over the
+    flattened token stream, any-per-doc via bincount on the parent
+    index.  Row-local, shuffle-free, streaming.  Oracle: NOT EXISTS
+    over the same unnested tokens."""
+    from ..stages.text import flatten_tokens
+
+    BLOCK = ("slow", "dup", "spark")
+    block_arr = pa.array(list(BLOCK), pa.string())
+
+    def f(t: pa.Table) -> pa.Table:
+        flat, par, _ = flatten_tokens(t.column("text"))
+        hit = pc.is_in(flat, value_set=block_arr).to_numpy(zero_copy_only=False)
+        bad = np.zeros(t.num_rows, bool)
+        if len(par):
+            np.logical_or.at(bad, par, hit)
+        return t.select(["doc_id", "lang"]).filter(pa.array(~bad))
+
+    return _read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "lang", "text"]
+    ).map_batches(f, batch_format="pyarrow")
+
+
+def domain_gate_docs(sf_dir: str):
+    """Domain-reputation gate — the domain-level curation cut (keep
+    documents from sources whose average document length is at or above
+    the corpus average): per-source (sum_chars, n) partials -> one tiny
+    groupby (bounded by #sources; for open-domain hosts swap the
+    broadcast for the hash-partitioned join of `neardup_keep_docs`),
+    gate on INTEGER floor-means (exact in both engines — float averages
+    are order-sensitive), broadcast the surviving source set, row-local
+    filter.  Output: kept (doc_id, source, n_chars)."""
+    cnt = (
+        _read_parquet(_p(sf_dir, "documents"), columns=["source", "n_chars"])
+        .groupby("source")
+        .aggregate(Sum("n_chars", alias_name="s"), Count(alias_name="n"))
+        .take_all()
+    )  # rows == #distinct sources
+    tot_s = sum(r["s"] for r in cnt)
+    tot_n = sum(r["n"] for r in cnt)
+    gate = tot_s // tot_n
+    keep = {r["source"] for r in cnt if r["s"] // r["n"] >= gate}
+    keep_arr = pa.array(sorted(keep), pa.string())
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["source"], value_set=keep_arr))
+
+    return _read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "source", "n_chars"]
+    ).map_batches(f, batch_format="pyarrow")
+
+
+def pagerank_user_props(sf_dir: str):
+    """Distributed PageRank, 3 synchronous iterations, INTEGER
+    arithmetic end-to-end so the result is exact and order-free (the
+    suite's cross-engine determinism rule): ranks carry 1e9 fixed-point
+    units, per-edge contribution is ``rank // out_degree`` (integer
+    division), damping is ``150_000_000 + (85 * sum) // 100``.
+
+    Graph: the bipartite user <-> props.k co-occurrence graph from the
+    events table (distinct (user_id, k) pairs, one directed edge each
+    way) — every node has out-edges by construction, so there is no
+    dangling-mass term.
+
+    Distributed shape (the one that survives billions of edges): edges
+    join out-degrees ONCE (materialized); each iteration is one
+    hash-partitioned ``Dataset.join`` of the narrow (node, r) rank
+    table against the edge table, a vectorized contribution map, and a
+    ``groupby(dst).sum`` — ranks never visit the driver.  The rank
+    table is materialized per iteration to keep each join in its own
+    execution plan.  Oracle: the same three iterations unrolled as SQL
+    CTEs (exact integer ops)."""
+    from ..stages.blockutil import drop_empty_blocks
+
+    N_ITER = 3
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ks = [json.loads(p).get("k") if p else None for p in t["props"].to_pylist()]
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        k = np.array([x if x is not None else -1 for x in ks], np.int64)
+        ok = k >= 0
+        un = np.char.add("u:", u[ok].astype("U20"))
+        kn = np.char.add("k:", k[ok].astype("U20"))
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([un, kn])),
+                "dst": pa.array(np.concatenate([kn, un])),
+            }
+        )
+
+    edges = drop_empty_blocks(
+        _read_parquet(_p(sf_dir, "events"), columns=["user_id", "props"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .count()  # distinct edges
+        .map_batches(lambda t: t.select(["src", "dst"]), batch_format="pyarrow")
+        .materialize()
+    )
+    deg = (
+        edges.groupby("src")
+        .count()
+        .map_batches(
+            lambda t: pa.table({"src": t["src"], "outdeg": t["count()"]}),
+            batch_format="pyarrow",
+        )
+    )
+    ew = drop_empty_blocks(
+        edges.join(
+            drop_empty_blocks(deg.materialize()),
+            "inner",
+            num_partitions=8,
+            on=("src",),
+        ).materialize()
+    )
+
+    ranks = drop_empty_blocks(
+        edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["src"],
+                    "r": pa.array(
+                        np.full(t.num_rows, 1_000_000_000, np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Min("r", alias_name="r"))
+        .materialize()
+    )
+    for _ in range(N_ITER):
+        joined = ranks.join(
+            ew, "inner", num_partitions=8, on=("node",), right_on=("src",)
+        )
+        contrib = joined.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["dst"],
+                    "c": pa.array(
+                        t.column("r").to_numpy(zero_copy_only=False)
+                        // t.column("outdeg").to_numpy(zero_copy_only=False)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        ranks = drop_empty_blocks(
+            contrib.groupby("node")
+            .aggregate(Sum("c", alias_name="s"))
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t["node"],
+                        "r": pa.array(
+                            150_000_000
+                            + (
+                                85
+                                * t.column("s").to_numpy(zero_copy_only=False)
+                            )
+                            // 100
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+    return ranks
+
+
+def cube_orders_status_priority(sf_dir: str):
+    """CUBE(o_orderstatus, o_orderpriority) over orders — all four
+    grouping sets (detail, each single-key subtotal, grand total; null
+    marks a rolled-up key) with count + integer-cent revenue.
+
+    The classic cube optimization: only the FINEST level aggregates the
+    corpus (one distributed shuffle of partial pre-aggregates); every
+    coarser level re-aggregates the finest RESULT, which is bounded by
+    |statuses| x |priorities| — driver-side by design, not a scale
+    leak (same rule as rollup_customers_region_segment)."""
+    base = (
+        _read_parquet(
+            _p(sf_dir, "orders"),
+            columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "o_orderstatus": t["o_orderstatus"],
+                    "o_orderpriority": t["o_orderpriority"],
+                    "rev_cents": _cents(t["o_totalprice"]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Count(alias_name="n_orders"), Sum("rev_cents", alias_name="revenue_cents"))
+        .take_all()
+    )  # bounded by |statuses| x |priorities|
+    import collections
+
+    def roll(keyfn):
+        acc = collections.defaultdict(lambda: [0, 0])
+        for r in base:
+            k = keyfn(r)
+            acc[k][0] += r["n_orders"]
+            acc[k][1] += r["revenue_cents"]
+        return acc
+
+    rows = []
+    for r in base:
+        rows.append((r["o_orderstatus"], r["o_orderpriority"], r["n_orders"], r["revenue_cents"]))
+    for k, (n, s) in roll(lambda r: r["o_orderstatus"]).items():
+        rows.append((k, None, n, s))
+    for k, (n, s) in roll(lambda r: r["o_orderpriority"]).items():
+        rows.append((None, k, n, s))
+    for k, (n, s) in roll(lambda r: None).items():
+        rows.append((None, None, n, s))
+    return pa.table(
+        {
+            "o_orderstatus": pa.array([r[0] for r in rows], pa.string()),
+            "o_orderpriority": pa.array([r[1] for r in rows], pa.string()),
+            "n_orders": pa.array([r[2] for r in rows], pa.int64()),
+            "revenue_cents": pa.array([r[3] for r in rows], pa.int64()),
+        }
     )

@@ -604,13 +604,20 @@ class CharLMScorer:
     row.  Scores are emitted as floor-micro-nats int64 (the suite's
     cross-engine determinism rule)."""
 
-    def __init__(self, logp_ref, id_col: str = "doc_id", text_col: str = "text"):
+    def __init__(
+        self,
+        logp_ref,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        keep_cols: tuple = (),
+    ):
         self.__name__ = "CharLMScorer"
         import ray as _ray
 
         self.logp = _ray.get(logp_ref)  # (256, 256) float64
         self.id_col = id_col
         self.text_col = text_col
+        self.keep_cols = tuple(keep_cols)  # passthrough label columns
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
@@ -639,13 +646,14 @@ class CharLMScorer:
             scores[valid] = sums
         out = np.floor(scores * 1e6).astype(np.int64)
         npairs = np.maximum(lens - 1, 0)
-        return pa.table(
-            {
-                self.id_col: batch.column(self.id_col),
-                "n_pairs": pa.array(npairs, pa.int64()),
-                "lm_score_unats": pa.array(out, pa.int64()),
-            }
-        )
+        cols = {
+            self.id_col: batch.column(self.id_col),
+            "n_pairs": pa.array(npairs, pa.int64()),
+            "lm_score_unats": pa.array(out, pa.int64()),
+        }
+        for c in self.keep_cols:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
 
 
 def charlm_counts(ds, text_col: str = "text") -> np.ndarray:

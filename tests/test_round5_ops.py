@@ -506,3 +506,258 @@ def test_budget_select_laws(ray_session):
     # the NEXT doc in quality order would overflow the budget (prefix
     # maximality): every non-selected scorable doc appended would exceed
     assert out["n_bytes"].sum() == out["cum_bytes"].iloc[-1]
+
+
+# ---------------------------------------------------------------------------
+# BPE training / encoding (stages/bpe.py)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_reference(word_counts: dict[str, int], n_merges: int):
+    """Plain-python textbook BPE trainer with the engine's exact rules:
+    segmentation replays merges lowest-rank-first (leftmost tie-break);
+    each round picks (count desc, then lexicographic pair asc)."""
+
+    def segment(word, ranks):
+        syms = list(word)
+        while len(syms) > 1:
+            best, bi = None, -1
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            syms[bi : bi + 2] = [syms[bi] + syms[bi + 1]]
+        return syms
+
+    merges, ranks = [], {}
+    for k in range(n_merges):
+        pc_: dict[tuple[str, str], int] = {}
+        for w, n in word_counts.items():
+            syms = segment(w, ranks)
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc_[p] = pc_.get(p, 0) + n
+        if not pc_:
+            break
+        best = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((best[0][0], best[0][1], best[1]))
+        ranks[best[0]] = k
+    return merges, ranks
+
+
+def test_bpe_train_matches_reference(ray_session, tmp_path):
+    import ray.data
+
+    from etl_ray.stages.bpe import bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest lowly",
+        "low new wide lower newer",
+    ]
+    t = pa.table({"text": texts})
+    pq.write_table(t, str(tmp_path / "docs.parquet"))
+    ds = ray.data.read_parquet(str(tmp_path / "docs.parquet"))
+    got = bpe_train(ds, n_merges=10)
+
+    wc: dict[str, int] = {}
+    for s in texts:
+        for w in s.split():
+            wc[w] = wc.get(w, 0) + 1
+    want, _ = _bpe_reference(wc, 10)
+    rows = list(
+        zip(
+            got.column("left").to_pylist(),
+            got.column("right").to_pylist(),
+            got.column("n").to_pylist(),
+        )
+    )
+    assert rows == want
+    assert got.column("rank").to_pylist() == list(range(len(want)))
+
+
+def test_bpe_encode_matches_reference(ray_session, tmp_path):
+    import ray.data
+
+    from etl_ray.stages.bpe import _segment, bpe_segment_counts, bpe_train
+
+    texts = ["low lower newest", "widest new low", ""]
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()), "text": texts})
+    pq.write_table(t, str(tmp_path / "docs.parquet"))
+    ds = ray.data.read_parquet(str(tmp_path / "docs.parquet"))
+    merges = bpe_train(ds, n_merges=6)
+    out = bpe_segment_counts(ds, merges).to_pandas().set_index("doc_id")
+
+    ranks = {
+        (l, r): k
+        for k, l, r in zip(
+            merges.column("rank").to_pylist(),
+            merges.column("left").to_pylist(),
+            merges.column("right").to_pylist(),
+        )
+    }
+    for did, s in enumerate(texts):
+        want = sum(len(_segment(w, ranks)) for w in s.split())
+        assert int(out.loc[did, "n_pieces"]) == want
+
+
+# ---------------------------------------------------------------------------
+# global shuffle / temperature mix / calibration laws
+# ---------------------------------------------------------------------------
+
+
+def test_global_shuffle_is_permutation(ray_session):
+    from etl_ray.pipelines.queries import global_shuffle_docs
+
+    df = global_shuffle_docs(SF).to_pandas()
+    n = len(df)
+    assert sorted(df["pos"]) == list(range(1, n + 1))
+    assert df["doc_id"].is_unique
+    assert ((df["pos"] - 1) % 16 == df["shard_id"]).all()
+    # shards are balanced to within one document by construction
+    sizes = df.groupby("shard_id").size()
+    assert sizes.max() - sizes.min() <= 1
+
+
+def test_temperature_mix_keeps_smallest_lang(ray_session):
+    import pyarrow.parquet as _pq
+
+    from etl_ray.pipelines.queries import temperature_mix_docs
+
+    full = _pq.read_table(os.path.join(SF, "documents.parquet"), columns=["lang"])
+    counts = {}
+    for v in full.column("lang").to_pylist():
+        counts[v] = counts.get(v, 0) + 1
+    smallest = min(counts, key=lambda k: (counts[k], k))
+    kept = temperature_mix_docs(SF).to_pandas().groupby("lang").size().to_dict()
+    # rate for the smallest language is exactly 1.0 -> all kept
+    assert kept[smallest] == counts[smallest]
+    # dominant languages are strictly downsampled at tau=0.7
+    biggest = max(counts, key=lambda k: (counts[k], k))
+    assert kept[biggest] < counts[biggest]
+    # every stratum's keep count never exceeds its population
+    assert all(kept[l] <= counts[l] for l in kept)
+
+
+def test_quality_calibration_partitions_corpus(ray_session):
+    import pyarrow.parquet as _pq
+
+    from etl_ray.pipelines.queries import quality_calibration_docs
+
+    out = quality_calibration_docs(SF).to_pandas()
+    full = _pq.read_table(os.path.join(SF, "documents.parquet"), columns=["text"])
+    scorable = sum(
+        1 for s in full.column("text").to_pylist() if s and len(s.encode()) >= 2
+    )
+    assert out["n_docs"].sum() == scorable
+    assert (out["n_en"] <= out["n_docs"]).all()
+    assert out["bin"].between(0, 9).all()
+
+
+def test_badwords_filter_excludes_hits(ray_session, tmp_path):
+    import ray.data
+
+    from etl_ray.pipelines.queries import badwords_filter_docs
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "lang": ["en"] * 5,
+            "text": [
+                "clean text only",
+                "this is slow text",      # blocked: slow
+                "duplicate but not dup-token dupx",  # 'dupx' != 'dup' -> kept
+                "spark appears here",      # blocked: spark
+                "",                        # empty -> kept
+            ],
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = badwords_filter_docs(str(tmp_path)).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 2, 4]
+
+
+def test_domain_gate_keeps_above_average_sources(ray_session, tmp_path):
+    import ray.data
+
+    from etl_ray.pipelines.queries import domain_gate_docs
+
+    rows = []
+    # source a: mean 100; source b: mean 10 -> corpus floor-mean 55
+    for i in range(4):
+        rows.append((i, "a", 100))
+    for i in range(4, 8):
+        rows.append((i, "b", 10))
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "lang": ["en"] * len(rows),
+            "source": [r[1] for r in rows],
+            "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+            "text": ["x"] * len(rows),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = domain_gate_docs(str(tmp_path)).to_pandas()
+    assert set(out["source"]) == {"a"}
+    assert len(out) == 4
+
+
+def test_pagerank_matches_plain_python(ray_session, tmp_path):
+    """Integer PageRank on a crafted two-user / two-k graph vs a plain
+    dict implementation of the same fixed-point rules."""
+    import json as _json
+
+    from etl_ray.pipelines.queries import pagerank_user_props
+
+    rows = [
+        (0, 1, 5), (1, 1, 5), (2, 1, 7),  # user 1 -> k5, k7
+        (3, 2, 7), (4, 2, 7),             # user 2 -> k7
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "props": [_json.dumps({"k": r[2]}) for r in rows],
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = (
+        pagerank_user_props(str(tmp_path))
+        .to_pandas()
+        .set_index("node")["r"]
+        .to_dict()
+    )
+
+    edges = set()
+    for _, u, k in rows:
+        edges.add((f"u:{u}", f"k:{k}"))
+        edges.add((f"k:{k}", f"u:{u}"))
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {n: 1_000_000_000 for n in deg}
+    for _ in range(3):
+        acc = {}
+        for s, d in edges:
+            acc[d] = acc.get(d, 0) + r[s] // deg[s]
+        r = {n: 150_000_000 + (85 * v) // 100 for n, v in acc.items()}
+    assert got == r
+
+
+def test_cube_levels_are_consistent(ray_session):
+    from etl_ray.pipelines.queries import cube_orders_status_priority
+
+    df = cube_orders_status_priority(SF).to_pandas()
+    detail = df[df.o_orderstatus.notna() & df.o_orderpriority.notna()]
+    by_status = df[df.o_orderstatus.notna() & df.o_orderpriority.isna()]
+    by_prio = df[df.o_orderstatus.isna() & df.o_orderpriority.notna()]
+    grand = df[df.o_orderstatus.isna() & df.o_orderpriority.isna()]
+    assert len(grand) == 1
+    g = grand.iloc[0]
+    for lvl in (detail, by_status, by_prio):
+        assert lvl["n_orders"].sum() == g["n_orders"]
+        assert lvl["revenue_cents"].sum() == g["revenue_cents"]
