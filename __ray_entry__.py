@@ -333,6 +333,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_user_props": Q.pagerank_user_props,
         # CUBE(status, priority): all four grouping sets, one corpus shuffle
         "cube_orders_status_priority": Q.cube_orders_status_priority,
+        # per-group HLL distinct users (estimate; 5-sigma pytest-pinned)
+        "approx_distinct_users_per_type": Q.approx_distinct_users_per_type,
+        # per-group mergeable quantile summaries (estimate; rank-bound pinned)
+        "approx_quantiles_values_per_type": Q.approx_quantiles_values_per_type,
     })
 
 

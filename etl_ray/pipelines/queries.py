@@ -5829,3 +5829,27 @@ def cube_orders_status_priority(sf_dir: str):
             "revenue_cents": pa.array([r[3] for r in rows], pa.int64()),
         }
     )
+
+
+def approx_distinct_users_per_type(sf_dir: str):
+    """Per-group HLL: approximate distinct users per event type (the
+    grouped composition of the global HLL — register rows shuffle, user
+    ids never do; see stages/sketch.approx_distinct_grouped).  Estimate
+    output — rows-only in the registry (like the global HLL), with the
+    5-sigma error bound pinned against exact distincts in pytest."""
+    from ..stages.sketch import approx_distinct_grouped
+
+    ds = _read_parquet(_p(sf_dir, "events"), columns=["event_type", "user_id"])
+    return approx_distinct_grouped(ds, "event_type", "user_id", p=12)
+
+
+def approx_quantiles_values_per_type(sf_dir: str):
+    """Per-group mergeable quantile summaries: p25/p50/p90 of `value`
+    per event type (grouped composition of approx_quantiles — summary
+    rows shuffle, raw values never do).  Estimate output — rows-only in
+    the registry; the per-group rank-error bound is pinned against
+    exact quantiles in pytest."""
+    from ..stages.sketch import approx_quantiles_grouped
+
+    ds = _read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
+    return approx_quantiles_grouped(ds, "event_type", "value", [0.25, 0.5, 0.9])

@@ -442,3 +442,131 @@ def approx_counts(ds, col: str, keys: list, d: int = 4, w: int = 16384) -> pa.Ta
             "est": pa.array(est.astype(np.int64), pa.int64()),
         }
     )
+
+
+def approx_distinct_grouped(ds, group_col: str, col: str, p: int = 12):
+    """PER-GROUP approximate distinct counts — the grouped composition
+    of :func:`approx_distinct` (e.g. distinct users per event type over
+    10^10 events without shuffling a single user id).
+
+    Each task reduces its batch to one 2^p-byte register row PER GROUP
+    PRESENT IN THE BATCH; the shuffle therefore moves
+    O(groups x batches) fixed-size sketch rows, never the keys.  The
+    per-group max-merge + estimate runs inside ``map_groups`` —
+    registers stay sharded end-to-end, nothing reaches the driver.
+    Returns a Dataset (group_col, approx_distinct: float64).
+    """
+    import pyarrow.compute as _pc
+
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        d = _pc.dictionary_encode(g)
+        idx = d.indices.to_numpy(zero_copy_only=False)
+        groups, regs = [], []
+        for gi in range(len(d.dictionary)):
+            sel = pa.array(idx == gi)
+            groups.append(d.dictionary[gi].as_py())
+            regs.append(hll_partial(batch.column(col).filter(sel), p))
+        return pa.table(
+            {
+                group_col: pa.array(groups),
+                "regs": pa.array(
+                    [r for r in regs], pa.list_(pa.uint8(), m)
+                ),
+            }
+        )
+
+    def merge_grp(t: pa.Table) -> pa.Table:
+        flat = np.asarray(
+            t.column("regs").combine_chunks().flatten(), np.uint8
+        ).reshape(t.num_rows, m)
+        merged = flat.max(axis=0)
+        return pa.table(
+            {
+                group_col: t.column(group_col).slice(0, 1),
+                "approx_distinct": pa.array(
+                    [hll_estimate(merged)], pa.float64()
+                ),
+            }
+        )
+
+    merge_grp.__name__ = "hll_group_merge"
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(merge_grp, batch_format="pyarrow")
+    )
+
+
+def approx_quantiles_grouped(
+    ds, group_col: str, col: str, qs: list[float], m: int = 256
+):
+    """PER-GROUP approximate quantiles — the grouped composition of
+    :func:`approx_quantiles`.  Each task emits one mergeable summary
+    (<= m weighted order statistics, packed as list columns) PER GROUP
+    PRESENT IN THE BATCH; the shuffle moves O(groups x batches) bounded
+    summary rows, never the values.  The weighted merge + quantile
+    answers run inside ``map_groups`` — nothing reaches the driver.
+    Returns a Dataset (group_col, q: float64, value: float64), one row
+    per (group, requested quantile).  Rank error per group is at most
+    sum_b(n_bg / m) over that group's batch slices (the ungrouped
+    operator's epsilon class)."""
+    import pyarrow.compute as _pc
+
+    qs = sorted(qs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        d = _pc.dictionary_encode(g)
+        idx = d.indices.to_numpy(zero_copy_only=False)
+        groups, vals, wts = [], [], []
+        for gi in range(len(d.dictionary)):
+            sel = pa.array(idx == gi)
+            p = quantile_partial(batch.column(col).filter(sel), m)
+            groups.append(d.dictionary[gi].as_py())
+            vals.append(p.column("value").to_pylist())
+            wts.append(p.column("weight").to_pylist())
+        return pa.table(
+            {
+                group_col: pa.array(groups),
+                "values": pa.array(vals, pa.list_(pa.float64())),
+                "weights": pa.array(wts, pa.list_(pa.float64())),
+            }
+        )
+
+    def merge_grp(t: pa.Table) -> pa.Table:
+        parts = [
+            pa.table(
+                {
+                    "value": pa.array(v, pa.float64()),
+                    "weight": pa.array(w, pa.float64()),
+                }
+            )
+            for v, w in zip(
+                t.column("values").to_pylist(), t.column("weights").to_pylist()
+            )
+        ]
+        ans = quantile_merge_estimate(parts, qs)
+        n = len(qs)
+        return pa.table(
+            {
+                group_col: pa.array(
+                    [t.column(group_col)[0].as_py()] * n
+                ),
+                "q": pa.array(qs, pa.float64()),
+                "value": pa.array(ans, pa.float64()),
+            }
+        )
+
+    merge_grp.__name__ = "quantile_group_merge"
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(merge_grp, batch_format="pyarrow")
+    )

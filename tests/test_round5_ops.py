@@ -761,3 +761,56 @@ def test_cube_levels_are_consistent(ray_session):
     for lvl in (detail, by_status, by_prio):
         assert lvl["n_orders"].sum() == g["n_orders"]
         assert lvl["revenue_cents"].sum() == g["revenue_cents"]
+
+
+def test_grouped_hll_within_bound(ray_session):
+    """Per-group HLL estimates vs exact distincts: every group inside
+    5 sigma (sigma ~= 1.04/sqrt(2^p))."""
+    import duckdb
+
+    from etl_ray.pipelines.queries import approx_distinct_users_per_type
+
+    got = (
+        approx_distinct_users_per_type(SF)
+        .to_pandas()
+        .set_index("event_type")["approx_distinct"]
+        .to_dict()
+    )
+    con = duckdb.connect()
+    exact = dict(
+        con.execute(
+            "SELECT event_type, count(DISTINCT user_id) "
+            f"FROM '{SF}/events.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(got) == set(exact)
+    sigma = 1.04 / (1 << 12) ** 0.5
+    for k, e in exact.items():
+        assert abs(got[k] - e) <= max(5 * sigma * e, 3.0), (k, got[k], e)
+
+
+def test_grouped_quantiles_within_rank_bound(ray_session):
+    """Per-group quantile estimates vs exact: rank error of each answer
+    within the summary's epsilon class (generous 5% of group size)."""
+    import duckdb
+
+    from etl_ray.pipelines.queries import approx_quantiles_values_per_type
+
+    got = approx_quantiles_values_per_type(SF).to_pandas()
+    con = duckdb.connect()
+    vals = {}
+    for et, v in con.execute(
+        f"SELECT event_type, value FROM '{SF}/events.parquet'"
+    ).fetchall():
+        vals.setdefault(et, []).append(v)
+    for _, row in got.iterrows():
+        sv = sorted(vals[row["event_type"]])
+        n = len(sv)
+        import bisect
+
+        # rank of the returned value inside the exact sorted group
+        r = bisect.bisect_left(sv, row["value"])
+        target = row["q"] * n
+        assert abs(r - target) <= max(0.05 * n, 2.0), (
+            row["event_type"], row["q"], r, target, n,
+        )
