@@ -337,6 +337,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users_per_type": Q.approx_distinct_users_per_type,
         # per-group mergeable quantile summaries (estimate; rank-bound pinned)
         "approx_quantiles_values_per_type": Q.approx_quantiles_values_per_type,
+        # FLAGSHIP #4: blocklist -> domain gate -> temperature mix ->
+        # LM-quality byte-budget cut, stats re-derived per surviving stage
+        "curation_pipeline_docs": Q.curation_pipeline_docs,
     })
 
 
@@ -2222,7 +2225,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (
               SELECT 1 FROM toks t
               WHERE t.doc_id = d.doc_id
-                AND t.tok IN ('slow', 'dup', 'spark'))
+                AND t.tok IN ('dup'))
         """,
         # domain gate: keep sources whose INTEGER floor-mean n_chars is
         # >= the corpus floor-mean (exact integer division both sides)
@@ -2277,6 +2280,69 @@ def oracle_sql() -> dict[str, str]:
               JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
               GROUP BY 1)
             SELECT node, r FROM r3
+        """,
+        # FLAGSHIP #4: the whole curation chain as one CTE pipeline —
+        # every stage's statistics derive from the previous stage's
+        # survivors, mirroring the engine stage-for-stage (same integer
+        # gates, same libm pow/ln, same md5 predicates)
+        "curation_pipeline_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) AS tok
+              FROM documents),
+            bad AS (SELECT DISTINCT doc_id FROM toks
+                    WHERE tok IN ('dup')),
+            s1 AS (SELECT d.* FROM documents d
+                   WHERE NOT EXISTS (SELECT 1 FROM bad b
+                                     WHERE b.doc_id = d.doc_id)),
+            c2 AS (SELECT source, sum(n_chars) AS s, count(*) AS n
+                   FROM s1 GROUP BY 1),
+            g2 AS (SELECT sum(s) // sum(n) AS gate FROM c2),
+            s2 AS (SELECT d.* FROM s1 d
+                   JOIN c2 USING (source), g2
+                   WHERE c2.s // c2.n >= g2.gate),
+            c3 AS (SELECT lang, count(*) AS n FROM s2 GROUP BY 1),
+            mn3 AS (SELECT min(n) AS m FROM c3),
+            thr3 AS (SELECT lang,
+                            CAST(floor(pow(CAST(m AS DOUBLE) / CAST(n AS DOUBLE),
+                                           0.3) * 4294967296.0) AS BIGINT) AS t
+                     FROM c3, mn3),
+            s3 AS (SELECT d.* FROM s2 d JOIN thr3 USING (lang)
+                   WHERE CAST(concat('0x', substr(
+                           md5(concat('mix:', CAST(d.doc_id AS VARCHAR))), 1, 8
+                         )) AS BIGINT) < thr3.t),
+            pairs AS (
+              SELECT doc_id, substr(text, i, 2) AS pg
+              FROM s3, unnest(range(1, length(text))) AS t(i)
+              WHERE length(text) >= 2),
+            cnt AS (SELECT pg, count(*) AS c FROM pairs GROUP BY 1),
+            rowt AS (SELECT substr(pg, 1, 1) AS c1, sum(c) AS rt
+                     FROM cnt GROUP BY 1),
+            scored AS (
+              SELECT p.doc_id,
+                     count(*) AS n_pairs,
+                     CAST(floor(sum(ln(
+                       (cnt.c + 1.0) / (rowt.rt + 256.0)
+                     )) * 1000000) AS BIGINT) AS lm
+              FROM pairs p
+              JOIN cnt ON p.pg = cnt.pg
+              JOIN rowt ON substr(p.pg, 1, 1) = rowt.c1
+              GROUP BY 1),
+            m AS (
+              SELECT s.doc_id, d.lang, d.source,
+                     CAST(floor(CAST(s.lm AS DOUBLE) / CAST(s.n_pairs AS DOUBLE))
+                          AS BIGINT) AS mean_unats,
+                     CAST(s.n_pairs + 1 AS BIGINT) AS n_bytes
+              FROM scored s JOIN s3 d USING (doc_id)),
+            tot AS (SELECT CAST(sum(n_bytes) // 2 AS BIGINT) AS b FROM m),
+            cum AS (
+              SELECT doc_id, lang, source, mean_unats, n_bytes,
+                     CAST(SUM(n_bytes) OVER (
+                       ORDER BY mean_unats DESC, doc_id ASC
+                     ) AS BIGINT) AS cum_bytes
+              FROM m)
+            SELECT doc_id, lang, source, mean_unats, n_bytes, cum_bytes
+            FROM cum, tot WHERE cum_bytes <= b
         """,
         # CUBE: all four grouping sets with count + integer-cent revenue
         "cube_orders_status_priority": r"""

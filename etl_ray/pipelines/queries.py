@@ -5609,7 +5609,9 @@ def badwords_filter_docs(sf_dir: str):
     over the same unnested tokens."""
     from ..stages.text import flatten_tokens
 
-    BLOCK = ("slow", "dup", "spark")
+    BLOCK = ("dup",)  # rare in the fixture corpus, so the filter is
+    # non-degenerate (the soup vocabulary is 31 tokens; common tokens
+    # appear in ~80% of docs and would empty the corpus)
     block_arr = pa.array(list(BLOCK), pa.string())
 
     def f(t: pa.Table) -> pa.Table:
@@ -5853,3 +5855,139 @@ def approx_quantiles_values_per_type(sf_dir: str):
 
     ds = _read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
     return approx_quantiles_grouped(ds, "event_type", "value", [0.25, 0.5, 0.9])
+
+
+def curation_pipeline_docs(sf_dir: str):
+    """FLAGSHIP #4 — the full corpus-curation chain, end-to-end and
+    SQL-checked as ONE query: C4 blocklist filter -> domain-reputation
+    gate -> temperature (tau=0.7) language rebalance -> charlm-quality
+    byte-budget cut.  Every stage re-derives its statistics from the
+    corpus THAT SURVIVED the previous stage (gates move as upstream
+    filters change — the real pipeline semantics, and what makes this a
+    composition test rather than four independent filters).
+
+    Scale shape per stage: blocklist is row-local; the domain and
+    language stats are tiny bounded groupbys broadcast in-closure; the
+    quality model is the 512 KB charlm all-reduce trained on survivors
+    only; the budget cut is the `ordered_cumsum` distributed prefix
+    scan.  Output: (doc_id, lang, source, mean_unats, n_bytes,
+    cum_bytes) for every kept document."""
+    import hashlib
+    import math
+
+    from ..stages.analytic import ordered_cumsum
+    from ..stages.text import CharLMScorer, charlm_counts, charlm_logp, flatten_tokens
+
+    BLOCK = pa.array(["dup"], pa.string())  # see badwords_filter_docs
+
+    def no_badwords(t: pa.Table) -> pa.Table:
+        flat, par, _ = flatten_tokens(t.column("text"))
+        hit = pc.is_in(flat, value_set=BLOCK).to_numpy(zero_copy_only=False)
+        bad = np.zeros(t.num_rows, bool)
+        if len(par):
+            np.logical_or.at(bad, par, hit)
+        return t.filter(pa.array(~bad))
+
+    s1 = _read_parquet(
+        _p(sf_dir, "documents"),
+        columns=["doc_id", "lang", "source", "n_chars", "text"],
+    ).map_batches(no_badwords, batch_format="pyarrow")
+
+    # stage 2: domain gate from S1's stats (bounded by #sources)
+    c2 = (
+        s1.map_batches(
+            lambda t: t.select(["source", "n_chars"]), batch_format="pyarrow"
+        )
+        .groupby("source")
+        .aggregate(Sum("n_chars", alias_name="s"), Count(alias_name="n"))
+        .take_all()
+    )
+    gate = sum(r["s"] for r in c2) // sum(r["n"] for r in c2)
+    keep_src = pa.array(
+        sorted(r["source"] for r in c2 if r["s"] // r["n"] >= gate), pa.string()
+    )
+    s2 = s1.map_batches(
+        lambda t: t.filter(pc.is_in(t["source"], value_set=keep_src)),
+        batch_format="pyarrow",
+    )
+
+    # stage 3: temperature rebalance from S2's language counts
+    c3 = (
+        s2.map_batches(lambda t: t.select(["lang"]), batch_format="pyarrow")
+        .groupby("lang")
+        .count()
+        .take_all()
+    )
+    cmin = min(r["count()"] for r in c3)
+    thr = {
+        r["lang"]: int(
+            math.floor(
+                math.pow(float(cmin) / float(r["count()"]), 0.3) * 4294967296.0
+            )
+        )
+        for r in c3
+    }
+
+    def mix(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_pylist()
+        h = np.fromiter(
+            (int(hashlib.md5(f"mix:{i}".encode()).hexdigest()[:8], 16) for i in did),
+            np.int64,
+            len(did),
+        )
+        row_thr = np.fromiter(
+            (thr[s] for s in t.column("lang").to_pylist()), np.int64, t.num_rows
+        )
+        return t.filter(pa.array(h < row_thr))
+
+    s3 = s2.map_batches(mix, batch_format="pyarrow")
+
+    # stage 4: quality model trained ON SURVIVORS, budget cut by scan
+    MEAN_BITS, ID_BITS = 24, 39
+    logp_ref = ray.put(charlm_logp(charlm_counts(s3)))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["n_pairs"], pa.scalar(1, pa.int64())))
+        lm = t.column("lm_score_unats").to_numpy(zero_copy_only=False)
+        npair = t.column("n_pairs").to_numpy(zero_copy_only=False)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        mean = np.floor(lm.astype(np.float64) / npair.astype(np.float64)).astype(np.int64)
+        if len(mean):
+            if mean.min() <= -(1 << MEAN_BITS) or mean.max() > 0:
+                raise ValueError("curation_pipeline_docs: mean out of pack contract")
+            if did.min() < 0 or did.max() >= (1 << ID_BITS):
+                raise ValueError("curation_pipeline_docs: doc_id out of pack contract")
+        return pa.table(
+            {
+                "okey": pa.array(((-mean) << ID_BITS) | did),
+                "doc_id": pa.array(did),
+                "lang": t.column("lang"),
+                "source": t.column("source"),
+                "mean_unats": pa.array(mean),
+                "n_bytes": pa.array((npair + 1).astype(np.int64)),
+            }
+        )
+
+    scored = (
+        s3.map_batches(
+            CharLMScorer,
+            fn_constructor_args=(logp_ref,),
+            fn_constructor_kwargs={"keep_cols": ("lang", "source")},
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .map_batches(prep, batch_format="pyarrow")
+        .materialize()  # narrow; consumed by budget scalar + 3-pass scan
+    )
+    budget = int(scored.sum("n_bytes")) // 2
+    cum = ordered_cumsum(
+        scored, order_col="okey", value_col="n_bytes", out_col="cum_bytes"
+    )
+    return cum.map_batches(
+        lambda t: t.filter(
+            pc.less_equal(t["cum_bytes"], pa.scalar(budget, pa.int64()))
+        ).select(
+            ["doc_id", "lang", "source", "mean_unats", "n_bytes", "cum_bytes"]
+        ),
+        batch_format="pyarrow",
+    )

@@ -668,9 +668,9 @@ def test_badwords_filter_excludes_hits(ray_session, tmp_path):
             "lang": ["en"] * 5,
             "text": [
                 "clean text only",
-                "this is slow text",      # blocked: slow
+                "this has dup inside",     # blocked: dup
                 "duplicate but not dup-token dupx",  # 'dupx' != 'dup' -> kept
-                "spark appears here",      # blocked: spark
+                "dup",                     # blocked: dup
                 "",                        # empty -> kept
             ],
         }
