@@ -340,6 +340,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # FLAGSHIP #4: blocklist -> domain gate -> temperature mix ->
         # LM-quality byte-budget cut, stats re-derived per surviving stage
         "curation_pipeline_docs": Q.curation_pipeline_docs,
+        # grouped OLS regression (regr_slope/intercept/r2) from exact
+        # integer moments
+        "regr_price_on_qty_by_retflag": Q.regr_price_on_qty_by_retflag,
+        # grouped skewness + excess kurtosis from exact integer raw moments
+        "skew_kurtosis_quantity_by_retflag": Q.skew_kurtosis_quantity_by_retflag,
+        # Gini coefficient of per-user spend via the distributed rank scan
+        "gini_user_spend": Q.gini_user_spend,
     })
 
 
@@ -2352,6 +2359,78 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS revenue_cents
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        # grouped OLS: slope / intercept / r2 from exact integer moments;
+        # the double expressions mirror the engine operand-for-operand
+        "regr_price_on_qty_by_retflag": """
+            WITH s AS (
+              SELECT l_returnflag,
+                     count(*) AS n,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+              FROM (SELECT l_returnflag,
+                           CAST(floor(l_quantity * 100) AS BIGINT) AS x,
+                           CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+                    FROM lineitem) t
+              GROUP BY 1)
+            SELECT l_returnflag,
+                   CAST(n AS BIGINT) AS n_rows,
+                   CAST(n*sxy - sx*sy AS DOUBLE)
+                     / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+                   (CAST(sy AS DOUBLE)
+                    - (CAST(n*sxy - sx*sy AS DOUBLE)
+                       / CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE) AS intercept,
+                   CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
+                     / (CAST(n*sxx - sx*sx AS DOUBLE)
+                        * CAST(n*syy - sy*sy AS DOUBLE)) AS r2
+            FROM s
+        """,
+        # grouped skewness/kurtosis from exact integer raw moments
+        # (HUGEINT keeps the scaled central moments exact at test scale)
+        "skew_kurtosis_quantity_by_retflag": """
+            WITH s AS (
+              SELECT l_returnflag, count(*) AS n,
+                     sum(x) AS s1, sum(x*x) AS s2,
+                     sum(x*x*x) AS s3, sum(x*x*x*x) AS s4
+              FROM (SELECT l_returnflag,
+                           CAST(floor(l_quantity) AS BIGINT) AS x
+                    FROM lineitem) t
+              GROUP BY 1),
+            m AS (
+              SELECT l_returnflag, n,
+                     CAST(n AS HUGEINT)*s2 - CAST(s1 AS HUGEINT)*s1 AS m2,
+                     CAST(n AS HUGEINT)*n*s3
+                       - 3*CAST(n AS HUGEINT)*s1*s2
+                       + 2*CAST(s1 AS HUGEINT)*s1*s1 AS m3,
+                     CAST(n AS HUGEINT)*n*n*s4
+                       - 4*CAST(n AS HUGEINT)*n*s1*s3
+                       + 6*CAST(n AS HUGEINT)*s1*s1*s2
+                       - 3*CAST(s1 AS HUGEINT)*s1*s1*s1 AS m4
+              FROM s)
+            SELECT l_returnflag,
+                   CAST(n AS BIGINT) AS n_rows,
+                   CAST(m3 AS DOUBLE)
+                     / (CAST(m2 AS DOUBLE) * sqrt(CAST(m2 AS DOUBLE)))
+                     AS skewness,
+                   CAST(m4 AS DOUBLE) / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE))
+                     - 3.0 AS kurtosis_excess
+            FROM m
+        """,
+        # Gini over per-user spend; ties broken by user_id in both engines
+        "gini_user_spend": """
+            WITH spend AS (
+              SELECT user_id,
+                     sum(CAST(floor(value * 100) AS BIGINT)) AS x
+              FROM events GROUP BY 1),
+            r AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS rk
+                  FROM spend),
+            t AS (SELECT count(*) AS n, sum(x) AS sx, sum(rk * x) AS srx
+                  FROM r)
+            SELECT CAST(n AS BIGINT) AS n_users,
+                   CAST(2*srx - (n+1)*sx AS DOUBLE)
+                     / CAST(CAST(n AS HUGEINT) * sx AS DOUBLE) AS gini
+            FROM t
         """,
     }
 

@@ -5991,3 +5991,253 @@ def curation_pipeline_docs(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5 batch 3: regression / higher-moment / inequality statistics
+# ---------------------------------------------------------------------------
+
+
+def regr_price_on_qty_by_retflag(sf_dir: str):
+    """Grouped ordinary-least-squares regression, distributed: per
+    l_returnflag, slope / intercept / r² of extendedprice (cents) on
+    quantity (cents) — the ``regr_slope / regr_intercept / regr_r2``
+    family, computed from EXACT integer moment partials (same shape as
+    corr_qty_price_by_retflag: per-batch int64 (n, Σx, Σy, Σx², Σxy,
+    Σy²) combined on the driver with arbitrary-precision ints).  The
+    only float ops — cast the combined integer moments to double, one
+    divide for the slope, a multiply-subtract-divide for the intercept,
+    two multiplies + a divide for r² — are replicated
+    operand-for-operand in the oracle, so results are bit-identical.
+    Reference analogue: grouped numeric aggregates (A1 family,
+    /root/reference/src/pipeline/jobs/transform.py) widened to second
+    moments."""
+    ds = _read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        x = _cents(t["l_quantity"]).to_numpy(zero_copy_only=False)
+        y = _cents(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        u, inv = np.unique(g, return_inverse=True)
+        cols = {"l_returnflag": pa.array(u, pa.string())}
+        for name, v in (
+            ("n", np.ones(len(x), np.int64)),
+            ("sx", x),
+            ("sy", y),
+            ("sxx", x * x),
+            ("sxy", x * y),
+            ("syy", y * y),
+        ):
+            acc = np.zeros(len(u), np.int64)
+            np.add.at(acc, inv, v)
+            cols[name] = pa.array(acc, pa.int64())
+        return pa.table(cols)
+
+    # batch cap keeps per-batch Σy² below 2^63 (y ≤ 1e7 cents); the
+    # cross-batch combine runs in Python ints, exact at any scale.
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).take_all()
+    agg: dict[str, list[int]] = {}
+    for r in parts:
+        a = agg.setdefault(r["l_returnflag"], [0, 0, 0, 0, 0, 0])
+        for i, k in enumerate(("n", "sx", "sy", "sxx", "sxy", "syy")):
+            a[i] += int(r[k])
+    keys = sorted(agg)
+    rows = {"l_returnflag": [], "n_rows": [], "slope": [], "intercept": [], "r2": []}
+    for k in keys:
+        n, sx, sy, sxx, sxy, syy = agg[k]
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        slope = float(num) / float(den)
+        rows["l_returnflag"].append(k)
+        rows["n_rows"].append(n)
+        rows["slope"].append(slope)
+        rows["intercept"].append((float(sy) - slope * float(sx)) / float(n))
+        rows["r2"].append(float(num) * float(num) / (float(den) * float(dy)))
+    return pa.table(
+        {
+            "l_returnflag": pa.array(rows["l_returnflag"], pa.string()),
+            "n_rows": pa.array(rows["n_rows"], pa.int64()),
+            "slope": pa.array(rows["slope"], pa.float64()),
+            "intercept": pa.array(rows["intercept"], pa.float64()),
+            "r2": pa.array(rows["r2"], pa.float64()),
+        }
+    )
+
+
+def skew_kurtosis_quantity_by_retflag(sf_dir: str):
+    """Grouped skewness + excess kurtosis (population), distributed via
+    EXACT integer raw moments: per-batch int64 partials (n, Σx, Σx²,
+    Σx³, Σx⁴) over l_quantity (small integers ≤ 50, so x⁴ ≤ 6.25e6 and
+    a 65536-row batch sum stays far below 2^63), combined on the driver
+    with Python arbitrary-precision ints.  Scaled central moments are
+    integer-exact:
+
+        M2 = n·Σx² − (Σx)²               (= n²·variance·n⁰… = n·Σd²)
+        M3 = n²·Σx³ − 3n·Σx·Σx² + 2(Σx)³ (= n²·Σd³)
+        M4 = n³·Σx⁴ − 4n²·Σx·Σx³ + 6n·(Σx)²·Σx² − 3(Σx)⁴ (= n³·Σd⁴)
+
+    then skewness g1 = M3 / (M2·√M2) and kurtosis_excess g2 = M4/M2² − 3
+    — identities that hold because the n-powers cancel.  The float tail
+    (casts, one sqrt, multiplies, divides) is replicated
+    operand-for-operand in the oracle (DuckDB's HUGEINT keeps the
+    integer part exact up to ~1.7e38; the Ray side is exact at ANY
+    scale).  Reference analogue: A1 grouped aggregates widened to
+    third/fourth moments."""
+    import math
+
+    ds = _read_parquet(
+        _p(sf_dir, "lineitem"), columns=["l_returnflag", "l_quantity"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        x = (
+            pc.cast(pc.floor(t["l_quantity"]), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        u, inv = np.unique(g, return_inverse=True)
+        cols = {"l_returnflag": pa.array(u, pa.string())}
+        x2 = x * x
+        for name, v in (
+            ("n", np.ones(len(x), np.int64)),
+            ("s1", x),
+            ("s2", x2),
+            ("s3", x2 * x),
+            ("s4", x2 * x2),
+        ):
+            acc = np.zeros(len(u), np.int64)
+            np.add.at(acc, inv, v)
+            cols[name] = pa.array(acc, pa.int64())
+        return pa.table(cols)
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).take_all()
+    agg: dict[str, list[int]] = {}
+    for r in parts:
+        a = agg.setdefault(r["l_returnflag"], [0, 0, 0, 0, 0])
+        for i, k in enumerate(("n", "s1", "s2", "s3", "s4")):
+            a[i] += int(r[k])
+    keys = sorted(agg)
+    out = {"l_returnflag": [], "n_rows": [], "skewness": [], "kurtosis_excess": []}
+    for k in keys:
+        n, s1, s2, s3, s4 = agg[k]
+        m2 = n * s2 - s1 * s1
+        m3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1**3
+        m4 = n**3 * s4 - 4 * n * n * s1 * s3 + 6 * n * s1 * s1 * s2 - 3 * s1**4
+        out["l_returnflag"].append(k)
+        out["n_rows"].append(n)
+        out["skewness"].append(float(m3) / (float(m2) * math.sqrt(float(m2))))
+        out["kurtosis_excess"].append(float(m4) / (float(m2) * float(m2)) - 3.0)
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+            "n_rows": pa.array(out["n_rows"], pa.int64()),
+            "skewness": pa.array(out["skewness"], pa.float64()),
+            "kurtosis_excess": pa.array(out["kurtosis_excess"], pa.float64()),
+        }
+    )
+
+
+def gini_user_spend(sf_dir: str):
+    """Gini coefficient of per-user total event spend — a global
+    rank-weighted statistic (G = (2·Σᵢ rankᵢ·xᵢ − (n+1)·Σx) / (n·Σx)
+    over ascending-sorted x), distributed WITHOUT a global sort of the
+    data:
+
+      1. per-user spend in exact integer cents (one hash groupby);
+      2. global ascending rank via the two-phase range-bucketed prefix
+         scan (``analytic.ordered_cumsum`` with value≡1 over a packed
+         (spend, user_id) order key — bucket order == global order, the
+         shuffle moves only O(batches × buckets) partial counts);
+      3. per-batch int64 partials of (n, Σx, Σ rank·x) combined on the
+         driver in Python ints — exact at any scale.
+
+    Ties in spend are broken by user_id in BOTH engines (the packed key
+    is lexicographic because user_id occupies the low bits), and since
+    tied values are equal, Σ rank·x is tie-order-invariant anyway.  The
+    single float op — one cast-and-divide — is replicated
+    operand-for-operand in the oracle.  Pack contract (asserted):
+    user_id < 2^24, per-user cents < 2^38."""
+    from ..stages.analytic import ordered_cumsum
+
+    ID_BITS = 24
+
+    ds = _read_parquet(_p(sf_dir, "events"), columns=["user_id", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"], "x": _cents(t["value"])})
+
+    spend = (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("x", alias_name="x"))
+    )
+
+    def pack(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = t["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(uid):
+            if uid.min() < 0 or uid.max() >= (1 << ID_BITS):
+                raise ValueError("gini_user_spend: user_id outside pack contract")
+            if x.min() < 0 or x.max() >= (1 << (62 - ID_BITS)):
+                raise ValueError("gini_user_spend: spend outside pack contract")
+        return pa.table(
+            {
+                "okey": pa.array((x << ID_BITS) | uid, pa.int64()),
+                "x": pa.array(x, pa.int64()),
+                "one": pa.array(np.ones(len(uid), np.int64)),
+            }
+        )
+
+    ranked = ordered_cumsum(
+        spend.map_batches(pack, batch_format="pyarrow"),
+        order_col="okey",
+        value_col="one",
+        out_col="rank",  # inclusive running count == ascending rank, 1-based
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        rk = t["rank"].to_numpy(zero_copy_only=False)
+        # Σ rank·x: vectorized int64 when the batch provably fits
+        # (max_rank · max_x · rows < 2^63, checked in Python ints so the
+        # check itself can't overflow); exact Python-int fold otherwise
+        # — no silent overflow at any n·spend combination.
+        if len(x) and int(rk.max()) * int(x.max()) * len(x) >= (1 << 63):
+            srx_val = sum(int(a) * int(b) for a, b in zip(rk.tolist(), x.tolist()))
+        else:
+            srx_val = int((rk * x).sum())
+        # ship srx as two base-2^62 limbs so the partial row itself can
+        # never overflow the int64 column when the fallback produced a
+        # wider-than-64-bit sum
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "srx_hi": pa.array([srx_val >> 62], pa.int64()),
+                "srx_lo": pa.array([srx_val & ((1 << 62) - 1)], pa.int64()),
+            }
+        )
+
+    # batch cap bounds per-batch Σ rank·x below 2^63; cross-batch sums
+    # run in Python ints.
+    parts = ranked.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).take_all()
+    n = sum(int(r["n"]) for r in parts)
+    sx = sum(int(r["sx"]) for r in parts)
+    srx = sum((int(r["srx_hi"]) << 62) + int(r["srx_lo"]) for r in parts)
+    gini = float(2 * srx - (n + 1) * sx) / float(n * sx)
+    return pa.table(
+        {
+            "n_users": pa.array([n], pa.int64()),
+            "gini": pa.array([gini], pa.float64()),
+        }
+    )
