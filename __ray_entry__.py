@@ -347,6 +347,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_kurtosis_quantity_by_retflag": Q.skew_kurtosis_quantity_by_retflag,
         # Gini coefficient of per-user spend via the distributed rank scan
         "gini_user_spend": Q.gini_user_spend,
+        # per-group Gini via bucketed window ranks
+        "gini_spend_by_type": Q.gini_spend_by_type,
+        # Mann-Whitney rank-sum / U via the distributed global rank scan
+        "mannwhitney_click_vs_purchase": Q.mannwhitney_click_vs_purchase,
+        # Theil-T inequality index (rank-free, integer micro-nat terms)
+        "theil_index_user_spend": Q.theil_index_user_spend,
     })
 
 
@@ -2430,6 +2436,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(n AS BIGINT) AS n_users,
                    CAST(2*srx - (n+1)*sx AS DOUBLE)
                      / CAST(CAST(n AS HUGEINT) * sx AS DOUBLE) AS gini
+            FROM t
+        """,
+        # per-group Gini; ranks partition by event_type, ties by user_id
+        "gini_spend_by_type": """
+            WITH spend AS (
+              SELECT event_type, user_id,
+                     sum(CAST(floor(value * 100) AS BIGINT)) AS x
+              FROM events GROUP BY 1, 2),
+            r AS (SELECT event_type, x,
+                         row_number() OVER (
+                           PARTITION BY event_type ORDER BY x, user_id) AS rk
+                  FROM spend),
+            t AS (SELECT event_type, count(*) AS n, sum(x) AS sx,
+                         sum(rk * x) AS srx
+                  FROM r GROUP BY 1)
+            SELECT event_type,
+                   CAST(n AS BIGINT) AS n_users,
+                   CAST(2*srx - (n+1)*sx AS DOUBLE)
+                     / CAST(CAST(n AS HUGEINT) * sx AS DOUBLE) AS gini
+            FROM t
+        """,
+        # Mann-Whitney: global row_number ranks over the combined sample,
+        # tie order (value, event_id) pinned on both sides
+        "mannwhitney_click_vs_purchase": """
+            WITH s AS (
+              SELECT event_type,
+                     CAST(floor(value * 100) AS BIGINT) AS x, event_id
+              FROM events WHERE event_type IN ('click', 'purchase')),
+            r AS (SELECT event_type,
+                         row_number() OVER (ORDER BY x, event_id) AS rk
+                  FROM s),
+            t AS (SELECT event_type, count(*) AS n, sum(rk) AS sr
+                  FROM r GROUP BY 1)
+            SELECT event_type,
+                   CAST(n AS BIGINT) AS n_rows,
+                   CAST(sr AS BIGINT) AS rank_sum,
+                   CAST(sr - (CAST(n AS HUGEINT) * (n + 1)) // 2 AS BIGINT)
+                     AS u_stat
+            FROM t
+        """,
+        # Theil-T: integer micro-nat x*ln(x) terms summed exactly, float
+        # tail operand-mirrored
+        "theil_index_user_spend": """
+            WITH spend AS (
+              SELECT user_id,
+                     sum(CAST(floor(value * 100) AS BIGINT)) AS x
+              FROM events GROUP BY 1),
+            t AS (SELECT count(*) AS n, sum(x) AS sx,
+                         sum(CAST(floor(CAST(x AS DOUBLE)
+                                        * ln(CAST(x AS DOUBLE))
+                                        * 1000000.0) AS BIGINT)) AS sxl
+                  FROM spend)
+            SELECT CAST(n AS BIGINT) AS n_users,
+                   (CAST(sxl AS DOUBLE) / 1000000.0)
+                     / (CAST(n AS DOUBLE)
+                        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                     - ln(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS theil_t
             FROM t
         """,
     }

@@ -6241,3 +6241,228 @@ def gini_user_spend(sf_dir: str):
             "gini": pa.array([gini], pa.float64()),
         }
     )
+
+
+def gini_spend_by_type(sf_dir: str):
+    """Per-group Gini: inequality of per-user spend WITHIN each
+    event_type — the grouped variant of ``gini_user_spend``, ranked with
+    the bucketed window machinery (``analytic.partitioned_analytics``)
+    instead of the global range scan: one bounded hash-bucket shuffle on
+    event_type, in-bucket vectorized lexsort ranks, then per-batch
+    integer partials (n, Σx, Σ rank·x as two base-2^62 limbs) combined
+    per group on the driver (≤ |types| keys).  Ties in spend break by
+    user_id in both engines; the one float op per group is
+    operand-mirrored in the oracle."""
+    from ..stages.analytic import partitioned_analytics
+
+    ds = _read_parquet(
+        _p(sf_dir, "events"), columns=["event_type", "user_id", "value"]
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "user_id": t["user_id"],
+                "x": _cents(t["value"]),
+            }
+        )
+
+    spend = (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("x", alias_name="x"))
+    )
+    ranked = partitioned_analytics(
+        spend, key="event_type", order_by=["x", "user_id"], rn_col="rk"
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t["event_type"].to_numpy(zero_copy_only=False)
+        x = t["x"].to_numpy(zero_copy_only=False)
+        rk = t["rk"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(g, return_inverse=True)
+        n = np.zeros(len(u), np.int64)
+        np.add.at(n, inv, 1)
+        sx = np.zeros(len(u), np.int64)
+        np.add.at(sx, inv, x)
+        if len(x) and int(rk.max()) * int(x.max()) * len(x) >= (1 << 63):
+            srx = [0] * len(u)
+            for i, a, b in zip(inv.tolist(), rk.tolist(), x.tolist()):
+                srx[i] += int(a) * int(b)
+        else:
+            acc = np.zeros(len(u), np.int64)
+            np.add.at(acc, inv, rk * x)
+            srx = [int(v) for v in acc]
+        return pa.table(
+            {
+                "event_type": pa.array(u, pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "sx": pa.array(sx, pa.int64()),
+                "srx_hi": pa.array([v >> 62 for v in srx], pa.int64()),
+                "srx_lo": pa.array([v & ((1 << 62) - 1) for v in srx], pa.int64()),
+            }
+        )
+
+    parts = ranked.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).take_all()
+    agg: dict[str, list[int]] = {}
+    for r in parts:
+        a = agg.setdefault(r["event_type"], [0, 0, 0])
+        a[0] += int(r["n"])
+        a[1] += int(r["sx"])
+        a[2] += (int(r["srx_hi"]) << 62) + int(r["srx_lo"])
+    keys = sorted(agg)
+    gini = [
+        float(2 * agg[k][2] - (agg[k][0] + 1) * agg[k][1])
+        / float(agg[k][0] * agg[k][1])
+        for k in keys
+    ]
+    return pa.table(
+        {
+            "event_type": pa.array(keys, pa.string()),
+            "n_users": pa.array([agg[k][0] for k in keys], pa.int64()),
+            "gini": pa.array(gini, pa.float64()),
+        }
+    )
+
+
+def mannwhitney_click_vs_purchase(sf_dir: str):
+    """Mann-Whitney rank-sum statistics for click vs purchase event
+    values — a two-sample test needing GLOBAL ranks over the combined
+    sample, distributed via the same two-phase range-bucketed prefix
+    scan as the Gini (no global data sort).  Ranks are the deterministic
+    row_number over (value_cents, event_id) — tie order is pinned and
+    mirrored in the oracle (midrank tie-averaging is NOT applied; this
+    is the engine-parity statistic, exact integers end-to-end).
+    U = rank_sum − n(n+1)/2 per side; U_click + U_purchase =
+    n_click·n_purchase by construction (asserted in tests).  Pack
+    contract (asserted): value_cents < 2^23, event_id < 2^39; u_stat
+    emitted as int64 (exact below ~4.3e9 rows per side; the partial
+    combine itself is Python-int exact at any scale)."""
+    from ..stages.analytic import ordered_cumsum
+
+    ID_BITS = 39
+
+    ds = _read_parquet(
+        _p(sf_dir, "events"), columns=["event_type", "value", "event_id"]
+    )
+
+    def pack(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"], pa.array(["click", "purchase"])))
+        x = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(x):
+            if eid.min() < 0 or eid.max() >= (1 << ID_BITS):
+                raise ValueError("mannwhitney: event_id outside pack contract")
+            if x.min() < 0 or x.max() >= (1 << (62 - ID_BITS)):
+                raise ValueError("mannwhitney: value outside pack contract")
+        return pa.table(
+            {
+                "okey": pa.array((x << ID_BITS) | eid, pa.int64()),
+                "event_type": t["event_type"],
+                "one": pa.array(np.ones(len(x), np.int64)),
+            }
+        )
+
+    ranked = ordered_cumsum(
+        ds.map_batches(pack, batch_format="pyarrow"),
+        order_col="okey",
+        value_col="one",
+        out_col="rk",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t["event_type"].to_numpy(zero_copy_only=False)
+        rk = t["rk"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(g, return_inverse=True)
+        n = np.zeros(len(u), np.int64)
+        np.add.at(n, inv, 1)
+        sr = np.zeros(len(u), np.int64)
+        np.add.at(sr, inv, rk)
+        return pa.table(
+            {
+                "event_type": pa.array(u, pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "sr": pa.array(sr, pa.int64()),
+            }
+        )
+
+    parts = ranked.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).take_all()
+    agg: dict[str, list[int]] = {}
+    for r in parts:
+        a = agg.setdefault(r["event_type"], [0, 0])
+        a[0] += int(r["n"])
+        a[1] += int(r["sr"])
+    keys = sorted(agg)
+    return pa.table(
+        {
+            "event_type": pa.array(keys, pa.string()),
+            "n_rows": pa.array([agg[k][0] for k in keys], pa.int64()),
+            "rank_sum": pa.array([agg[k][1] for k in keys], pa.int64()),
+            "u_stat": pa.array(
+                [agg[k][1] - agg[k][0] * (agg[k][0] + 1) // 2 for k in keys],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def theil_index_user_spend(sf_dir: str):
+    """Theil-T inequality index of per-user spend, distributed with NO
+    ranking at all (contrast with the Gini): T = (Σ x·ln x)/(n·μ) − ln μ.
+    The order-sensitive float Σ x·ln x is made engine-order-free the
+    repo's standard way (charlm/DSIR): each row contributes the INTEGER
+    floor(x·ln(x)·1e6) micro-unit term, summed exactly (two base-2^62
+    limbs per partial so no batch overflows int64); the float tail
+    (one divide, one ln, one subtract on identical operands) is
+    mirrored in the oracle.  Per-row term bound: x < 2^38 cents keeps
+    floor(x·ln x·1e6) < 2^63 (asserted via the same pack contract)."""
+    import math
+
+    ds = _read_parquet(_p(sf_dir, "events"), columns=["user_id", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"], "x": _cents(t["value"])})
+
+    spend = (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("x", alias_name="x"))
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(x) and (x.min() < 1 or x.max() >= (1 << 38)):
+            raise ValueError("theil_index: spend outside [1, 2^38) contract")
+        xd = x.astype(np.float64)
+        term = np.floor(xd * np.log(xd) * 1e6).astype(np.int64)
+        s = sum(int(v) for v in term) if len(term) and int(term.max()) * len(
+            term
+        ) >= (1 << 63) else int(term.sum())
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sxl_hi": pa.array([s >> 62], pa.int64()),
+                "sxl_lo": pa.array([s & ((1 << 62) - 1)], pa.int64()),
+            }
+        )
+
+    parts = spend.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).take_all()
+    n = sum(int(r["n"]) for r in parts)
+    sx = sum(int(r["sx"]) for r in parts)
+    sxl = sum((int(r["sxl_hi"]) << 62) + int(r["sxl_lo"]) for r in parts)
+    mu = float(sx) / float(n)
+    theil = (float(sxl) / 1000000.0) / (float(n) * mu) - math.log(mu)
+    return pa.table(
+        {
+            "n_users": pa.array([n], pa.int64()),
+            "theil_t": pa.array([theil], pa.float64()),
+        }
+    )

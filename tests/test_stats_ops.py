@@ -106,3 +106,63 @@ def test_gini_pack_contract_guard(ray_session, tmp_path):
     pq.write_table(t, d / "events.parquet")
     with pytest.raises(Exception, match="pack contract"):
         gini_user_spend(str(d)).to_pandas()
+
+
+def test_gini_by_type_matches_per_group_reference(ray_session):
+    from etl_ray.pipelines.queries import gini_spend_by_type
+
+    out = gini_spend_by_type(SF).to_pandas().set_index("event_type")
+    t = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_type", "user_id", "value"]
+    ).to_pandas()
+    t["x"] = np.floor(t.value * 100).astype(np.int64)
+    for etype, g in t.groupby("event_type"):
+        spend = g.groupby("user_id").x.sum().to_numpy()
+        assert out.loc[etype, "n_users"] == len(spend)
+        assert out.loc[etype, "gini"] == pytest.approx(
+            _gini_reference(spend), abs=1e-12
+        )
+
+
+def test_mannwhitney_u_identity_and_scipy_convention(ray_session):
+    """U_click + U_purchase must equal n_click * n_purchase (exact
+    integer identity of the rank-sum construction)."""
+    from etl_ray.pipelines.queries import mannwhitney_click_vs_purchase
+
+    out = mannwhitney_click_vs_purchase(SF).to_pandas().set_index("event_type")
+    assert set(out.index) == {"click", "purchase"}
+    na, nb = int(out.loc["click", "n_rows"]), int(out.loc["purchase", "n_rows"])
+    ua, ub = int(out.loc["click", "u_stat"]), int(out.loc["purchase", "u_stat"])
+    assert ua + ub == na * nb
+    # rank sums cover 1..n exactly once
+    n = na + nb
+    assert int(out.rank_sum.sum()) == n * (n + 1) // 2
+    # differential vs a plain-python rank over the same tie order
+    t = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_type", "value", "event_id"]
+    ).to_pandas()
+    t = t[t.event_type.isin(["click", "purchase"])].copy()
+    t["x"] = np.floor(t.value * 100).astype(np.int64)
+    t = t.sort_values(["x", "event_id"]).reset_index(drop=True)
+    t["rk"] = np.arange(1, len(t) + 1)
+    ref = t.groupby("event_type").rk.sum()
+    assert int(out.loc["click", "rank_sum"]) == int(ref["click"])
+    assert int(out.loc["purchase", "rank_sum"]) == int(ref["purchase"])
+
+
+def test_theil_matches_plain_python(ray_session):
+    import math
+
+    from etl_ray.pipelines.queries import theil_index_user_spend
+
+    out = theil_index_user_spend(SF).to_pandas()
+    t = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "value"]).to_pandas()
+    t["x"] = np.floor(t.value * 100).astype(np.int64)
+    spend = t.groupby("user_id").x.sum().to_numpy()
+    n = len(spend)
+    sxl = sum(int(math.floor(float(x) * math.log(float(x)) * 1e6)) for x in spend)
+    mu = float(spend.sum()) / float(n)
+    ref = (float(sxl) / 1e6) / (float(n) * mu) - math.log(mu)
+    assert int(out.n_users[0]) == n
+    assert out.theil_t[0] == pytest.approx(ref, abs=1e-12)
+    assert out.theil_t[0] >= 0.0
