@@ -182,6 +182,20 @@ def main(argv: list[str] | None = None) -> int:
                     help="shard format for --resumable exports (jsonl = "
                          "newline-delimited JSON for training loaders)")
 
+    tg = sub.add_parser(
+        "tag", help="named snapshot tags (lake refs): pin a committed txid "
+        "under a name; vacuum protects tagged snapshots automatically"
+    )
+    tg.add_argument("--lake", required=True)
+    tg.add_argument("--create", metavar="NAME", default=None,
+                    help="pin NAME to --txid (default: current head)")
+    tg.add_argument("--txid", default=None)
+    tg.add_argument("--replace", action="store_true",
+                    help="allow moving an existing tag")
+    tg.add_argument("--delete", metavar="NAME", default=None,
+                    help="drop NAME (its files become vacuum-reclaimable)")
+    tg.add_argument("--list", action="store_true", dest="list_tags")
+
     args = p.parse_args(argv)
 
     if args.cmd == "gen":
@@ -193,6 +207,19 @@ def main(argv: list[str] | None = None) -> int:
         )
         paths = generate_dataset(args.out, spec)
         print(json.dumps({"base": paths["base"], "segments": len(paths["segments"])}))
+        return 0
+
+    if args.cmd == "tag":
+        from .tags import create_tag, delete_tag, list_tags
+
+        if args.create:
+            tags = create_tag(args.lake, args.create, args.txid,
+                              replace=args.replace)
+        elif args.delete:
+            tags = delete_tag(args.lake, args.delete)
+        else:
+            tags = list_tags(args.lake)
+        print(json.dumps({"tags": tags}))
         return 0
 
     if args.cmd == "bootstrap":

@@ -453,8 +453,12 @@ def vacuum(lake_root: str, keep_txids: list[str] | None = None) -> dict:
     valid for transactions newer than the last vacuum — EXCEPT snapshots
     named in ``keep_txids``, whose file sets stay protected.  Pass the
     member txids of any live cross-table transaction group
-    (``pipelines/groups.py``) so group-consistent reads survive GC."""
+    (``pipelines/groups.py``) so group-consistent reads survive GC.
+    Snapshots pinned by a named tag (``pipelines/tags.py``) are
+    protected AUTOMATICALLY — tagging is the retention policy; deleting
+    the tag releases the files to the next vacuum."""
     from ..state.manifest import partition_file_list
+    from .tags import list_tags
 
     lake = LakeTable(lake_root)
     manifest = lake.read_manifest()
@@ -463,6 +467,9 @@ def vacuum(lake_root: str, keep_txids: list[str] | None = None) -> dict:
         for p in manifest["partitions"].values()
         for rel in partition_file_list(p)
     }
+    keep_txids = list(keep_txids or ()) + sorted(
+        set(list_tags(lake_root, fs=lake.fs).values())
+    )
     for txid in keep_txids or ():
         snap = lake.manifest_at(txid)
         referenced |= {

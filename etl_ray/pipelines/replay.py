@@ -1211,6 +1211,17 @@ class _MergedPartitionRead:
         return pa.concat_tables(tables, promote_options="default")
 
 
+def _resolve_at(lake_root, at_txid, at_tag, fs):
+    """Shared at_txid/at_tag resolution for the reader family."""
+    if at_tag is None:
+        return at_txid
+    if at_txid is not None:
+        raise ValueError("pass at_txid or at_tag, not both")
+    from .tags import resolve_tag
+
+    return resolve_tag(lake_root, at_tag, fs=fs)
+
+
 def read_table(
     lake_root: str,
     at_txid: str | None = None,
@@ -1218,6 +1229,7 @@ def read_table(
     ts_col: str = "warc_ts",
     columns: list[str] | None = None,
     predicate=None,
+    at_tag: str | None = None,
     fs=None,
 ) -> ray.data.Dataset:
     """Stream the live rows of the lake table (manifest-resolved files,
@@ -1225,7 +1237,9 @@ def read_table(
 
     ``at_txid`` time-travels to the committed state as of that
     transaction (resolved from its immutable per-tx snapshot; valid until
-    ``vacuum()`` reclaims superseded part files).
+    ``vacuum()`` reclaims superseded part files).  ``at_tag`` does the
+    same through a named snapshot tag (``pipelines/tags.py``), whose
+    files vacuum protects for as long as the tag exists.
 
     When any partition carries a merge-on-read delta chain, reads switch
     from flat file scans to one task per partition that reduces
@@ -1240,6 +1254,7 @@ def read_table(
     requested columns they don't carry (additive evolution)."""
     import json as _json
 
+    at_txid = _resolve_at(lake_root, at_txid, at_tag, fs)
     lake = LakeTable(lake_root, fs=fs)
     m = lake.manifest_at(at_txid) if at_txid is not None else lake.read_manifest()
     full_schema = lake.schema(m)
@@ -1300,6 +1315,7 @@ def get_rows(
     at_txid: str | None = None,
     key: str = "url",
     ts_col: str = "warc_ts",
+    at_tag: str | None = None,
     fs=None,
 ) -> pa.Table:
     """Point lookup: live rows for the given keys, reading ONLY the
@@ -1314,6 +1330,7 @@ def get_rows(
     from ..stages.merge import load_partition_state
     from ..stages.partition import url_pid
 
+    at_txid = _resolve_at(lake_root, at_txid, at_tag, fs)
     lake = LakeTable(lake_root, fs=fs)
     m = lake.manifest_at(at_txid) if at_txid is not None else lake.read_manifest()
     schema = lake.schema(m)
@@ -1352,9 +1369,11 @@ def read_table_arrow(
     at_txid: str | None = None,
     key: str = "url",
     ts_col: str = "warc_ts",
+    at_tag: str | None = None,
     fs=None,
 ) -> pa.Table:
     """Materialized, key-sorted snapshot — for tests/small results only."""
+    at_txid = _resolve_at(lake_root, at_txid, at_tag, fs)
     lake = LakeTable(lake_root, fs=fs)
     schema = lake.schema(lake.manifest_at(at_txid)) if at_txid is not None else lake.schema()
     batches = [
