@@ -196,6 +196,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="drop NAME (its files become vacuum-reclaimable)")
     tg.add_argument("--list", action="store_true", dest="list_tags")
 
+    rn = sub.add_parser(
+        "rename-column",
+        help="metadata-only column rename (no file rewrite); stored files "
+        "keep their era's names and every read normalizes through the chain",
+    )
+    rn.add_argument("--lake", required=True)
+    rn.add_argument("--from", dest="old", required=True)
+    rn.add_argument("--to", dest="new", required=True)
+
     args = p.parse_args(argv)
 
     if args.cmd == "gen":
@@ -220,6 +229,15 @@ def main(argv: list[str] | None = None) -> int:
         else:
             tags = list_tags(args.lake)
         print(json.dumps({"tags": tags}))
+        return 0
+
+    if args.cmd == "rename-column":
+        from .maintenance import rename_column
+
+        lin = rename_column(args.lake, args.old, args.new)
+        print(json.dumps(
+            {"renamed": {"from": args.old, "to": args.new}, "txid": lin["txid"]}
+        ))
         return 0
 
     if args.cmd == "bootstrap":

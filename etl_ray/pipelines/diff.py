@@ -71,21 +71,35 @@ _DIFF_SCHEMA = pa.schema(
 _COLS = ["url", "warc_ts", "_lsn", "_deleted"]
 
 
-def _live(paths: list[str], cols: list[str] | None = None) -> pa.Table:
+def _live(
+    paths: list[str], cols: list[str] | None = None, renames: list | None = None
+) -> pa.Table:
     """Live rows of one partition from its (base + delta-chain) file
     list, column-pruned.  Chains are LWW-reduced before the tombstone
     filter (same order as the read/merge paths); files written under an
-    older schema get missing value columns null-filled."""
+    older schema get missing value columns null-filled; files written
+    before a column rename are read by their era's names and normalized
+    through the chain (``renames``)."""
     cols = cols or _COLS
     if not paths:
         return pa.schema(
             [("url", pa.string()), ("warc_ts", pa.timestamp("us")), ("_lsn", pa.int64())]
             + [(c, pa.string()) for c in cols if c not in _COLS]
         ).empty_table()
+    if renames:
+        from ..state.schema_registry import apply_renames, storage_aliases
+
+        want = list(
+            dict.fromkeys(a for c in cols for a in storage_aliases(c, renames))
+        )
+    else:
+        want = cols
     tables = []
     for p in paths:
         have = set(pq.read_schema(p).names)
-        t = pq.read_table(p, columns=[c for c in cols if c in have])
+        t = pq.read_table(p, columns=[c for c in want if c in have])
+        if renames:
+            t = apply_renames(t, renames)
         for c in cols:
             if c not in t.column_names:
                 t = t.append_column(c, pa.nulls(t.num_rows, pa.string()))
@@ -149,7 +163,8 @@ def _diff_one(pid: int, files_a: list[str], files_b: list[str]) -> pa.Table:
 
 
 def _signed_one(
-    pid: int, files_a: list[str], files_b: list[str], value_cols: tuple[str, ...]
+    pid: int, files_a: list[str], files_b: list[str], value_cols: tuple[str, ...],
+    renames: list | None = None,
 ) -> pa.Table:
     """Signed delta rows for one partition: every live A row that is
     deleted-or-updated contributes sign=-1 (retraction of its old
@@ -158,8 +173,8 @@ def _signed_one(
     sign-weighted contributions (insert = +new, delete = -old,
     update = -old +new)."""
     cols = ["url", "warc_ts", "_lsn", "_deleted", *value_cols]
-    a = _live(files_a, cols)
-    b = _live(files_b, cols)
+    a = _live(files_a, cols, renames)
+    b = _live(files_b, cols, renames)
     a_in_b = pc.index_in(a.column("url"), value_set=b.column("url").combine_chunks())
     b_in_a = pc.index_in(b.column("url"), value_set=a.column("url").combine_chunks())
 
@@ -206,6 +221,9 @@ def table_delta(
     manifest pruning: cost is proportional to rewritten partitions."""
     lake = LakeTable(lake_root)
     ma, mb = lake.manifest_at(from_txid), lake.manifest_at(to_txid)
+    # the TO side's rename chain is a superset of the FROM side's, so it
+    # normalizes both snapshots to current names
+    renames = mb.get("renames", [])
     schema = pa.schema(
         [("url", pa.string()), ("sign", pa.int8())]
         + [(c, pa.string()) for c in value_cols]
@@ -216,7 +234,8 @@ def table_delta(
 
     def run(batch: pa.Table) -> pa.Table:
         outs = [
-            _signed_one(int(pid), json.loads(fa), json.loads(fb), tuple(value_cols))
+            _signed_one(int(pid), json.loads(fa), json.loads(fb), tuple(value_cols),
+                        renames)
             for pid, fa, fb in zip(
                 batch.column("pid").to_pylist(),
                 batch.column("files_a").to_pylist(),
@@ -266,6 +285,7 @@ def _changelog_one(
     files_a: list[str],
     files_b: list[str],
     image_cols: tuple[str, ...],
+    renames: list | None = None,
 ) -> pa.Table:
     """Debezium-style change records for one partition: each row carries
     the BEFORE image (snapshot A values; null for insert) and the AFTER
@@ -273,7 +293,7 @@ def _changelog_one(
     digests of the (potentially wide) columns so only narrow rows leave
     the task — the winner-only-payload rule applied to the change feed."""
     cols = [*_COLS, *image_cols]
-    a, b = _live(files_a, cols), _live(files_b, cols)
+    a, b = _live(files_a, cols, renames), _live(files_b, cols, renames)
     a_in_b = pc.index_in(a.column("url"), value_set=b.column("url").combine_chunks())
     b_in_a = pc.index_in(b.column("url"), value_set=a.column("url").combine_chunks())
 
@@ -358,6 +378,7 @@ def table_changelog(
     snapshots."""
     lake = LakeTable(lake_root)
     ma, mb = lake.manifest_at(from_txid), lake.manifest_at(to_txid)
+    renames = mb.get("renames", [])
     schema = _changelog_schema(image_cols)
     work = _changed_partitions(lake_root, ma, mb)
     if not work:
@@ -365,7 +386,8 @@ def table_changelog(
 
     def run(batch: pa.Table) -> pa.Table:
         outs = [
-            _changelog_one(int(pid), json.loads(fa), json.loads(fb), image_cols)
+            _changelog_one(int(pid), json.loads(fa), json.loads(fb), image_cols,
+                           renames)
             for pid, fa, fb in zip(
                 batch.column("pid").to_pylist(),
                 batch.column("files_a").to_pylist(),

@@ -192,14 +192,17 @@ def _compact_impl(
 
 @ray.remote
 def _fold_partition(
-    lake_root: str, txid: str, pid: int, meta: dict, key: str, ts_col: str
+    lake_root: str, txid: str, pid: int, meta: dict, key: str, ts_col: str,
+    renames: list | None = None,
 ) -> dict:
     """Fold one partition's base ∪ delta chain into a fresh base file
     (staged; the driver commits).  Tombstone WINNERS are retained — this
     folds superseded row versions only, it is not tombstone GC."""
     from ..stages.merge import _checksum, load_partition_state
 
-    tbl = load_partition_state(lake_root, meta, schema=None, key=key, ts_col=ts_col)
+    tbl = load_partition_state(
+        lake_root, meta, schema=None, key=key, ts_col=ts_col, renames=renames
+    )
     tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[(key, "ascending")]))
     path = os.path.join(lake_root, "staging", txid, f"part-{pid:05d}.parquet")
     from ..state.fs import resolve as _resolve
@@ -252,7 +255,10 @@ def _compact_deltas_impl(
         return None
     txid = lake.next_txid(manifest)
     futs = [
-        _fold_partition.remote(lake_root, txid, int(pid), meta, key, ts_col)
+        _fold_partition.remote(
+            lake_root, txid, int(pid), meta, key, ts_col,
+            manifest.get("renames", []),
+        )
         for pid, meta in todo.items()
     ]
     results = ray.get(futs)
@@ -281,10 +287,13 @@ def _backfill_partition(
     fn,
     key: str,
     ts_col: str,
+    renames: list | None = None,
 ) -> dict:
     from ..stages.merge import _checksum, load_partition_state
 
-    tbl = load_partition_state(lake_root, meta, schema=None, key=key, ts_col=ts_col)
+    tbl = load_partition_state(
+        lake_root, meta, schema=None, key=key, ts_col=ts_col, renames=renames
+    )
     newcol = fn(tbl)
     if not isinstance(newcol, (pa.Array, pa.ChunkedArray)):
         newcol = pa.array(newcol)
@@ -332,7 +341,8 @@ def _backfill_impl(
     txid = lake.next_txid(manifest)
     futs = [
         _backfill_partition.remote(
-            lake_root, txid, int(pid), meta, column, fn, key, ts_col
+            lake_root, txid, int(pid), meta, column, fn, key, ts_col,
+            manifest.get("renames", []),
         )
         for pid, meta in manifest["partitions"].items()
     ]
@@ -611,9 +621,26 @@ def _repartition_impl(lake_root: str, new_num_partitions: int) -> dict:
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     n_blocks = max(1, min(max(ncpu, len(files)), int(new_num_partitions)))
     ds = ray.data.read_parquet(files, override_num_blocks=n_blocks)
-    ds = ds.map_batches(
-        lambda t: add_partition_cols(t, new_num_partitions), batch_format="pyarrow"
-    )
+    renames = manifest.get("renames", [])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        if renames:
+            # files span rename eras; the dataset layer may have union'd
+            # old+new names (null-filled complementarily) — coalesce the
+            # historical column into the current one, else plain-rename
+            from ..state.schema_registry import apply_renames
+
+            for r in renames:
+                o, n = r["from"], r["to"]
+                if o in t.column_names and n in t.column_names:
+                    t = t.set_column(
+                        t.column_names.index(n), n,
+                        pc.coalesce(t.column(n), t.column(o)),
+                    ).drop_columns([o])
+            t = apply_renames(t, renames)
+        return add_partition_cols(t, new_num_partitions)
+
+    ds = ds.map_batches(_prep, batch_format="pyarrow")
     lineage_ds = ds.groupby("pid").map_groups(
         _RepartitionWriter(lake_root, txid), batch_format="pyarrow"
     )
@@ -725,6 +752,7 @@ class _ExportPartition:
         ts_col: str,
         columns: list[str] | None,
         fs_spec: str = "local-os",
+        renames: list | None = None,
         fmt: str = "parquet",
     ):
         self.__name__ = "_ExportPartition"
@@ -736,6 +764,7 @@ class _ExportPartition:
         self.ts_col = ts_col
         self.columns = columns
         self.fs_spec = fs_spec
+        self.renames = list(renames or [])
         self.fmt = fmt
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -761,7 +790,8 @@ class _ExportPartition:
                 continue
             t = load_partition_state(
                 self.lake_root, _json.loads(meta_json), self.schema,
-                self.key, self.ts_col, columns=self.columns, fs=self.fs_spec,
+                self.key, self.ts_col, columns=self.columns,
+                renames=self.renames, fs=self.fs_spec,
             )
             t = t.filter(pc.invert(t.column("_deleted")))
             t = t.drop_columns([c for c in INTERNAL_COLS if c in t.column_names])
@@ -840,7 +870,7 @@ def export_partitioned(
     lineage = ds.map_batches(
         _ExportPartition(
             lake_root, out_dir, m["txid"], schema, key, ts_col, columns,
-            fs_spec=lake.fs.spec, fmt=fmt,
+            fs_spec=lake.fs.spec, renames=m.get("renames", []), fmt=fmt,
         ),
         batch_format="pyarrow",
         batch_size=None,
@@ -921,12 +951,16 @@ def _zorder_partition(
     key: str,
     ts_col: str,
     row_group_size: int,
+    renames: list | None = None,
 ) -> dict:
     from ..stages.merge import _checksum
     from ..state.fs import resolve as _resolve
+    from ..state.schema_registry import apply_renames
 
     _fs = _resolve(None)
     tbl = pq.read_table(os.path.join(lake_root, rel_file), filesystem=_fs.pyarrow_fs)
+    if renames:
+        tbl = apply_renames(tbl, renames)
     if tbl.num_rows:
         z = _zcode(tbl, cols)
         tbl = tbl.take(pa.array(np.argsort(z, kind="stable"), pa.int64()))
@@ -980,7 +1014,7 @@ def _zorder_impl(
     futs = [
         _zorder_partition_remote.remote(
             lake_root, txid, int(pid), meta["file"], list(cols), key, ts_col,
-            row_group_size,
+            row_group_size, manifest.get("renames", []),
         )
         for pid, meta in manifest["partitions"].items()
         if not meta.get("deltas")
@@ -999,6 +1033,79 @@ def _zorder_impl(
         },
     )
     return m["lineage"][-1]
+
+
+def _rename_column_impl(
+    lake_root: str,
+    old: str,
+    new: str,
+    *,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+) -> dict:
+    """Metadata-only column rename (no file rewrite) — the Iceberg-style
+    schema-evolution step the additive registry could not express.
+
+    Publishes ONE transaction that (a) swaps the field name in the
+    manifest schema and (b) appends {from, to} to the table's ordered
+    rename chain.  Stored part files keep their era's names; every read
+    path normalizes through the chain (``schema_registry.apply_renames``
+    inside ``load_partition_state`` / the merged-partition reader), and
+    the MERGE path maps still-old-named WAL payloads forward, so replay
+    after a rename keeps landing in the renamed column.  Time travel and
+    tags serve each snapshot's own era names (the chain is part of the
+    per-tx snapshot).  Refused for the LWW identity columns (key,
+    ts_col, internals) and for coalesce (partial-image) tables, whose
+    per-column state metadata is name-keyed inside files."""
+    from ..stages.merge import INTERNAL_COLS
+
+    lake = LakeTable(lake_root)
+    manifest = lake.read_manifest()
+    schema = lake.schema(manifest)
+    if old in (key, ts_col) or old in INTERNAL_COLS:
+        raise ValueError(
+            f"rename_column: {old!r} is an LWW identity/internal column"
+        )
+    if old not in schema.names:
+        raise ValueError(f"rename_column: no column {old!r} in {schema.names}")
+    if new in schema.names or new in INTERNAL_COLS or new in (key, ts_col):
+        raise ValueError(f"rename_column: target name {new!r} already in use")
+    # coalesce tables carry name-keyed per-column metadata inside files
+    for meta in manifest["partitions"].values():
+        rel = meta.get("file")
+        if rel:
+            names = pq.read_schema(
+                os.path.join(lake_root, rel), filesystem=lake.fs.pyarrow_fs
+            ).names
+            if "_up_ts" in names:
+                raise NotImplementedError(
+                    "rename_column is not supported on coalesce tables"
+                )
+            break
+    new_schema = pa.schema(
+        [f.with_name(new) if f.name == old else f for f in schema],
+        metadata=schema.metadata,
+    )
+    renames = list(manifest.get("renames", [])) + [{"from": old, "to": new}]
+    txid = lake.next_txid(manifest)
+    m = lake.commit(
+        manifest,
+        txid,
+        [],
+        applied_segments=[f"__rename_{old}_{new}_{txid}__"],
+        applied_lsn_range=None,
+        new_schema=new_schema,
+        renames=renames,
+        extras={"rename_from": old, "rename_to": new},
+    )
+    return m["lineage"][-1]
+
+
+def rename_column(lake_root, old, new, **kwargs):
+    from ..state.manifest import writer_lock
+
+    with writer_lock(lake_root):
+        return _rename_column_impl(lake_root, old, new, **kwargs)
 
 
 def zorder_rewrite(lake_root, cols, **kwargs):

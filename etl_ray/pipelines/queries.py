@@ -59,6 +59,27 @@ def _cents(arr) -> pa.Array:
     return pc.cast(pc.floor(pc.multiply(arr, pa.scalar(100.0))), pa.int64())
 
 
+def _hug2d(v: int) -> float:
+    """DuckDB ``CAST(x::HUGEINT AS DOUBLE)`` parity.  DuckDB's
+    CastBigintToFloating over the two's-complement (upper:int64,
+    lower:uint64) halves computes
+
+        upper == -1:  -(double)(2^64 - 1 - lower) - 1
+        otherwise:    (double)lower + (double)upper * (double)(2^64 - 1)
+
+    (note the 2^64 - 1 multiplier), which double-rounds for |v| >= 2^63
+    and can land 1 ulp away from Python's correctly-rounded
+    ``float(int)``.  Any engine float derived from an integer the ORACLE
+    casts from HUGEINT goes through this mirror so the tails stay
+    bit-identical (verified exhaustively against DuckDB across
+    40-120-bit signed values; below 2^63 both paths agree exactly)."""
+    upper = v >> 64
+    lower = v & ((1 << 64) - 1)
+    if upper == -1:
+        return -float((1 << 64) - 1 - lower) - 1.0
+    return float(lower) + float(upper) * float((1 << 64) - 1)
+
+
 # ---------------------------------------------------------------------------
 # relational core (reference operator families A1/A2, M4/M9, O, J1/J2, D2)
 # ---------------------------------------------------------------------------
@@ -3182,7 +3203,8 @@ def corr_qty_price_by_retflag(sf_dir: str):
         num = n * sxy - sx * sy
         d1 = n * sxx - sx * sx
         d2 = n * syy - sy * sy
-        corr.append(float(num) / math.sqrt(float(d1) * float(d2)))
+        # _hug2d: the oracle casts these from HUGEINT (sums of BIGINT)
+        corr.append(_hug2d(num) / math.sqrt(_hug2d(d1) * _hug2d(d2)))
     return pa.table(
         {
             "l_returnflag": pa.array(keys, pa.string()),
@@ -6053,12 +6075,14 @@ def regr_price_on_qty_by_retflag(sf_dir: str):
         num = n * sxy - sx * sy
         den = n * sxx - sx * sx
         dy = n * syy - sy * sy
-        slope = float(num) / float(den)
+        # _hug2d mirrors the oracle's HUGEINT->DOUBLE casts (sums and
+        # their combinations); n is a BIGINT count -> plain float()
+        slope = _hug2d(num) / _hug2d(den)
         rows["l_returnflag"].append(k)
         rows["n_rows"].append(n)
         rows["slope"].append(slope)
-        rows["intercept"].append((float(sy) - slope * float(sx)) / float(n))
-        rows["r2"].append(float(num) * float(num) / (float(den) * float(dy)))
+        rows["intercept"].append((_hug2d(sy) - slope * _hug2d(sx)) / float(n))
+        rows["r2"].append(_hug2d(num) * _hug2d(num) / (_hug2d(den) * _hug2d(dy)))
     return pa.table(
         {
             "l_returnflag": pa.array(rows["l_returnflag"], pa.string()),
@@ -6133,8 +6157,8 @@ def skew_kurtosis_quantity_by_retflag(sf_dir: str):
         m4 = n**3 * s4 - 4 * n * n * s1 * s3 + 6 * n * s1 * s1 * s2 - 3 * s1**4
         out["l_returnflag"].append(k)
         out["n_rows"].append(n)
-        out["skewness"].append(float(m3) / (float(m2) * math.sqrt(float(m2))))
-        out["kurtosis_excess"].append(float(m4) / (float(m2) * float(m2)) - 3.0)
+        out["skewness"].append(_hug2d(m3) / (_hug2d(m2) * math.sqrt(_hug2d(m2))))
+        out["kurtosis_excess"].append(_hug2d(m4) / (_hug2d(m2) * _hug2d(m2)) - 3.0)
     return pa.table(
         {
             "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
@@ -6234,7 +6258,7 @@ def gini_user_spend(sf_dir: str):
     n = sum(int(r["n"]) for r in parts)
     sx = sum(int(r["sx"]) for r in parts)
     srx = sum((int(r["srx_hi"]) << 62) + int(r["srx_lo"]) for r in parts)
-    gini = float(2 * srx - (n + 1) * sx) / float(n * sx)
+    gini = _hug2d(2 * srx - (n + 1) * sx) / _hug2d(n * sx)
     return pa.table(
         {
             "n_users": pa.array([n], pa.int64()),
@@ -6315,8 +6339,8 @@ def gini_spend_by_type(sf_dir: str):
         a[2] += (int(r["srx_hi"]) << 62) + int(r["srx_lo"])
     keys = sorted(agg)
     gini = [
-        float(2 * agg[k][2] - (agg[k][0] + 1) * agg[k][1])
-        / float(agg[k][0] * agg[k][1])
+        _hug2d(2 * agg[k][2] - (agg[k][0] + 1) * agg[k][1])
+        / _hug2d(agg[k][0] * agg[k][1])
         for k in keys
     ]
     return pa.table(
@@ -6458,8 +6482,8 @@ def theil_index_user_spend(sf_dir: str):
     n = sum(int(r["n"]) for r in parts)
     sx = sum(int(r["sx"]) for r in parts)
     sxl = sum((int(r["sxl_hi"]) << 62) + int(r["sxl_lo"]) for r in parts)
-    mu = float(sx) / float(n)
-    theil = (float(sxl) / 1000000.0) / (float(n) * mu) - math.log(mu)
+    mu = _hug2d(sx) / float(n)
+    theil = (_hug2d(sxl) / 1000000.0) / (float(n) * mu) - math.log(mu)
     return pa.table(
         {
             "n_users": pa.array([n], pa.int64()),

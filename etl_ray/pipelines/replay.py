@@ -902,7 +902,16 @@ def _replay_one_tx(
     for s in seg_schemas[1:]:
         unified_wal = evolve(unified_wal, s)
     current_schema = lake.schema(manifest)
-    target_schema = evolve(current_schema, _wal_payload_schema(unified_wal))
+    wal_payload = _wal_payload_schema(unified_wal)
+    tbl_renames = manifest.get("renames", [])
+    if tbl_renames:
+        # a renamed column's WAL payload may still arrive under the
+        # source-era name; map it forward BEFORE unification or additive
+        # evolution would resurrect the old name as a new column
+        from ..state.schema_registry import apply_renames as _apply_renames
+
+        wal_payload = _apply_renames(wal_payload, tbl_renames)
+    target_schema = evolve(current_schema, wal_payload)
 
     n_events_est = sum(md.num_rows for md in seg_md)
     # auto rule: the per-batch combiner already caps any key's post-shuffle
@@ -1115,6 +1124,7 @@ def _replay_one_tx(
             delta=(merge_mode == "delta"),
             coalesce=spec.coalesce_partial,
             fs_spec=lake.fs.spec,
+            renames=tbl_renames,
         )
         # retry application exceptions too: a merge task is side-effect-safe
         # (deterministic staging path, overwrite on retry), so transient I/O
@@ -1171,6 +1181,7 @@ class _MergedPartitionRead:
         ts_col: str,
         columns: list[str] | None = None,
         fs_spec: str = "local-os",
+        renames: list | None = None,
     ):
         self.__name__ = "_MergedPartitionRead"
         self.lake_root = lake_root
@@ -1179,6 +1190,7 @@ class _MergedPartitionRead:
         self.ts_col = ts_col
         self.columns = columns  # output projection, applied post-merge
         self.fs_spec = fs_spec
+        self.renames = list(renames or [])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import json as _json
@@ -1190,7 +1202,7 @@ class _MergedPartitionRead:
             t = load_partition_state(
                 self.lake_root, _json.loads(meta_json), self.schema,
                 self.key, self.ts_col, columns=self.columns,
-                fs=self.fs_spec,
+                renames=self.renames, fs=self.fs_spec,
             )
             t = t.filter(pc.invert(t.column("_deleted")))
             t = t.drop_columns([c for c in INTERNAL_COLS if c in t.column_names])
@@ -1267,7 +1279,8 @@ def read_table(
     if not files:
         return ray.data.from_arrow(schema.empty_table())
 
-    if any(p.get("deltas") for p in m["partitions"].values()):
+    renames = m.get("renames", [])
+    if renames or any(p.get("deltas") for p in m["partitions"].values()):
         items = [
             {"pid": int(pid), "meta": _json.dumps(meta)}
             for pid, meta in sorted(m["partitions"].items(), key=lambda kv: int(kv[0]))
@@ -1276,7 +1289,7 @@ def read_table(
         out = ds.map_batches(
             _MergedPartitionRead(
                 lake_root, full_schema, key, ts_col, columns=columns,
-                fs_spec=lake.fs.spec,
+                fs_spec=lake.fs.spec, renames=renames,
             ),
             batch_format="pyarrow",
             batch_size=None,
@@ -1349,7 +1362,7 @@ def get_rows(
         # layer — O(matching row groups) per lookup, not O(partition)
         t = load_partition_state(
             lake_root, meta, schema, key, ts_col, key_in=by_pid[pid],
-            fs=lake.fs,
+            renames=m.get("renames", []), fs=lake.fs,
         )
         t = t.filter(
             pc.and_(

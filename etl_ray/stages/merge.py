@@ -98,6 +98,7 @@ def load_partition_state(
     ts_col: str = "warc_ts",
     key_in: list | None = None,
     columns: list[str] | None = None,
+    renames: list | None = None,
     fs=None,
 ) -> pa.Table:
     """Materialize one partition's stored state: base file ∪ merge-on-read
@@ -119,6 +120,7 @@ def load_partition_state(
     null-backfilled by ``conform_stored``."""
     from ..state.fs import resolve
     from ..state.manifest import partition_file_list
+    from ..state.schema_registry import apply_renames, storage_aliases
 
     adapter = fs if (fs is not None and not isinstance(fs, str)) else resolve(fs)
     pafs = adapter.pyarrow_fs
@@ -129,6 +131,15 @@ def load_partition_state(
         need = list(dict.fromkeys([*columns, key, ts_col, *INTERNAL_COLS]))
         if schema is not None:
             schema = pa.schema([f for f in schema if f.name in set(need)])
+        if renames:
+            # pre-rename files store CURRENT columns under historical
+            # names — project by every alias so the data is not silently
+            # dropped and null-backfilled
+            need = list(
+                dict.fromkeys(
+                    a for c in need for a in storage_aliases(c, renames)
+                )
+            )
     # coalesce (partial-image) tables are SELF-DESCRIBING: their state
     # files carry per-column position metadata (_up_ts etc,
     # stages/coalesce.py); base ∪ chain then reduces under the coalesce
@@ -138,6 +149,12 @@ def load_partition_state(
         for rel in files
     )
     if coalesce_files:
+        if renames:
+            raise NotImplementedError(
+                "rename_column is not supported on coalesce (partial-image) "
+                "tables: their per-column state metadata (_cts__/_clsn__) "
+                "is name-keyed inside the files"
+            )
         return _load_coalesce_chain(
             lake_root, files, schema, key, ts_col, pafs, filters
         )
@@ -149,6 +166,8 @@ def load_partition_state(
             present = set(pq.read_schema(path, filesystem=pafs).names)
             cols = [c for c in need if c in present]
         t = pq.read_table(path, filters=filters, columns=cols, filesystem=pafs)
+        if renames:
+            t = apply_renames(t, renames)
         if schema is not None:
             t = conform_stored(t, schema)
         tables.append(t)
@@ -280,6 +299,7 @@ class MergePartition:
         delta: bool = False,
         coalesce: bool = False,
         fs_spec: str = "local-os",
+        renames: list | None = None,
     ):
         self.__name__ = "MergeDelta" if delta else (
             "MergeCoalesce" if coalesce else "MergePartition"
@@ -294,6 +314,7 @@ class MergePartition:
         self.delta = delta
         self.coalesce = coalesce
         self.fs_spec = fs_spec  # adapter reconstructed worker-side
+        self.renames = list(renames or [])
         self._fs = None
 
     @property
@@ -345,7 +366,18 @@ class MergePartition:
             # deterministic path: retry-safe
             dlq_rows = dlq.num_rows
         if self.coalesce:
+            if self.renames:
+                raise NotImplementedError(
+                    "rename_column is not supported on coalesce tables"
+                )
             return self._merge_coalesce(pid, changes, dlq_rows)
+        if self.renames:
+            # WAL payloads may still carry source-era (pre-rename) names;
+            # normalize BEFORE conform or the data would be dropped and
+            # null-backfilled under the new name
+            from ..state.schema_registry import apply_renames
+
+            changes = apply_renames(changes, self.renames)
         changes = lww_compact(changes, self.key, order_by=(self.ts_col, "lsn"))
 
         ops = changes.column("op")
@@ -366,7 +398,7 @@ class MergePartition:
         if cur_meta is not None:
             cur = load_partition_state(
                 self.lake_root, cur_meta, self.schema, self.key, self.ts_col,
-                fs=self.fs,
+                renames=self.renames, fs=self.fs,
             )
             merged = pa.concat_tables([cur, body], promote_options="default")
         else:
@@ -375,20 +407,27 @@ class MergePartition:
         # final exact reduce: max (ts_col, _lsn) per key over base ∪ changes
         merged = self._lww_stored(merged)
 
-        if self.derive_text and "html" in merged.column_names and "text" in merged.column_names:
+        # derive-columns may themselves have been renamed — resolve their
+        # CURRENT names through the chain before probing
+        from ..state.schema_registry import current_name
+
+        html_col = current_name("html", self.renames)
+        text_col = current_name("text", self.renames)
+        if self.derive_text and html_col in merged.column_names and text_col in merged.column_names:
             # extract for surviving change rows only (text still null,
             # not deleted); stored rows already carry their text
-            txt = merged.column("text")
+            txt = merged.column(text_col)
             need = pc.and_(pc.invert(merged.column("_deleted")), pc.is_null(txt))
             need_np = need.to_numpy(zero_copy_only=False)
             if need_np.any():
                 idxs = np.flatnonzero(need_np)
-                htmls = pc.take(merged.column("html"), pa.array(idxs)).to_pylist()
+                htmls = pc.take(merged.column(html_col), pa.array(idxs)).to_pylist()
                 vals = txt.to_pylist()
                 for i, h in zip(idxs.tolist(), htmls):
                     vals[i] = extract_text(h)
                 merged = merged.set_column(
-                    merged.column_names.index("text"), "text", pa.array(vals, pa.string())
+                    merged.column_names.index(text_col), text_col,
+                    pa.array(vals, pa.string()),
                 )
 
         out_path = os.path.join(

@@ -203,6 +203,7 @@ class LakeTable:
         replace_partitions: bool = False,
         new_num_partitions: int | None = None,
         delta: bool = False,
+        renames: list | None = None,
     ) -> dict:
         """Atomically publish a transaction.
 
@@ -308,6 +309,13 @@ class LakeTable:
         # time-travel reads (`read_table(at_txid=...)`) resolve files and
         # schema from this snapshot alone (valid until vacuum() reclaims
         # the superseded part files)
+        # the rename chain is part of the snapshot: a time-travel read of
+        # a pre-rename txid serves that era's names (metadata-only column
+        # renames, pipelines/maintenance.rename_column)
+        eff_renames = (
+            list(renames) if renames is not None
+            else list(manifest.get("renames", []))
+        )
         tx_record["snapshot"] = {
             "partitions": partitions,
             "schema": (
@@ -316,6 +324,7 @@ class LakeTable:
                 else dict(m["schema"])
             ),
             "num_partitions": m["num_partitions"],
+            "renames": eff_renames,
         }
         self.fs.makedirs(self.manifests_dir)
         self.fs.write_json(
@@ -324,6 +333,8 @@ class LakeTable:
 
         m["txid"] = txid
         m["tx_seq"] = manifest["tx_seq"] + 1
+        if eff_renames:
+            m["renames"] = eff_renames
         m["partitions"] = partitions
         m["applied_segments"] = list(manifest["applied_segments"]) + list(applied_segments)
         if lsn_ranges:
@@ -373,6 +384,7 @@ class LakeTable:
             "num_partitions": snap["num_partitions"],
             "schema": snap["schema"],
             "partitions": snap["partitions"],
+            "renames": snap.get("renames", []),
         }
 
     def pending_segments(self, all_segments: list[str], manifest: dict | None = None) -> list[str]:

@@ -123,3 +123,62 @@ def unify(schemas: list[pa.Schema]) -> pa.Schema:
     for s in schemas[1:]:
         out = evolve(out, s)
     return out
+
+
+# ---------------------------------------------------------------------------
+# column renames (metadata-only; no file rewrite)
+# ---------------------------------------------------------------------------
+
+
+def apply_renames(obj, renames):
+    """Normalize historical column names to CURRENT names.
+
+    ``renames`` is the manifest's ordered rename chain
+    (``[{"from": old, "to": new}, ...]``).  A stored file reflects some
+    PREFIX of the chain (files are written conforming to the schema of
+    their transaction), so applying the chain in order maps any era's
+    names forward: a step renames ``from`` -> ``to`` only when ``from``
+    is present and ``to`` is absent (post-rename files are untouched;
+    re-used names across eras resolve correctly because each file only
+    ever carries one era's name).  Accepts a ``pa.Table`` or
+    ``pa.Schema``; zero-copy for tables (rename only).  Incoming WAL
+    payloads still keyed by source-era names normalize through the same
+    chain at merge time."""
+    if not renames:
+        return obj
+    names = list(obj.names if isinstance(obj, pa.Schema) else obj.column_names)
+    changed = False
+    for r in renames:
+        if r["from"] in names and r["to"] not in names:
+            names[names.index(r["from"])] = r["to"]
+            changed = True
+    if not changed:
+        return obj
+    if isinstance(obj, pa.Schema):
+        return pa.schema(
+            [f.with_name(n) for f, n in zip(obj, names)], metadata=obj.metadata
+        )
+    return obj.rename_columns(names)
+
+
+def storage_aliases(name: str, renames) -> list[str]:
+    """Every name a CURRENT column may carry inside stored files (the
+    current name plus each historical name along the rename chain,
+    walked newest-to-oldest) — the projection set for pruned reads of
+    pre-rename files."""
+    out = [name]
+    have = {name}
+    for r in reversed(renames or ()):
+        if r["to"] in have and r["from"] not in have:
+            out.append(r["from"])
+            have.add(r["from"])
+    return out
+
+
+def current_name(name: str, renames) -> str:
+    """Follow the rename chain FORWARD: the name a column is currently
+    known by, given any historical name."""
+    for r in renames or ():
+        if name == r["from"]:
+            name = r["to"]
+    return name
