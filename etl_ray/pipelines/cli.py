@@ -205,6 +205,14 @@ def main(argv: list[str] | None = None) -> int:
     rn.add_argument("--from", dest="old", required=True)
     rn.add_argument("--to", dest="new", required=True)
 
+    dc = sub.add_parser(
+        "drop-column",
+        help="metadata-only column drop (no file rewrite); dead bytes are "
+        "excluded from every read and removed at the next rewrite",
+    )
+    dc.add_argument("--lake", required=True)
+    dc.add_argument("--column", required=True)
+
     args = p.parse_args(argv)
 
     if args.cmd == "gen":
@@ -238,6 +246,13 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(
             {"renamed": {"from": args.old, "to": args.new}, "txid": lin["txid"]}
         ))
+        return 0
+
+    if args.cmd == "drop-column":
+        from .maintenance import drop_column
+
+        lin = drop_column(args.lake, args.column)
+        print(json.dumps({"dropped": args.column, "txid": lin["txid"]}))
         return 0
 
     if args.cmd == "bootstrap":

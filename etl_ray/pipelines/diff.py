@@ -224,6 +224,11 @@ def table_delta(
     # the TO side's rename chain is a superset of the FROM side's, so it
     # normalizes both snapshots to current names
     renames = mb.get("renames", [])
+    dropped = set(mb.get("drops", [])) & set(value_cols)
+    if dropped:
+        # old files still carry the bytes; serving them would resurrect a
+        # dropped column through the change feed
+        raise ValueError(f"table_delta: columns {sorted(dropped)} are dropped")
     schema = pa.schema(
         [("url", pa.string()), ("sign", pa.int8())]
         + [(c, pa.string()) for c in value_cols]
@@ -379,6 +384,11 @@ def table_changelog(
     lake = LakeTable(lake_root)
     ma, mb = lake.manifest_at(from_txid), lake.manifest_at(to_txid)
     renames = mb.get("renames", [])
+    dropped = set(mb.get("drops", [])) & set(image_cols)
+    if dropped:
+        raise ValueError(
+            f"table_changelog: columns {sorted(dropped)} are dropped"
+        )
     schema = _changelog_schema(image_cols)
     work = _changed_partitions(lake_root, ma, mb)
     if not work:

@@ -193,7 +193,7 @@ def _compact_impl(
 @ray.remote
 def _fold_partition(
     lake_root: str, txid: str, pid: int, meta: dict, key: str, ts_col: str,
-    renames: list | None = None,
+    renames: list | None = None, drops: list | None = None,
 ) -> dict:
     """Fold one partition's base ∪ delta chain into a fresh base file
     (staged; the driver commits).  Tombstone WINNERS are retained — this
@@ -201,7 +201,8 @@ def _fold_partition(
     from ..stages.merge import _checksum, load_partition_state
 
     tbl = load_partition_state(
-        lake_root, meta, schema=None, key=key, ts_col=ts_col, renames=renames
+        lake_root, meta, schema=None, key=key, ts_col=ts_col, renames=renames,
+        drops=drops,
     )
     tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[(key, "ascending")]))
     path = os.path.join(lake_root, "staging", txid, f"part-{pid:05d}.parquet")
@@ -257,7 +258,7 @@ def _compact_deltas_impl(
     futs = [
         _fold_partition.remote(
             lake_root, txid, int(pid), meta, key, ts_col,
-            manifest.get("renames", []),
+            manifest.get("renames", []), manifest.get("drops", []),
         )
         for pid, meta in todo.items()
     ]
@@ -288,11 +289,13 @@ def _backfill_partition(
     key: str,
     ts_col: str,
     renames: list | None = None,
+    drops: list | None = None,
 ) -> dict:
     from ..stages.merge import _checksum, load_partition_state
 
     tbl = load_partition_state(
-        lake_root, meta, schema=None, key=key, ts_col=ts_col, renames=renames
+        lake_root, meta, schema=None, key=key, ts_col=ts_col, renames=renames,
+        drops=drops,
     )
     newcol = fn(tbl)
     if not isinstance(newcol, (pa.Array, pa.ChunkedArray)):
@@ -342,7 +345,7 @@ def _backfill_impl(
     futs = [
         _backfill_partition.remote(
             lake_root, txid, int(pid), meta, column, fn, key, ts_col,
-            manifest.get("renames", []),
+            manifest.get("renames", []), manifest.get("drops", []),
         )
         for pid, meta in manifest["partitions"].items()
     ]
@@ -622,6 +625,7 @@ def _repartition_impl(lake_root: str, new_num_partitions: int) -> dict:
     n_blocks = max(1, min(max(ncpu, len(files)), int(new_num_partitions)))
     ds = ray.data.read_parquet(files, override_num_blocks=n_blocks)
     renames = manifest.get("renames", [])
+    drops = manifest.get("drops", [])
 
     def _prep(t: pa.Table) -> pa.Table:
         if renames:
@@ -638,6 +642,9 @@ def _repartition_impl(lake_root: str, new_num_partitions: int) -> dict:
                         pc.coalesce(t.column(n), t.column(o)),
                     ).drop_columns([o])
             t = apply_renames(t, renames)
+        if drops:
+            # rewrite = the physical removal point for metadata-only drops
+            t = t.drop_columns([c for c in drops if c in t.column_names])
         return add_partition_cols(t, new_num_partitions)
 
     ds = ds.map_batches(_prep, batch_format="pyarrow")
@@ -952,6 +959,7 @@ def _zorder_partition(
     ts_col: str,
     row_group_size: int,
     renames: list | None = None,
+    drops: list | None = None,
 ) -> dict:
     from ..stages.merge import _checksum
     from ..state.fs import resolve as _resolve
@@ -961,6 +969,9 @@ def _zorder_partition(
     tbl = pq.read_table(os.path.join(lake_root, rel_file), filesystem=_fs.pyarrow_fs)
     if renames:
         tbl = apply_renames(tbl, renames)
+    if drops:
+        # rewrite = the physical removal point for metadata-only drops
+        tbl = tbl.drop_columns([c for c in drops if c in tbl.column_names])
     if tbl.num_rows:
         z = _zcode(tbl, cols)
         tbl = tbl.take(pa.array(np.argsort(z, kind="stable"), pa.int64()))
@@ -1015,6 +1026,7 @@ def _zorder_impl(
         _zorder_partition_remote.remote(
             lake_root, txid, int(pid), meta["file"], list(cols), key, ts_col,
             row_group_size, manifest.get("renames", []),
+            manifest.get("drops", []),
         )
         for pid, meta in manifest["partitions"].items()
         if not meta.get("deltas")
@@ -1070,6 +1082,18 @@ def _rename_column_impl(
         raise ValueError(f"rename_column: no column {old!r} in {schema.names}")
     if new in schema.names or new in INTERNAL_COLS or new in (key, ts_col):
         raise ValueError(f"rename_column: target name {new!r} already in use")
+    # a name that EVER named a column (rename-chain member or dropped
+    # column) is retired forever: old files still carry its data under
+    # that physical name, and reusing it would misread their bytes as the
+    # new column (the no-field-id price of metadata-only evolution)
+    chain = manifest.get("renames", [])
+    used = {n for r in chain for n in (r["from"], r["to"])}
+    used |= set(manifest.get("drops", []))
+    if new in used:
+        raise ValueError(
+            f"rename_column: {new!r} named a column in a previous era "
+            "(rename chain or drop log); retired names cannot be reused"
+        )
     # coalesce tables carry name-keyed per-column metadata inside files
     for meta in manifest["partitions"].values():
         rel = meta.get("file")
@@ -1106,6 +1130,78 @@ def rename_column(lake_root, old, new, **kwargs):
 
     with writer_lock(lake_root):
         return _rename_column_impl(lake_root, old, new, **kwargs)
+
+
+def _drop_column_impl(
+    lake_root: str,
+    column: str,
+    *,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+) -> dict:
+    """Metadata-only column DROP (no file rewrite) — completes the
+    Iceberg-style evolution triple (add = additive registry, rename =
+    ``rename_column``, drop = here).
+
+    Publishes ONE transaction that removes the field from the manifest
+    schema and appends the column's CURRENT name to the table's drop
+    log.  Stored part files keep the dead bytes; every schema-driven
+    read excludes them (``conform``), schema-less maintenance reads
+    (compact-deltas folds, backfills) and the rewrite paths
+    (repartition, zorder) strip them explicitly — a rewrite is the
+    physical removal point.  Replay IGNORES WAL payloads that still
+    ship the column (upstream sources keep emitting it after a target
+    drop), and the name is retired forever: additive evolution and
+    ``rename_column`` both refuse to reintroduce it, because old files
+    would resurrect their dead bytes under the reborn name.  Time
+    travel / tags to a pre-drop snapshot still serve the column (the
+    drop log is part of each per-tx snapshot).  Refused for the LWW
+    identity columns and coalesce tables (name-keyed in-file state)."""
+    from ..stages.merge import INTERNAL_COLS
+
+    lake = LakeTable(lake_root)
+    manifest = lake.read_manifest()
+    schema = lake.schema(manifest)
+    if column in (key, ts_col) or column in INTERNAL_COLS:
+        raise ValueError(
+            f"drop_column: {column!r} is an LWW identity/internal column"
+        )
+    if column not in schema.names:
+        raise ValueError(f"drop_column: no column {column!r} in {schema.names}")
+    for meta in manifest["partitions"].values():
+        rel = meta.get("file")
+        if rel:
+            names = pq.read_schema(
+                os.path.join(lake_root, rel), filesystem=lake.fs.pyarrow_fs
+            ).names
+            if "_up_ts" in names:
+                raise NotImplementedError(
+                    "drop_column is not supported on coalesce tables"
+                )
+            break
+    new_schema = pa.schema(
+        [f for f in schema if f.name != column], metadata=schema.metadata
+    )
+    drops = list(manifest.get("drops", [])) + [column]
+    txid = lake.next_txid(manifest)
+    m = lake.commit(
+        manifest,
+        txid,
+        [],
+        applied_segments=[f"__drop_{column}_{txid}__"],
+        applied_lsn_range=None,
+        new_schema=new_schema,
+        drops=drops,
+        extras={"dropped_column": column},
+    )
+    return m["lineage"][-1]
+
+
+def drop_column(lake_root, column, **kwargs):
+    from ..state.manifest import writer_lock
+
+    with writer_lock(lake_root):
+        return _drop_column_impl(lake_root, column, **kwargs)
 
 
 def zorder_rewrite(lake_root, cols, **kwargs):

@@ -911,6 +911,15 @@ def _replay_one_tx(
         from ..state.schema_registry import apply_renames as _apply_renames
 
         wal_payload = _apply_renames(wal_payload, tbl_renames)
+    tbl_drops = manifest.get("drops", [])
+    if tbl_drops:
+        # columns dropped from the table (metadata-only drop_column) are
+        # IGNORED when the upstream source still ships them — additive
+        # evolution must not resurrect the name (old files still carry
+        # the dead data physically, so a re-added name would read it)
+        wal_payload = pa.schema(
+            [f for f in wal_payload if f.name not in set(tbl_drops)]
+        )
     target_schema = evolve(current_schema, wal_payload)
 
     n_events_est = sum(md.num_rows for md in seg_md)

@@ -99,6 +99,7 @@ def load_partition_state(
     key_in: list | None = None,
     columns: list[str] | None = None,
     renames: list | None = None,
+    drops: list | None = None,
     fs=None,
 ) -> pa.Table:
     """Materialize one partition's stored state: base file ∪ merge-on-read
@@ -149,11 +150,11 @@ def load_partition_state(
         for rel in files
     )
     if coalesce_files:
-        if renames:
+        if renames or drops:
             raise NotImplementedError(
-                "rename_column is not supported on coalesce (partial-image) "
-                "tables: their per-column state metadata (_cts__/_clsn__) "
-                "is name-keyed inside the files"
+                "rename_column/drop_column are not supported on coalesce "
+                "(partial-image) tables: their per-column state metadata "
+                "(_cts__/_clsn__) is name-keyed inside the files"
             )
         return _load_coalesce_chain(
             lake_root, files, schema, key, ts_col, pafs, filters
@@ -168,6 +169,12 @@ def load_partition_state(
         t = pq.read_table(path, filters=filters, columns=cols, filesystem=pafs)
         if renames:
             t = apply_renames(t, renames)
+        if drops:
+            # metadata-only column drops: pre-drop files still carry the
+            # data physically; it must never reach a reader (`conform`
+            # drops it when a schema is given — this covers schema=None
+            # callers such as compact-deltas folds and backfills)
+            t = t.drop_columns([c for c in drops if c in t.column_names])
         if schema is not None:
             t = conform_stored(t, schema)
         tables.append(t)

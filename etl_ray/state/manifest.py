@@ -204,6 +204,7 @@ class LakeTable:
         new_num_partitions: int | None = None,
         delta: bool = False,
         renames: list | None = None,
+        drops: list | None = None,
     ) -> dict:
         """Atomically publish a transaction.
 
@@ -316,6 +317,13 @@ class LakeTable:
             list(renames) if renames is not None
             else list(manifest.get("renames", []))
         )
+        # same for metadata-only column drops (maintenance.drop_column):
+        # a pre-drop snapshot still serves the column, later ones exclude
+        # it even though the bytes remain in the files until a rewrite
+        eff_drops = (
+            list(drops) if drops is not None
+            else list(manifest.get("drops", []))
+        )
         tx_record["snapshot"] = {
             "partitions": partitions,
             "schema": (
@@ -325,6 +333,7 @@ class LakeTable:
             ),
             "num_partitions": m["num_partitions"],
             "renames": eff_renames,
+            "drops": eff_drops,
         }
         self.fs.makedirs(self.manifests_dir)
         self.fs.write_json(
@@ -335,6 +344,8 @@ class LakeTable:
         m["tx_seq"] = manifest["tx_seq"] + 1
         if eff_renames:
             m["renames"] = eff_renames
+        if eff_drops:
+            m["drops"] = eff_drops
         m["partitions"] = partitions
         m["applied_segments"] = list(manifest["applied_segments"]) + list(applied_segments)
         if lsn_ranges:
@@ -385,6 +396,7 @@ class LakeTable:
             "schema": snap["schema"],
             "partitions": snap["partitions"],
             "renames": snap.get("renames", []),
+            "drops": snap.get("drops", []),
         }
 
     def pending_segments(self, all_segments: list[str], manifest: dict | None = None) -> list[str]:
