@@ -40,7 +40,9 @@ _DRIVER_PREFIX = [
     "scd2_history_pages", "dlq_quarantine_pages", "cdc_changelog_pages",
     "lake_training_docs", "lake_recent_hosts", "host_index_read",
     "pages_per_domain", "canonical_urls", "sparse_attr_latest_events",
-    "wal_update_depth",
+    # round-5 schema-evolution triple (rename+drop, metadata-only) —
+    # swapped in for wal_update_depth (driver-green in the r5 sweep)
+    "schema_evolution_pages",
     # relational core sample
     "project_cast_lineitem", "anti_join_customers_without_orders",
     "semi_join_customers_with_open_orders", "join_orders_lineitem_native",
@@ -127,6 +129,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # chains (replay(merge_mode="delta"), 3 incremental txs, no
         # compaction) — same SQL oracle as cdc_replay_pages by design
         "cdc_replay_pages_delta": Q.cdc_replay_pages_delta,
+        # replay + live metadata-only rename(lang->language) + drop(html)
+        # in one lake — value-hash-checked era mapping (round-5 evolution
+        # triple through the driver contract)
+        "schema_evolution_pages": Q.schema_evolution_pages,
         "pages_per_domain": Q.pages_per_domain,
         "cdc_table_diff": Q.cdc_table_diff,
         "incremental_domain_stats": Q.incremental_domain_stats,
@@ -774,6 +780,20 @@ def oracle_sql() -> dict[str, str]:
               FROM read_parquet('/tmp/etlray_cdc_1000_8000/data/oracle_events.parquet')
             )
             SELECT url, warc_ts, text, lang FROM w WHERE rn = 1 AND op <> 'delete'
+        """,
+        # same LWW window as cdc_replay_pages; the metadata-only
+        # rename is an alias and the drop a column exclusion — if the
+        # engine's era mapping misread any stored bytes the value hash
+        # would diverge
+        "schema_evolution_pages": """
+            WITH w AS (
+              SELECT url, warc_ts, lsn, op, text, lang,
+                     row_number() OVER (
+                       PARTITION BY url ORDER BY warc_ts DESC, lsn DESC) AS rn
+              FROM read_parquet('/tmp/etlray_cdc_1000_8000/data/oracle_events.parquet')
+            )
+            SELECT url, warc_ts, text, lang AS language
+            FROM w WHERE rn = 1 AND op <> 'delete'
         """,
         # LSH candidate pairs verified by signature agreement, reproduced
         # from the fixture-carried reference signatures: candidates = docs

@@ -907,6 +907,35 @@ def cdc_replay_pages_delta(sf_dir: str):
     return out.select(["url", "warc_ts", "text", "lang"])
 
 
+def schema_evolution_pages(sf_dir: str):
+    """The flagship replay followed by LIVE metadata-only schema
+    evolution — the full Iceberg-style triple on a committed lake:
+    ``rename_column(lang -> language)`` then ``drop_column(html)``,
+    each ONE manifest transaction with zero file rewrites (reference
+    evolves schemas by ALTER on the target table,
+    clickhouse_client.py's DDL path; here evolution is a lake-manifest
+    edit and every read normalizes through the rename chain + drop
+    log).  The serving read must present current-era names with the
+    dropped column excluded even though every stored part file still
+    carries pre-evolution bytes.  The SQL oracle is the same LWW
+    window query with the rename expressed as an alias and the drop
+    as column exclusion — value-hash equality proves the era mapping
+    is exact, not just shaped right."""
+    from .maintenance import drop_column, rename_column
+    from .replay import bootstrap_lake, read_table_arrow, replay
+
+    n_urls, n_events = _CDC_SIZES.get(os.path.basename(sf_dir.rstrip("/")), (300, 1500))
+    root = _cdc_fixture(n_urls, n_events)
+    data_dir = os.path.join(root, "data")
+    lake_root = os.path.join(root, "lake", f"evo{os.getpid()}", "pages")
+    bootstrap_lake(lake_root, os.path.join(data_dir, "base", "pages.parquet"), num_partitions=16)
+    replay(lake_root, os.path.join(data_dir, "wal"))
+    rename_column(lake_root, "lang", "language")
+    drop_column(lake_root, "html")
+    out = read_table_arrow(lake_root)
+    return out.select(["url", "warc_ts", "text", "language"])
+
+
 def pages_per_domain(sf_dir: str):
     """Webtext rollup over the replayed CDC lake: top-10 hosts by live
     page count (deterministic tie-break on host).  Exercises the

@@ -68,6 +68,7 @@ def test_oracle_queries_match_duckdb(entrymod, con):
                 "host_index_read",
                 "wal_update_depth",
                 "lake_clean_corpus",
+                "schema_evolution_pages",
             )
             else SF
         )
