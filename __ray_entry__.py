@@ -37,15 +37,18 @@ _DRIVER_PREFIX = [
     # CDC / lake flagship core (north-star shapes)
     "cdc_replay_pages", "cdc_replay_pages_delta", "upsert_lww_events",
     "q1_pricing_summary", "cdc_table_diff", "incremental_domain_stats",
-    "scd2_history_pages", "dlq_quarantine_pages", "cdc_changelog_pages",
+    "scd2_history_pages", "scd2_asof_read_pages", "dlq_quarantine_pages",
+    "cdc_changelog_pages",
     "lake_training_docs", "lake_recent_hosts", "host_index_read",
     "pages_per_domain", "canonical_urls", "sparse_attr_latest_events",
     # round-5 schema-evolution triple (rename+drop, metadata-only) —
     # swapped in for wal_update_depth (driver-green in the r5 sweep)
     "schema_evolution_pages",
     # relational core sample
+    # (join_orders_lineitem_native rotated out — driver-green in r4 —
+    # to make room for scd2_asof_read_pages at the fixed prefix size)
     "project_cast_lineitem", "anti_join_customers_without_orders",
-    "semi_join_customers_with_open_orders", "join_orders_lineitem_native",
+    "semi_join_customers_with_open_orders",
     # text / dedup / similarity sample
     "dedup_docs_exact", "minhash_pairs_docs",
     "shingle_jaccard_docs", "knn_brute_embeddings",
@@ -153,6 +156,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SCD2 (type-2 history) from the CDC fixture — sf0.01-pinned
         # oracle path like cdc_replay_pages
         "scd2_history_pages": Q.scd2_history_pages,
+        # point-in-time temporal read over the SCD2 history (probe
+        # bounds from parquet footer stats — metadata-only)
+        "scd2_asof_read_pages": Q.scd2_asof_read_pages,
         # PII redaction over a deterministic PII-laced fixture (sf tables
         # carry no PII-shaped content)
         "pii_redact_docs": Q.pii_redact_docs,
@@ -934,6 +940,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, warc_ts AS valid_from, valid_to, lsn, lang,
                    valid_to IS NULL AS is_current
             FROM ev WHERE op <> 'delete'
+        """,
+        # point-in-time read: live version per url at the three event-
+        # time-span quartile probes; window containment with null
+        # valid_to = open.  Probe arithmetic is integer µs on both sides
+        # ((t1-t0)*k//4) so the timestamps match exactly.
+        "scd2_asof_read_pages": """
+            WITH ev AS (
+              SELECT url, warc_ts, lsn, op, lang,
+                     lead(warc_ts) OVER (
+                       PARTITION BY url ORDER BY warc_ts, lsn) AS valid_to
+              FROM read_parquet('/tmp/etlray_cdc_1000_8000/data/oracle_events.parquet')
+            ),
+            hist AS (
+              SELECT url, warc_ts AS valid_from, valid_to, lsn, lang
+              FROM ev WHERE op <> 'delete'
+            ),
+            b AS (
+              SELECT epoch_us(min(warc_ts)) AS t0,
+                     epoch_us(max(warc_ts)) AS t1
+              FROM read_parquet('/tmp/etlray_cdc_1000_8000/data/oracle_events.parquet')
+            ),
+            probes AS (
+              SELECT CAST(k AS BIGINT) AS probe_q,
+                     make_timestamp(t0 + (t1 - t0) * k // 4) AS probe_ts
+              FROM b, (VALUES (1), (2), (3)) v(k)
+            )
+            SELECT probe_q, probe_ts, url, lsn, lang
+            FROM probes JOIN hist
+              ON valid_from <= probe_ts
+             AND (valid_to IS NULL OR valid_to > probe_ts)
         """,
         # redaction order mirrors the engine (emails first, then phones
         # over the email-redacted text); ASCII-only patterns so Python re

@@ -1490,6 +1490,81 @@ def scd2_history_pages(sf_dir: str):
     return ev.map_batches(finish, batch_format="pyarrow")
 
 
+def scd2_asof_read_pages(sf_dir: str):
+    """Point-in-time (temporal) read over the SCD2 history: the live
+    page version per url AS OF each of three probe timestamps (the
+    quartiles of the CDC stream's event-time span) — the standard
+    consumer of type-2 history ("what did the table look like at T?").
+
+    Scale shape: the probe bounds are computed from parquet FOOTER
+    statistics of the base snapshot + WAL segments — metadata-only, no
+    data scan (on the lake the same min/max live in the manifest's
+    per-partition lineage stats).  The as-of predicate is a vectorized
+    window-containment filter mapped over the history stream with the
+    (tiny) probe list broadcast into every task: history rows never
+    leave their shards, no shuffle — the classic small-side temporal
+    join.  A version is live at probe p iff
+    ``valid_from <= p < coalesce(valid_to, +inf)``; a url whose last
+    event before p was a delete has a closed window and is correctly
+    absent.
+
+    Reference analogue: the reference keeps only latest state per key
+    (ClickHouse-style replacing merge, src/pipeline/core/db.py); history
+    + temporal reads are a target-added lake capability built on
+    ``scd2_history_pages``."""
+    import pyarrow.parquet as pq
+
+    from .replay import list_segments
+
+    n_urls, n_events = _CDC_SIZES.get(os.path.basename(sf_dir.rstrip("/")), (300, 1500))
+    root = _cdc_fixture(n_urls, n_events)
+    data_dir = os.path.join(root, "data")
+    files = [os.path.join(data_dir, "base", "pages.parquet")] + list_segments(
+        os.path.join(data_dir, "wal")
+    )
+    t0, t1 = None, None
+    for f in files:
+        md = pq.read_metadata(f)
+        idx = md.schema.to_arrow_schema().names.index("warc_ts")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            # min_raw/max_raw are the physical int64 epoch-µs values —
+            # exact, no datetime round trip
+            t0 = st.min_raw if t0 is None else min(t0, st.min_raw)
+            t1 = st.max_raw if t1 is None else max(t1, st.max_raw)
+    span = t1 - t0
+    probes = [(k, t0 + span * k // 4) for k in (1, 2, 3)]
+
+    hist = scd2_history_pages(sf_dir)
+
+    def asof(t: pa.Table) -> pa.Table:
+        vf = pc.cast(t["valid_from"], pa.int64()).to_numpy(zero_copy_only=False)
+        vt = (
+            pc.fill_null(pc.cast(t["valid_to"], pa.int64()), np.iinfo(np.int64).max)
+            .to_numpy(zero_copy_only=False)
+        )
+        outs = []
+        for k, p in probes:
+            m = (vf <= p) & (vt > p)
+            sel = t.filter(pa.array(m))
+            outs.append(
+                pa.table(
+                    {
+                        "probe_q": pa.array(np.full(sel.num_rows, k, np.int64)),
+                        "probe_ts": pa.array(
+                            np.full(sel.num_rows, p, np.int64), pa.timestamp("us")
+                        ),
+                        "url": sel["url"],
+                        "lsn": sel["lsn"],
+                        "lang": sel["lang"],
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    return hist.map_batches(asof, batch_format="pyarrow")
+
+
 def _pii_fixture_path() -> str:
     """Deterministic PII-laced document fixture, shared by the Ray
     pipeline and the DuckDB oracle (the sf tables carry no PII-shaped

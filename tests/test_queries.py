@@ -62,6 +62,7 @@ def test_oracle_queries_match_duckdb(entrymod, con):
                 "minhash_pairs_docs",
                 "simhash_groups_docs",
                 "scd2_history_pages",
+                "scd2_asof_read_pages",
                 "lake_training_docs",
                 "cdc_changelog_pages",
                 "lake_recent_hosts",
