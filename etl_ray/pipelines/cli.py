@@ -168,11 +168,15 @@ def main(argv: list[str] | None = None) -> int:
     gt.add_argument("--url", action="append", required=True,
                     help="repeatable: one or more keys to look up")
     gt.add_argument("--at-txid", default=None, help="time-travel snapshot")
+    gt.add_argument("--at-ts", default=None, type=int,
+                    help="time-travel by wall clock (epoch microseconds)")
 
     ex = sub.add_parser("export", help="write live rows to partitioned parquet")
     ex.add_argument("--lake", required=True)
     ex.add_argument("--out", required=True)
     ex.add_argument("--at-txid", default=None, help="time-travel snapshot")
+    ex.add_argument("--at-ts", default=None, type=int,
+                    help="time-travel by wall clock (epoch microseconds)")
     ex.add_argument("--columns", default=None,
                     help="comma-separated column projection (pruned at the scan)")
     ex.add_argument("--resumable", action="store_true",
@@ -394,7 +398,7 @@ def main(argv: list[str] | None = None) -> int:
         # driver-local: a lookup reads O(touched partitions) files, no Ray
         from .replay import get_rows
 
-        t = get_rows(args.lake, args.url, at_txid=args.at_txid)
+        t = get_rows(args.lake, args.url, at_txid=args.at_txid, at_ts=args.at_ts)
         cols = [c for c in t.column_names if c != "html"]  # binary: report size only
         rec = t.select(cols).to_pylist()
         sizes = [len(b) if b is not None else None for b in t.column("html").to_pylist()] if "html" in t.column_names else []
@@ -416,12 +420,13 @@ def main(argv: list[str] | None = None) -> int:
             from .maintenance import export_partitioned
 
             rep = export_partitioned(
-                args.lake, args.out, at_txid=args.at_txid, columns=cols,
+                args.lake, args.out, at_txid=args.at_txid, at_ts=args.at_ts,
+                columns=cols,
                 fmt=args.fmt,
             )
             print(json.dumps({"out": args.out, **rep}))
             return 0
-        ds = read_table(args.lake, at_txid=args.at_txid, columns=cols)
+        ds = read_table(args.lake, at_txid=args.at_txid, at_ts=args.at_ts, columns=cols)
         # streaming partitioned-parquet sink: one file per block; consumers
         # read the directory.  Row count comes from the written files'
         # parquet footers (metadata-only; correct under merge-on-read

@@ -834,6 +834,7 @@ def export_partitioned(
     out_dir: str,
     *,
     at_txid: str | None = None,
+    at_ts=None,
     key: str = "url",
     ts_col: str = "warc_ts",
     columns: list[str] | None = None,
@@ -862,6 +863,11 @@ def export_partitioned(
     import json as _json
 
     lake = LakeTable(lake_root, fs=fs)
+    if at_ts is not None:
+        if at_txid is not None:
+            raise ValueError("pass at most one of at_txid / at_ts")
+        from ..state.manifest import resolve_txid_at_ts
+        at_txid = resolve_txid_at_ts(lake_root, at_ts, fs=fs)
     m = lake.manifest_at(at_txid) if at_txid is not None else lake.read_manifest()
     schema = lake.schema(m)
     items = [

@@ -1232,15 +1232,19 @@ class _MergedPartitionRead:
         return pa.concat_tables(tables, promote_options="default")
 
 
-def _resolve_at(lake_root, at_txid, at_tag, fs):
-    """Shared at_txid/at_tag resolution for the reader family."""
-    if at_tag is None:
-        return at_txid
-    if at_txid is not None:
-        raise ValueError("pass at_txid or at_tag, not both")
-    from .tags import resolve_tag
+def _resolve_at(lake_root, at_txid, at_tag, fs, at_ts=None):
+    """Shared at_txid/at_tag/at_ts resolution for the reader family."""
+    if sum(x is not None for x in (at_txid, at_tag, at_ts)) > 1:
+        raise ValueError("pass at most one of at_txid / at_tag / at_ts")
+    if at_tag is not None:
+        from .tags import resolve_tag
 
-    return resolve_tag(lake_root, at_tag, fs=fs)
+        return resolve_tag(lake_root, at_tag, fs=fs)
+    if at_ts is not None:
+        from ..state.manifest import resolve_txid_at_ts
+
+        return resolve_txid_at_ts(lake_root, at_ts, fs=fs)
+    return at_txid
 
 
 def read_table(
@@ -1251,6 +1255,7 @@ def read_table(
     columns: list[str] | None = None,
     predicate=None,
     at_tag: str | None = None,
+    at_ts=None,
     fs=None,
 ) -> ray.data.Dataset:
     """Stream the live rows of the lake table (manifest-resolved files,
@@ -1260,7 +1265,11 @@ def read_table(
     transaction (resolved from its immutable per-tx snapshot; valid until
     ``vacuum()`` reclaims superseded part files).  ``at_tag`` does the
     same through a named snapshot tag (``pipelines/tags.py``), whose
-    files vacuum protects for as long as the tag exists.
+    files vacuum protects for as long as the tag exists.  ``at_ts``
+    time-travels by wall clock: the last transaction whose manifest
+    ``committed_at`` stamp (epoch µs; also accepts datetime) is <= the
+    given instant — resolved from lineage metadata alone
+    (``state/manifest.resolve_txid_at_ts``), no data I/O.
 
     When any partition carries a merge-on-read delta chain, reads switch
     from flat file scans to one task per partition that reduces
@@ -1275,7 +1284,7 @@ def read_table(
     requested columns they don't carry (additive evolution)."""
     import json as _json
 
-    at_txid = _resolve_at(lake_root, at_txid, at_tag, fs)
+    at_txid = _resolve_at(lake_root, at_txid, at_tag, fs, at_ts=at_ts)
     lake = LakeTable(lake_root, fs=fs)
     m = lake.manifest_at(at_txid) if at_txid is not None else lake.read_manifest()
     full_schema = lake.schema(m)
@@ -1338,6 +1347,7 @@ def get_rows(
     key: str = "url",
     ts_col: str = "warc_ts",
     at_tag: str | None = None,
+    at_ts=None,
     fs=None,
 ) -> pa.Table:
     """Point lookup: live rows for the given keys, reading ONLY the
@@ -1352,7 +1362,7 @@ def get_rows(
     from ..stages.merge import load_partition_state
     from ..stages.partition import url_pid
 
-    at_txid = _resolve_at(lake_root, at_txid, at_tag, fs)
+    at_txid = _resolve_at(lake_root, at_txid, at_tag, fs, at_ts=at_ts)
     lake = LakeTable(lake_root, fs=fs)
     m = lake.manifest_at(at_txid) if at_txid is not None else lake.read_manifest()
     schema = lake.schema(m)
@@ -1392,10 +1402,11 @@ def read_table_arrow(
     key: str = "url",
     ts_col: str = "warc_ts",
     at_tag: str | None = None,
+    at_ts=None,
     fs=None,
 ) -> pa.Table:
     """Materialized, key-sorted snapshot — for tests/small results only."""
-    at_txid = _resolve_at(lake_root, at_txid, at_tag, fs)
+    at_txid = _resolve_at(lake_root, at_txid, at_tag, fs, at_ts=at_ts)
     lake = LakeTable(lake_root, fs=fs)
     schema = lake.schema(lake.manifest_at(at_txid)) if at_txid is not None else lake.schema()
     batches = [

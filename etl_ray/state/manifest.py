@@ -39,6 +39,7 @@ from __future__ import annotations
 import base64
 import json
 import os
+import time
 
 import pyarrow as pa
 
@@ -291,6 +292,10 @@ class LakeTable:
             lsn_ranges = []
         tx_record = {
             "txid": txid,
+            # wall-clock commit stamp (epoch µs) — operational metadata
+            # for timestamp time travel (`read_table(at_ts=...)`), never
+            # part of data/correctness comparisons
+            "committed_at": int(time.time() * 1_000_000),
             "applied_segments": list(applied_segments),
             "applied_lsn_range": (
                 [min(r[0] for r in lsn_ranges), max(r[1] for r in lsn_ranges)]
@@ -356,6 +361,7 @@ class LakeTable:
         m["lineage"] = list(manifest["lineage"]) + [
             {
                 "txid": txid,
+                "committed_at": tx_record["committed_at"],
                 "rows_total": tx_record["rows_total"],
                 "events_applied": tx_record["events_applied"],
                 "applied_lsn_range": tx_record["applied_lsn_range"],
@@ -410,6 +416,51 @@ class LakeTable:
 
     def _atomic_write(self, manifest: dict) -> None:
         self.fs.write_json_atomic(self.manifest_path, manifest)
+
+
+def resolve_txid_at_ts(lake_root: str, at_ts, fs=None) -> str:
+    """Resolve the LAST transaction committed at or before ``at_ts`` —
+    the txid that timestamp time travel (``read_table(at_ts=...)``)
+    serves.
+
+    ``at_ts`` is an epoch-microseconds int (matching the manifest's
+    ``committed_at`` stamps) or a ``datetime`` (converted with
+    ``.timestamp()``; pass tz-aware datetimes to avoid local-zone
+    surprises).  Resolution walks the manifest's lineage — O(#txs)
+    driver-side metadata, no data I/O.  Transactions committed by a
+    pre-``committed_at`` version of this engine carry no stamp and are
+    not addressable by timestamp (they are skipped); address those by
+    ``at_txid`` instead."""
+    import datetime as _dt
+
+    if isinstance(at_ts, _dt.datetime):
+        at_us = int(at_ts.timestamp() * 1_000_000)
+    else:
+        at_us = int(at_ts)
+    lake = LakeTable(lake_root, fs=fs)
+    m = lake.read_manifest()
+    best = None
+    stamped = 0
+    for entry in m.get("lineage", []):
+        ca = entry.get("committed_at")
+        if ca is None:
+            continue
+        stamped += 1
+        if int(ca) <= at_us:
+            best = entry
+    if best is None:
+        lo = min(
+            (int(e["committed_at"]) for e in m.get("lineage", [])
+             if e.get("committed_at") is not None),
+            default=None,
+        )
+        raise ValueError(
+            f"no transaction on {lake_root} committed at or before "
+            f"{at_us} ({stamped} stamped txs"
+            + (f", earliest committed_at={lo}" if lo is not None else "")
+            + ")"
+        )
+    return best["txid"]
 
 
 class CommitConflict(RuntimeError):

@@ -95,7 +95,7 @@ def test_tag_name_semantics(ray_session, small_wal, tmp_path):
         create_tag(root, "bad", txid="tx999999")
     with pytest.raises(KeyError):
         delete_tag(root, "ghost")
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one"):
         from etl_ray.pipelines.replay import read_table_arrow
 
         read_table_arrow(root, at_txid=head, at_tag="rel")
