@@ -209,16 +209,40 @@ def _signed_one(
     return pa.concat_tables([side(neg, -1), side(pos, +1)])
 
 
+
+def _resolve_endpoints(lake_root, from_txid, to_txid, from_ts, to_ts):
+    """ts-based endpoint addressing for the change-feed family: each
+    endpoint may be given as a txid OR a wall-clock instant (epoch-µs
+    int / datetime, resolved through the manifest's committed_at stamps
+    — state/manifest.resolve_txid_at_ts), but not both."""
+    from ..state.manifest import resolve_txid_at_ts
+
+    if from_ts is not None:
+        if from_txid is not None:
+            raise ValueError("pass from_txid or from_ts, not both")
+        from_txid = resolve_txid_at_ts(lake_root, from_ts)
+    if to_ts is not None:
+        if to_txid is not None:
+            raise ValueError("pass to_txid or to_ts, not both")
+        to_txid = resolve_txid_at_ts(lake_root, to_ts)
+    if from_txid is None or to_txid is None:
+        raise ValueError("both endpoints required (txid or ts form)")
+    return from_txid, to_txid
+
 def table_delta(
     lake_root: str,
-    from_txid: str,
-    to_txid: str,
+    from_txid: str | None = None,
+    to_txid: str | None = None,
     value_cols: tuple[str, ...] = (),
+    from_ts=None,
+    to_ts=None,
 ) -> ray.data.Dataset:
     """Signed change stream (url, sign, *value_cols) between two
     snapshots — the retraction form of :func:`table_diff`, built for
     incremental view maintenance (`pipelines/views.py`).  Same
     manifest pruning: cost is proportional to rewritten partitions."""
+    from_txid, to_txid = _resolve_endpoints(
+        lake_root, from_txid, to_txid, from_ts, to_ts)
     lake = LakeTable(lake_root)
     ma, mb = lake.manifest_at(from_txid), lake.manifest_at(to_txid)
     # the TO side's rename chain is a superset of the FROM side's, so it
@@ -366,9 +390,11 @@ def _changelog_one(
 
 def table_changelog(
     lake_root: str,
-    from_txid: str,
-    to_txid: str,
+    from_txid: str | None = None,
+    to_txid: str | None = None,
     image_cols: tuple[str, ...] = ("text",),
+    from_ts=None,
+    to_ts=None,
 ) -> ray.data.Dataset:
     """Full change-record stream (op, url, before/after timestamps and
     column-image digests) between two committed snapshots — the
@@ -381,6 +407,8 @@ def table_changelog(
     (/root/reference/src/pipeline/core/kafka_consumer.py payload
     unwrap); this operator closes the loop by PRODUCING them from lake
     snapshots."""
+    from_txid, to_txid = _resolve_endpoints(
+        lake_root, from_txid, to_txid, from_ts, to_ts)
     lake = LakeTable(lake_root)
     ma, mb = lake.manifest_at(from_txid), lake.manifest_at(to_txid)
     renames = mb.get("renames", [])
@@ -412,10 +440,18 @@ def table_changelog(
     )
 
 
-def table_diff(lake_root: str, from_txid: str, to_txid: str) -> ray.data.Dataset:
+def table_diff(
+    lake_root: str,
+    from_txid: str | None = None,
+    to_txid: str | None = None,
+    from_ts=None,
+    to_ts=None,
+) -> ray.data.Dataset:
     """Change rows (pid, op, url, warc_ts) turning snapshot ``from_txid``
     into snapshot ``to_txid``.  Only partitions whose part file changed
     between the two manifests are read."""
+    from_txid, to_txid = _resolve_endpoints(
+        lake_root, from_txid, to_txid, from_ts, to_ts)
     lake = LakeTable(lake_root)
     ma, mb = lake.manifest_at(from_txid), lake.manifest_at(to_txid)
     work = _changed_partitions(lake_root, ma, mb)

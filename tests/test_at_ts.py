@@ -74,6 +74,43 @@ def test_cli_get_at_ts(ray_session, small_wal, tmp_path, capsys):
     assert rec["rows"][0]["url"] == some_url
 
 
+def test_change_feed_ts_endpoints(ray_session, small_wal, tmp_path):
+    """table_diff/table_delta/table_changelog accept wall-clock endpoint
+    addressing: ts form must equal the txid form exactly."""
+    import time as _t
+
+    from etl_ray.pipelines.diff import table_changelog, table_diff
+    from etl_ray.pipelines.replay import bootstrap_lake, replay
+    from etl_ray.state.manifest import LakeTable
+
+    root = str(tmp_path / "lake" / "pages")
+    bootstrap_lake(root, small_wal["base"], num_partitions=8)
+    replay(root, small_wal["wal_dir"], segments=small_wal["segments"][:2])
+    mid_txid = LakeTable(root).read_manifest()["txid"]
+    t_mid = int(_t.time() * 1_000_000)
+    _t.sleep(0.002)
+    replay(root, small_wal["wal_dir"])
+    head_txid = LakeTable(root).read_manifest()["txid"]
+    t_head = int(_t.time() * 1_000_000)
+
+    by_txid = table_diff(root, mid_txid, head_txid).to_pandas()
+    by_ts = table_diff(root, from_ts=t_mid, to_ts=t_head).to_pandas()
+    key = ["pid", "op", "url"]
+    assert by_txid.sort_values(key).reset_index(drop=True).equals(
+        by_ts.sort_values(key).reset_index(drop=True)
+    )
+    assert len(by_txid) > 0
+
+    cl_tx = table_changelog(root, mid_txid, head_txid).to_pandas()
+    cl_ts = table_changelog(root, from_ts=t_mid, to_ts=t_head).to_pandas()
+    assert len(cl_tx) == len(cl_ts) > 0
+
+    with pytest.raises(ValueError, match="not both"):
+        table_diff(root, from_txid=mid_txid, from_ts=t_mid, to_txid=head_txid)
+    with pytest.raises(ValueError, match="both endpoints"):
+        table_diff(root, from_txid=mid_txid)
+
+
 def test_get_rows_at_ts(ray_session, small_wal, tmp_path):
     from etl_ray.pipelines.replay import get_rows
 
