@@ -44,10 +44,13 @@ _DRIVER_PREFIX = [
     # round-5 schema-evolution triple (rename+drop, metadata-only) —
     # swapped in for wal_update_depth (driver-green in the r5 sweep)
     "schema_evolution_pages",
+    # round-5 GDPR predicate delete (swapped in for project_cast_lineitem,
+    # driver-green in r1-r4)
+    "gdpr_delete_pages",
     # relational core sample
     # (join_orders_lineitem_native rotated out — driver-green in r4 —
     # to make room for scd2_asof_read_pages at the fixed prefix size)
-    "project_cast_lineitem", "anti_join_customers_without_orders",
+    "anti_join_customers_without_orders",
     "semi_join_customers_with_open_orders",
     # text / dedup / similarity sample
     "dedup_docs_exact", "minhash_pairs_docs",
@@ -136,6 +139,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in one lake — value-hash-checked era mapping (round-5 evolution
         # triple through the driver contract)
         "schema_evolution_pages": Q.schema_evolution_pages,
+        # replay + GDPR predicate delete (whole-domain takedown) in one
+        # manifest tx; footer-stats pruning picks the rewrite set
+        "gdpr_delete_pages": Q.gdpr_delete_pages,
         "pages_per_domain": Q.pages_per_domain,
         "cdc_table_diff": Q.cdc_table_diff,
         "incremental_domain_stats": Q.incremental_domain_stats,
@@ -800,6 +806,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT url, warc_ts, text, lang AS language
             FROM w WHERE rn = 1 AND op <> 'delete'
+        """,
+        # same LWW window with the takedown as a NOT LIKE filter: the
+        # engine's delete_where must remove exactly the predicate rows
+        "gdpr_delete_pages": """
+            WITH w AS (
+              SELECT url, warc_ts, lsn, op, text, lang,
+                     row_number() OVER (
+                       PARTITION BY url ORDER BY warc_ts DESC, lsn DESC) AS rn
+              FROM read_parquet('/tmp/etlray_cdc_1000_8000/data/oracle_events.parquet')
+            )
+            SELECT url, warc_ts, text, lang FROM w
+            WHERE rn = 1 AND op <> 'delete'
+              AND url NOT LIKE 'https://d1.example.%'
         """,
         # LSH candidate pairs verified by signature agreement, reproduced
         # from the fixture-carried reference signatures: candidates = docs

@@ -107,6 +107,27 @@ def main(argv: list[str] | None = None) -> int:
         help="only fold partitions with at least this many deltas",
     )
 
+    dw = sub.add_parser(
+        "delete-where",
+        help="GDPR-style predicate delete: payload-null matching rows in one "
+        "manifest tx, footer-stats pruning skips unaffected partitions "
+        "(full forget = delete-where + compact + vacuum)",
+    )
+    dw.add_argument("--lake", required=True)
+    dw.add_argument("--column", required=True)
+    dw.add_argument("--op", required=True,
+                    choices=["eq", "prefix", "in", "lt", "le", "gt", "ge"])
+    dw.add_argument(
+        "--value", action="append", required=True,
+        help="predicate value (repeat for --op in)",
+    )
+    dw.add_argument(
+        "--value-type", default="str", choices=["str", "int", "float", "ts-us"],
+        help="coerce the value(s): ts-us = integer microseconds since epoch",
+    )
+    dw.add_argument("--key", default="url")
+    dw.add_argument("--ts-col", default="warc_ts")
+
     rp = sub.add_parser("repartition", help="re-bucket the table to a new partition count")
     rp.add_argument("--lake", required=True)
     rp.add_argument("--num-partitions", type=int, required=True)
@@ -377,6 +398,32 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
         )
+        return 0
+
+    if args.cmd == "delete-where":
+        _init_ray()
+        import pyarrow as pa
+
+        from .maintenance import delete_where
+
+        def _coerce(v):
+            if args.value_type == "int":
+                return int(v)
+            if args.value_type == "float":
+                return float(v)
+            if args.value_type == "ts-us":
+                return pa.scalar(int(v), pa.timestamp("us")).as_py()
+            return v
+
+        vals = [_coerce(v) for v in args.value]
+        value = vals if args.op == "in" else vals[0]
+        if args.op != "in" and len(vals) != 1:
+            raise SystemExit("--value may repeat only with --op in")
+        lin = delete_where(
+            args.lake, args.column, args.op, value,
+            key=args.key, ts_col=args.ts_col,
+        )
+        print(json.dumps(lin if lin is not None else {"rows_purged": 0, "noop": True}))
         return 0
 
     if args.cmd == "view-refresh":

@@ -1218,3 +1218,260 @@ def zorder_rewrite(lake_root, cols, **kwargs):
 
 
 zorder_rewrite.__doc__ = _zorder_impl.__doc__
+
+
+# -- predicate delete (purge) -------------------------------------------------
+# GDPR-style "DELETE FROM lake WHERE <predicate>": physically remove the
+# payload of every matching row (live OR already-tombstoned) in ONE
+# manifest transaction, rewriting only the partitions whose parquet
+# footer statistics admit a possible match.  The reference has no lake
+# delete at all (rows only ever accumulate in ClickHouse,
+# client_clickhouse.py); this is the operation a web-page lake actually
+# needs for takedown/right-to-be-forgotten requests at 100 TB: a
+# metadata-only pruning pass over file footers, then O(matching
+# partitions) rewrite work.
+#
+# Semantics: a purged row becomes a payload-nulled tombstone that KEEPS
+# its original (ts, _lsn) order key — so a late WAL event older than
+# the purged row still loses LWW and cannot resurrect the data, while a
+# genuinely newer event recreates the key with fresh content (purge is
+# point-in-time removal, not a permanent ban).  The key column survives
+# in the tombstone until the normal watermark compaction (`compact`)
+# GC's it under the exactly-droppable rule; time-travel snapshots keep
+# serving pre-purge data until `vacuum` reclaims the superseded files —
+# a full forget is therefore `delete_where` + `compact` + `vacuum`,
+# each step O(touched partitions).
+
+_PRED_OPS = ("eq", "prefix", "in", "lt", "le", "gt", "ge")
+
+
+def _pred_mask(arr, op: str, value):
+    """Vectorized predicate over one column; nulls never match."""
+    import pyarrow.compute as _pc
+
+    if op == "eq":
+        m = _pc.equal(arr, value)
+    elif op == "prefix":
+        m = _pc.starts_with(arr, value)
+    elif op == "in":
+        m = _pc.is_in(arr, value_set=pa.array(list(value)))
+    elif op == "lt":
+        m = _pc.less(arr, value)
+    elif op == "le":
+        m = _pc.less_equal(arr, value)
+    elif op == "gt":
+        m = _pc.greater(arr, value)
+    elif op == "ge":
+        m = _pc.greater_equal(arr, value)
+    else:
+        raise ValueError(f"delete_where op must be one of {_PRED_OPS}, got {op!r}")
+    return pc.fill_null(m, False)
+
+
+def _stats_admit(lo, hi, op: str, value) -> bool:
+    """True if a row group with column range [lo, hi] COULD contain a
+    match.  Conservative: only ever returns False when no match is
+    possible."""
+    try:
+        if op == "eq":
+            return lo <= value <= hi
+        if op == "in":
+            return any(lo <= v <= hi for v in value)
+        if op == "prefix":
+            # v startswith p  =>  v >= p (bytewise) and v[:len(p)] == p;
+            # lo <= v forces lo[:len(p)] <= p, hi >= v forces hi >= p
+            return hi >= value and lo[: len(value)] <= value
+        if op == "lt":
+            return lo < value
+        if op == "le":
+            return lo <= value
+        if op == "gt":
+            return hi > value
+        if op == "ge":
+            return hi >= value
+    except TypeError:
+        return True  # incomparable stats (type mismatch) — keep the file
+    return True
+
+
+@ray.remote(num_cpus=0.25)
+def _probe_partition_files(
+    lake_root: str, pid: int, files: list[str], aliases: list[str],
+    op: str, value,
+) -> tuple[int, bool]:
+    """Footer-statistics probe: may ANY file of this partition contain a
+    matching row?  Metadata-only (no data pages read).  A file missing
+    the column entirely cannot match (nulls never match); missing
+    row-group stats keep the file conservatively."""
+    from ..state.fs import resolve as _resolve
+
+    pafs = _resolve(None).pyarrow_fs
+    for rel in files:
+        md = pq.read_metadata(os.path.join(lake_root, rel), filesystem=pafs)
+        arrow_names = md.schema.to_arrow_schema().names
+        for name in aliases:
+            ci = (
+                arrow_names.index(name) if name in arrow_names else -1
+            )
+            if ci < 0:
+                continue
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    return pid, True
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes) and isinstance(value, str):
+                    try:
+                        mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                    except UnicodeDecodeError:
+                        return pid, True
+                if _stats_admit(mn, mx, op, value):
+                    return pid, True
+    return pid, False
+
+
+@ray.remote
+def _purge_partition(
+    lake_root: str, txid: str, pid: int, meta: dict, schema_json: dict,
+    column: str, op: str, value, key: str, ts_col: str,
+    renames: list | None, drops: list | None,
+) -> dict:
+    """Rewrite one partition with matching rows payload-nulled and
+    tombstoned (original LWW order key retained).  Folds any delta
+    chain as a side effect (the rewrite IS the merged state)."""
+    from ..stages.merge import INTERNAL_COLS, _checksum, load_partition_state
+    from ..state.fs import resolve as _resolve
+    from ..state.manifest import _schema_from_json
+
+    schema = _schema_from_json(schema_json)
+    tbl = load_partition_state(
+        lake_root, meta, schema=schema, key=key, ts_col=ts_col,
+        renames=renames, drops=drops,
+    )
+    mask = _pred_mask(tbl.column(column), op, value)
+    was_live = pc.invert(tbl.column("_deleted"))
+    purged_live = int(pc.sum(pc.and_(mask, was_live)).as_py() or 0)
+    keep = {key, ts_col, *INTERNAL_COLS}
+    cols = {}
+    for name in tbl.column_names:
+        col = tbl.column(name)
+        if name == "_deleted":
+            cols[name] = pc.or_(col, mask)
+        elif name in keep:
+            cols[name] = col
+        else:
+            cols[name] = pc.if_else(mask, pa.scalar(None, col.type), col)
+    out = pa.table(cols)
+    out = out.take(pc.sort_indices(out, sort_keys=[(key, "ascending")]))
+    path = os.path.join(lake_root, "staging", txid, f"part-{pid:05d}.parquet")
+    _fs = _resolve(None)
+    _fs.makedirs(os.path.dirname(path))
+    pq.write_table(out, path, filesystem=_fs.pyarrow_fs)
+    live = out.filter(pc.invert(out.column("_deleted")))
+    lsn_np = out.column("_lsn").to_numpy(zero_copy_only=False)
+    ck = _checksum(
+        live.column(key),
+        live.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False),
+        live.column("_lsn").to_numpy(zero_copy_only=False),
+    )
+    return {
+        "pid": pid,
+        "rows": live.num_rows,
+        "checksum": ck,
+        "lsn_hi": int(lsn_np.max()) if len(lsn_np) else 0,
+        "events_applied": 0,
+        "rows_purged": purged_live,
+    }
+
+
+def _delete_where_impl(
+    lake_root: str,
+    column: str,
+    op: str,
+    value,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+) -> dict | None:
+    """Predicate delete over the live table state (see module comment
+    above).  ``op`` is one of ``eq | prefix | in | lt | le | gt | ge``;
+    ``value`` a scalar (or list for ``in``).  Returns the tx lineage
+    record, or None when footer statistics prove no partition can
+    match.  One manifest transaction; crash mid-purge leaves the
+    previous state intact."""
+    from ..state.schema_registry import storage_aliases
+
+    if op not in _PRED_OPS:
+        raise ValueError(f"delete_where op must be one of {_PRED_OPS}, got {op!r}")
+    lake = LakeTable(lake_root)
+    manifest = lake.read_manifest()
+    schema = lake.schema(manifest)
+    if column.startswith("_"):
+        raise ValueError(f"cannot delete by internal column {column!r}")
+    if column not in schema.names:
+        raise ValueError(
+            f"delete_where column {column!r} not in table schema {schema.names}"
+        )
+    renames = manifest.get("renames", [])
+    drops = manifest.get("drops", [])
+    aliases = storage_aliases(column, renames)
+
+    from ..state.manifest import partition_file_list
+
+    probes = []
+    for pid, meta in manifest["partitions"].items():
+        files = partition_file_list(meta)
+        if files:
+            probes.append(
+                _probe_partition_files.remote(
+                    lake_root, int(pid), files, aliases, op, value
+                )
+            )
+    todo = [pid for pid, may in ray.get(probes) if may]
+    if not todo:
+        return None
+    txid = lake.next_txid(manifest)
+    schema_json = _schema_to_json_cached(schema)
+    futs = [
+        _purge_partition.remote(
+            lake_root, txid, pid, manifest["partitions"][str(pid)],
+            schema_json, column, op, value, key, ts_col, renames, drops,
+        )
+        for pid in todo
+    ]
+    results = ray.get(futs)
+    m = lake.commit(
+        manifest,
+        txid,
+        results,
+        applied_segments=[f"__delete_where_{txid}__"],
+        applied_lsn_range=None,
+        extras={
+            "delete_where": {
+                "column": column,
+                "op": op,
+                # lineage is JSON: stringify non-JSON predicate values
+                # (timestamps, bytes) — evaluation used the native value
+                "value": [str(v) for v in value] if op == "in" else str(value),
+            },
+            "rows_purged": int(sum(r["rows_purged"] for r in results)),
+            "partitions_scanned": len(todo),
+            "partitions_pruned": len(manifest["partitions"]) - len(todo),
+        },
+    )
+    return m["lineage"][-1]
+
+
+def _schema_to_json_cached(schema: pa.Schema) -> dict:
+    from ..state.manifest import _schema_to_json
+
+    return _schema_to_json(schema)
+
+
+def delete_where(lake_root, column, op, value, **kwargs):
+    from ..state.manifest import writer_lock
+
+    with writer_lock(lake_root):
+        return _delete_where_impl(lake_root, column, op, value, **kwargs)
+
+
+delete_where.__doc__ = _delete_where_impl.__doc__

@@ -936,6 +936,35 @@ def schema_evolution_pages(sf_dir: str):
     return out.select(["url", "warc_ts", "text", "language"])
 
 
+def gdpr_delete_pages(sf_dir: str):
+    """The flagship replay followed by a GDPR-style predicate delete
+    (takedown of one whole domain): ``delete_where(url prefix
+    'https://d1.example.')`` payload-nulls every matching live row in
+    ONE manifest transaction, rewriting only the partitions whose
+    parquet footer statistics admit a possible match — the 100 TB
+    right-to-be-forgotten shape (metadata probe, then O(matching
+    partitions) work).  The purge tombstone keeps its original
+    (warc_ts, _lsn) order key so late WAL redelivery cannot resurrect
+    the data (tests/test_delete_where.py pins that protocol).  The
+    reference never deletes from its lake (rows only accumulate,
+    client_clickhouse.py); a web-page corpus needs this operator.
+    Oracle: the same LWW window query with the takedown expressed as a
+    NOT LIKE filter — value-hash equality proves the purge removed
+    exactly the predicate rows and nothing else."""
+    from .maintenance import delete_where
+    from .replay import bootstrap_lake, read_table_arrow, replay
+
+    n_urls, n_events = _CDC_SIZES.get(os.path.basename(sf_dir.rstrip("/")), (300, 1500))
+    root = _cdc_fixture(n_urls, n_events)
+    data_dir = os.path.join(root, "data")
+    lake_root = os.path.join(root, "lake", f"gdpr{os.getpid()}", "pages")
+    bootstrap_lake(lake_root, os.path.join(data_dir, "base", "pages.parquet"), num_partitions=16)
+    replay(lake_root, os.path.join(data_dir, "wal"))
+    delete_where(lake_root, "url", "prefix", "https://d1.example.")
+    out = read_table_arrow(lake_root)
+    return out.select(["url", "warc_ts", "text", "lang"])
+
+
 def pages_per_domain(sf_dir: str):
     """Webtext rollup over the replayed CDC lake: top-10 hosts by live
     page count (deterministic tie-break on host).  Exercises the

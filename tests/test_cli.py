@@ -175,3 +175,32 @@ def test_cli_zorder_and_replay_group(ray_session, tmp_path, capsys):
                 str(tmp_path / "ndj"), "--resumable", "--fmt", "jsonl",
                 "--columns", "url,text,lang")
     assert exp2["skipped"] == 4 and exp2["written"] == 0
+
+
+def test_cli_delete_where(ray_session, tmp_path, capsys):
+    import pyarrow.compute as pc
+
+    from etl_ray.pipelines.replay import read_table_arrow
+
+    data = str(tmp_path / "cdc_dw")
+    lake = str(tmp_path / "lake_dw" / "pages")
+    _run(capsys, "gen", "--out", data, "--urls", "200", "--events", "1000",
+         "--segments", "4")
+    _run(capsys, "bootstrap", "--lake", lake, "--base",
+         f"{data}/base/pages.parquet", "--partitions", "8")
+    _run(capsys, "replay", "--lake", lake, "--wal", f"{data}/wal")
+
+    before = read_table_arrow(lake)
+    host = before.column("url")[0].as_py().split("/")[2]
+    prefix = f"https://{host}/"
+    n = pc.sum(pc.starts_with(before.column("url"), prefix)).as_py()
+    lin = _run(capsys, "delete-where", "--lake", lake, "--column", "url",
+               "--op", "prefix", "--value", prefix)
+    assert lin["rows_purged"] == n > 0
+    after = read_table_arrow(lake)
+    assert after.num_rows == before.num_rows - n
+
+    # timestamp coercion path + noop path
+    noop = _run(capsys, "delete-where", "--lake", lake, "--column", "warc_ts",
+                "--op", "lt", "--value", "1", "--value-type", "ts-us")
+    assert noop == {"rows_purged": 0, "noop": True}
