@@ -99,7 +99,12 @@ def test_purge_tombstone_blocks_older_event_allows_newer(
     from etl_ray.state.manifest import LakeTable
 
     root = _lake(small_wal, tmp_path, "lake_lww")
-    wal_dir = small_wal["wal_dir"]
+    # private WAL copy: this test appends synthetic segments, and the
+    # session-scoped fixture directory must stay pristine for later tests
+    import shutil
+
+    wal_dir = str(tmp_path / "wal_copy")
+    shutil.copytree(small_wal["wal_dir"], wal_dir)
     before = read_table_arrow(root)
     url = before.column("url")[7].as_py()
     ts0 = before.filter(pc.equal(before.column("url"), url)).column("warc_ts")[0]
