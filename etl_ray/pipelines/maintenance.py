@@ -1242,56 +1242,14 @@ zorder_rewrite.__doc__ = _zorder_impl.__doc__
 # a full forget is therefore `delete_where` + `compact` + `vacuum`,
 # each step O(touched partitions).
 
-_PRED_OPS = ("eq", "prefix", "in", "lt", "le", "gt", "ge")
-
-
-def _pred_mask(arr, op: str, value):
-    """Vectorized predicate over one column; nulls never match."""
-    import pyarrow.compute as _pc
-
-    if op == "eq":
-        m = _pc.equal(arr, value)
-    elif op == "prefix":
-        m = _pc.starts_with(arr, value)
-    elif op == "in":
-        m = _pc.is_in(arr, value_set=pa.array(list(value)))
-    elif op == "lt":
-        m = _pc.less(arr, value)
-    elif op == "le":
-        m = _pc.less_equal(arr, value)
-    elif op == "gt":
-        m = _pc.greater(arr, value)
-    elif op == "ge":
-        m = _pc.greater_equal(arr, value)
-    else:
-        raise ValueError(f"delete_where op must be one of {_PRED_OPS}, got {op!r}")
-    return pc.fill_null(m, False)
-
-
-def _stats_admit(lo, hi, op: str, value) -> bool:
-    """True if a row group with column range [lo, hi] COULD contain a
-    match.  Conservative: only ever returns False when no match is
-    possible."""
-    try:
-        if op == "eq":
-            return lo <= value <= hi
-        if op == "in":
-            return any(lo <= v <= hi for v in value)
-        if op == "prefix":
-            # v startswith p  =>  v >= p (bytewise) and v[:len(p)] == p;
-            # lo <= v forces lo[:len(p)] <= p, hi >= v forces hi >= p
-            return hi >= value and lo[: len(value)] <= value
-        if op == "lt":
-            return lo < value
-        if op == "le":
-            return lo <= value
-        if op == "gt":
-            return hi > value
-        if op == "ge":
-            return hi >= value
-    except TypeError:
-        return True  # incomparable stats (type mismatch) — keep the file
-    return True
+# The predicate vocabulary (eq|prefix|in|lt|le|gt|ge), its vectorized
+# row mask, and the footer-statistics admission test live in
+# stages/predicate.py — shared with commit-time CHECK constraints
+# (stages/validate.py), which use the OPPOSITE null policy (see that
+# module's docstring).  delete_where matches rows: nulls never match.
+from ..stages.predicate import PRED_OPS as _PRED_OPS
+from ..stages.predicate import pred_mask as _pred_mask
+from ..stages.predicate import stats_admit as _stats_admit
 
 
 @ray.remote(num_cpus=0.25)
@@ -1475,3 +1433,269 @@ def delete_where(lake_root, column, op, value, **kwargs):
 
 
 delete_where.__doc__ = _delete_where_impl.__doc__
+
+
+# -- declarative CHECK constraints (commit-time expectations) -----------------
+# Delta-Lake-style table invariants (`ALTER TABLE ADD CONSTRAINT CHECK`):
+# one predicate from the shared vocabulary (stages/predicate.py) per
+# named constraint, stored in the table manifest and enforced on every
+# subsequent replay — violating change events are quarantined to the DLQ
+# with reason `constraint:<name>` (stages/validate.constraint_reasons)
+# instead of corrupting the table, atomically with the transaction that
+# rejected them.  SQL CHECK null semantics: nulls PASS; delete events
+# are exempt.  The reference has no invariant enforcement at all — a
+# bad row lands in ClickHouse silently (client_clickhouse.py:39-58 in
+# /root/reference); at 10^10 events/feed a declarative gate is the only
+# practical way to keep upstream garbage out of the lake.
+#
+# `set_constraint` VERIFIES existing table state first (like Delta):
+# a footer-statistics pass proves most partitions clean without touching
+# data pages (stages/predicate.stats_all_satisfy — the dual of the
+# delete_where pruning test), and only unproven partitions pay a merged
+# live-row scan.  Any existing violation aborts the whole operation with
+# nothing committed.
+
+_CONSTRAINT_NAME_RE = r"[A-Za-z0-9_][A-Za-z0-9_.-]*"
+
+
+@ray.remote(num_cpus=0.25)
+def _prove_partition_clean(
+    lake_root: str, pid: int, files: list[str], aliases: list[str],
+    op: str, value,
+) -> tuple[int, bool]:
+    """Footer-statistics proof: does EVERY row of EVERY file of this
+    partition provably satisfy the CHECK predicate (nulls pass)?
+    Metadata-only.  A file carrying none of the column's storage-era
+    names is clean (all-null column after conform); a row group with
+    zero non-null values is clean; missing min/max stats leave the
+    partition conservatively unproven (caller scans it)."""
+    from ..stages.predicate import stats_all_satisfy
+    from ..state.fs import resolve as _resolve
+
+    pafs = _resolve(None).pyarrow_fs
+    for rel in files:
+        md = pq.read_metadata(os.path.join(lake_root, rel), filesystem=pafs)
+        arrow_names = md.schema.to_arrow_schema().names
+        ci = next(
+            (arrow_names.index(a) for a in aliases if a in arrow_names), None
+        )
+        if ci is None:
+            continue
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None:
+                return pid, False
+            if st.num_values == 0:  # all-null row group: CHECK passes
+                continue
+            if not st.has_min_max:
+                return pid, False
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes) and isinstance(value, str):
+                try:
+                    mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                except UnicodeDecodeError:
+                    return pid, False
+            if not stats_all_satisfy(mn, mx, op, value):
+                return pid, False
+    return pid, True
+
+
+@ray.remote
+def _count_partition_violations(
+    lake_root: str, pid: int, meta: dict, schema_json: dict,
+    column: str, op: str, value, key: str, ts_col: str,
+    renames: list | None, drops: list | None,
+) -> tuple[int, int]:
+    """Merged LIVE rows of one partition that VIOLATE the CHECK
+    predicate (evaluate it to FALSE; nulls pass).  Reads base ∪ delta
+    chain through the normal conform path, so old files' storage-era
+    names and missing columns resolve exactly as a reader would see
+    them."""
+    from ..stages.merge import load_partition_state
+    from ..stages.predicate import pred_mask_raw
+    from ..state.manifest import _schema_from_json
+
+    tbl = load_partition_state(
+        lake_root, meta, schema=_schema_from_json(schema_json), key=key,
+        ts_col=ts_col, renames=renames, drops=drops,
+    )
+    live = tbl.filter(pc.invert(tbl.column("_deleted")))
+    if not live.num_rows:
+        return pid, 0
+    viol = pc.fill_null(
+        pc.invert(pred_mask_raw(live.column(column), op, value)), False
+    )
+    return pid, int(pc.sum(viol).as_py() or 0)
+
+
+class ConstraintViolation(ValueError):
+    """Existing table rows violate the constraint being added — nothing
+    was committed."""
+
+
+def _set_constraint_impl(
+    lake_root: str,
+    name: str,
+    column: str,
+    op: str,
+    value,
+    *,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    verify: bool = True,
+) -> dict:
+    """Add a named CHECK constraint `<column> <op> <value>` to the table
+    (see section comment above).  ``op`` ∈ ``eq | prefix | in | lt | le
+    | gt | ge``; ``value`` a JSON scalar (list of scalars for ``in``) so
+    the manifest stays a plain JSON document.  Verifies current live
+    rows satisfy the predicate first (``verify=False`` skips the scan —
+    the Delta `NOT ENFORCED`-on-existing-data escape hatch), then
+    publishes ONE metadata-only transaction.  Raises
+    ``ConstraintViolation`` and commits nothing if existing rows
+    violate."""
+    import re as _re
+
+    from ..stages.predicate import PRED_OPS, pred_mask_raw
+    from ..state.manifest import partition_file_list
+    from ..state.schema_registry import storage_aliases
+
+    if not _re.fullmatch(_CONSTRAINT_NAME_RE, name):
+        raise ValueError(f"constraint name {name!r} must match {_CONSTRAINT_NAME_RE}")
+    if op not in PRED_OPS:
+        raise ValueError(f"constraint op must be one of {PRED_OPS}, got {op!r}")
+    _scalars = (str, int, float, bool)
+    if op == "in":
+        if not isinstance(value, (list, tuple)) or not all(
+            isinstance(v, _scalars) for v in value
+        ):
+            raise ValueError("`in` constraint value must be a list of JSON scalars")
+        value = list(value)
+    elif not isinstance(value, _scalars):
+        raise ValueError(
+            f"constraint value must be a JSON scalar (manifest-storable), "
+            f"got {type(value).__name__}"
+        )
+    lake = LakeTable(lake_root)
+    manifest = lake.read_manifest()
+    schema = lake.schema(manifest)
+    if column.startswith("_"):
+        raise ValueError(f"cannot constrain internal column {column!r}")
+    if column not in schema.names:
+        raise ValueError(
+            f"constraint column {column!r} not in table schema {schema.names}"
+        )
+    constraints = dict(manifest.get("constraints", {}))
+    if name in constraints:
+        raise ValueError(f"constraint {name!r} already exists; drop it first")
+    # fail-fast type check: evaluate the predicate against a zero-row
+    # array of the column's CURRENT type, so a value/column type mismatch
+    # surfaces HERE, not inside a replay combiner task months later
+    try:
+        pred_mask_raw(pa.array([], schema.field(column).type), op, value)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError) as exc:
+        raise ValueError(
+            f"constraint predicate {column} {op} {value!r} is not evaluable "
+            f"against column type {schema.field(column).type}: {exc}"
+        ) from None
+
+    renames = manifest.get("renames", [])
+    drops = manifest.get("drops", [])
+    scanned = pruned = 0
+    if verify:
+        aliases = storage_aliases(column, renames)
+        probes = []
+        for pid, meta in manifest["partitions"].items():
+            files = partition_file_list(meta)
+            if files:
+                probes.append(
+                    _prove_partition_clean.remote(
+                        lake_root, int(pid), files, aliases, op, value
+                    )
+                )
+        todo = [pid for pid, clean in ray.get(probes) if not clean]
+        scanned, pruned = len(todo), len(probes) - len(todo)
+        if todo:
+            schema_json = _schema_to_json_cached(schema)
+            counts = ray.get(
+                [
+                    _count_partition_violations.remote(
+                        lake_root, pid, manifest["partitions"][str(pid)],
+                        schema_json, column, op, value, key, ts_col,
+                        renames, drops,
+                    )
+                    for pid in todo
+                ]
+            )
+            bad = {pid: n for pid, n in counts if n}
+            if bad:
+                raise ConstraintViolation(
+                    f"cannot add constraint {name!r}: {sum(bad.values())} "
+                    f"existing live row(s) violate {column} {op} {value!r} "
+                    f"in partition(s) {sorted(bad)}"
+                )
+    constraints[name] = {"column": column, "op": op, "value": value}
+    txid = lake.next_txid(manifest)
+    m = lake.commit(
+        manifest,
+        txid,
+        [],
+        applied_segments=[f"__set_constraint_{name}_{txid}__"],
+        applied_lsn_range=None,
+        constraints=constraints,
+        extras={
+            "set_constraint": {"name": name, "column": column, "op": op,
+                               "value": value, "verified": bool(verify)},
+            "partitions_scanned": scanned,
+            "partitions_pruned": pruned,
+        },
+    )
+    return m["lineage"][-1]
+
+
+def _drop_constraint_impl(lake_root: str, name: str) -> dict:
+    """Remove a named CHECK constraint in ONE metadata-only transaction;
+    subsequent replays stop quarantining its violators.  Raises KeyError
+    if no such constraint."""
+    lake = LakeTable(lake_root)
+    manifest = lake.read_manifest()
+    constraints = dict(manifest.get("constraints", {}))
+    if name not in constraints:
+        raise KeyError(
+            f"no constraint {name!r} on {lake_root}; "
+            f"have {sorted(constraints)}"
+        )
+    dropped = constraints.pop(name)
+    txid = lake.next_txid(manifest)
+    m = lake.commit(
+        manifest,
+        txid,
+        [],
+        applied_segments=[f"__drop_constraint_{name}_{txid}__"],
+        applied_lsn_range=None,
+        constraints=constraints,
+        extras={"drop_constraint": {"name": name, **dropped}},
+    )
+    return m["lineage"][-1]
+
+
+def list_constraints(lake_root: str) -> dict:
+    """Current CHECK constraints: name -> {column, op, value}."""
+    return dict(LakeTable(lake_root).read_manifest().get("constraints", {}))
+
+
+def set_constraint(lake_root, name, column, op, value, **kwargs):
+    from ..state.manifest import writer_lock
+
+    with writer_lock(lake_root):
+        return _set_constraint_impl(lake_root, name, column, op, value, **kwargs)
+
+
+def drop_constraint(lake_root, name):
+    from ..state.manifest import writer_lock
+
+    with writer_lock(lake_root):
+        return _drop_constraint_impl(lake_root, name)
+
+
+set_constraint.__doc__ = _set_constraint_impl.__doc__
+drop_constraint.__doc__ = _drop_constraint_impl.__doc__

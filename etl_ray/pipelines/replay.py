@@ -269,6 +269,7 @@ def _make_combiner(
     combine: bool,
     spec: TableSpec,
     applied_ranges: tuple | None = None,
+    constraints: list | None = None,
 ):
     def combiner(batch: pa.Table) -> pa.Table:
         if applied_ranges is not None and batch.num_rows:
@@ -296,6 +297,14 @@ def _make_combiner(
             if spec.validate is not None
             else event_reasons(batch, spec.key, spec.ts_col)
         )
+        if constraints:
+            # declarative CHECK constraints from the table manifest
+            # (maintenance.set_constraint): violators are quarantined
+            # with `constraint:<name>` reasons, nulls pass, deletes are
+            # exempt — stages/validate.constraint_reasons
+            from ..stages.validate import constraint_reasons
+
+            reasons = constraint_reasons(batch, constraints, reasons)
         bad = None
         bad_mask = pc.is_valid(reasons)
         if pc.any(bad_mask).as_py():
@@ -978,7 +987,27 @@ def _replay_one_tx(
                     event_ts_hi = v if event_ts_hi is None else max(event_ts_hi, v)
         seg_ranges.append((int(lo or 0), int(hi or 0)))
 
-    use_narrow = _use_narrow(spec, unified_wal, n_events_est)
+    # declarative CHECK constraints in force (maintenance.set_constraint),
+    # resolved to storage-era column aliases once per transaction.  They
+    # disable the narrow two-pass path: pass 1 elects winners over a
+    # keys-only projection that cannot see the constrained payload
+    # columns, so a violating winner would shadow the older valid event
+    # that the wide path (quarantine BEFORE the LWW merge) would keep.
+    constraint_rules = []
+    for cname in sorted(manifest.get("constraints", {})):
+        c = manifest["constraints"][cname]
+        from ..state.schema_registry import storage_aliases
+
+        constraint_rules.append(
+            {
+                "name": cname,
+                "op": c["op"],
+                "value": c["value"],
+                "aliases": storage_aliases(c["column"], tbl_renames),
+            }
+        )
+
+    use_narrow = _use_narrow(spec, unified_wal, n_events_est) and not constraint_rules
     # fused read (default on; ETLRAY_FUSED_READ=0 reverts to the
     # ReadParquet operator): see _make_fused_read
     fused_items = (
@@ -1113,6 +1142,7 @@ def _replay_one_tx(
             comb = _make_combiner(
                 num_partitions, eff_salt, unified_wal, combine, spec,
                 applied_ranges=_merged_lsn_ranges(manifest["applied_lsn_ranges"]),
+                constraints=constraint_rules,
             )
             if fused_items is not None:
                 ds = ds.map_batches(

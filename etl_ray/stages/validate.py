@@ -65,6 +65,59 @@ def event_reasons(
     return reason.combine_chunks() if isinstance(reason, pa.ChunkedArray) else reason
 
 
+def constraint_reasons(
+    batch: pa.Table,
+    rules: list[dict],
+    base_reasons: pa.Array,
+) -> pa.Array:
+    """Layer declarative CHECK-constraint classification on top of the
+    built-in reasons (Delta-Lake-style commit-time expectations, stored
+    in the table manifest by ``maintenance.set_constraint``).
+
+    SQL CHECK semantics: a row VIOLATES only when the predicate
+    evaluates to FALSE — a null predicate (null column value) PASSES
+    (``stages/predicate.pred_mask_raw`` three-valued logic, the
+    opposite null policy from ``delete_where``).  ``delete`` events are
+    exempt: the row image is being removed, so its (usually null,
+    possibly stale) payload is not subject to the invariant.  Built-in
+    reasons win over constraints; among constraints, rule-list order
+    (name order) wins.  Violators are quarantined with reason
+    ``constraint:<name>`` and ride the normal DLQ path — exactly-once,
+    full payload retained for inspection/repair.
+
+    Each rule: ``{"name", "op", "value", "aliases"}`` where ``aliases``
+    lists the storage-era names of the constrained column, newest first
+    (a WAL producer may still ship a pre-rename name); the first alias
+    present in the batch is evaluated, and a batch carrying none of
+    them cannot violate (the merged value would be null → CHECK passes).
+    """
+    from .predicate import pred_mask_raw
+
+    reason = base_reasons
+    not_delete = None
+    if "op" in batch.column_names:
+        not_delete = pc.invert(
+            pc.fill_null(pc.equal(batch.column("op"), "delete"), False)
+        )
+    for rule in rules:
+        col = next(
+            (a for a in rule["aliases"] if a in batch.column_names), None
+        )
+        if col is None:
+            continue
+        viol = pc.fill_null(
+            pc.invert(pred_mask_raw(batch.column(col), rule["op"], rule["value"])),
+            False,
+        )
+        if not_delete is not None:
+            viol = pc.and_(viol, not_delete)
+        viol = pc.and_(viol, pc.is_null(reason))
+        reason = pc.if_else(
+            viol, pa.scalar(f"constraint:{rule['name']}", pa.string()), reason
+        )
+    return reason.combine_chunks() if isinstance(reason, pa.ChunkedArray) else reason
+
+
 def split_dlq(tbl: pa.Table) -> tuple[pa.Table, pa.Table]:
     """Split a shuffled group into (valid, quarantined) rows on the
     ``_dlq_reason`` marker.  Tables without the marker are all-valid."""

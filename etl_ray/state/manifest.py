@@ -206,6 +206,7 @@ class LakeTable:
         delta: bool = False,
         renames: list | None = None,
         drops: list | None = None,
+        constraints: dict | None = None,
     ) -> dict:
         """Atomically publish a transaction.
 
@@ -329,6 +330,14 @@ class LakeTable:
             list(drops) if drops is not None
             else list(manifest.get("drops", []))
         )
+        # declarative CHECK constraints (maintenance.set_constraint) ride
+        # the manifest the same way: name -> {column, op, value}.  They
+        # govern FUTURE replays only, but snapshotting them keeps per-tx
+        # audit records coherent ("which invariants were in force here").
+        eff_constraints = (
+            dict(constraints) if constraints is not None
+            else dict(manifest.get("constraints", {}))
+        )
         tx_record["snapshot"] = {
             "partitions": partitions,
             "schema": (
@@ -339,6 +348,7 @@ class LakeTable:
             "num_partitions": m["num_partitions"],
             "renames": eff_renames,
             "drops": eff_drops,
+            "constraints": eff_constraints,
         }
         self.fs.makedirs(self.manifests_dir)
         self.fs.write_json(
@@ -351,6 +361,8 @@ class LakeTable:
             m["renames"] = eff_renames
         if eff_drops:
             m["drops"] = eff_drops
+        if constraints is not None or eff_constraints:
+            m["constraints"] = eff_constraints
         m["partitions"] = partitions
         m["applied_segments"] = list(manifest["applied_segments"]) + list(applied_segments)
         if lsn_ranges:

@@ -1,0 +1,297 @@
+"""Declarative CHECK constraints (commit-time expectations): stored in
+the table manifest, verified against existing state when added, and
+enforced on every subsequent replay — violating change events are
+quarantined to the DLQ with ``constraint:<name>`` reasons, atomically
+and exactly-once (pipelines/maintenance.set_constraint,
+stages/validate.constraint_reasons, stages/predicate.py)."""
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from etl_ray.gen import _LANGS, WAL_SCHEMA_V1, make_html
+from etl_ray.oracle import replay_oracle
+from tests.test_replay import assert_tables_equal
+
+LANG_SET = list(_LANGS)
+
+
+# -- pure-kernel units (no Ray) ------------------------------------------------
+
+
+def test_stats_all_satisfy():
+    from etl_ray.stages.predicate import stats_all_satisfy as sat
+
+    assert sat("en", "en", "eq", "en")
+    assert not sat("de", "en", "eq", "en")
+    assert sat("en", "en", "in", ["en", "de"])
+    assert not sat("de", "en", "in", ["en", "de"])  # range, not provable
+    assert sat("https://a.com/x", "https://z.com/y", "prefix", "https://")
+    assert not sat("http://a.com/x", "https://z.com/y", "prefix", "https://")
+    assert sat(1, 5, "lt", 6) and not sat(1, 6, "lt", 6)
+    assert sat(1, 6, "le", 6) and not sat(1, 7, "le", 6)
+    assert sat(7, 9, "gt", 6) and not sat(6, 9, "gt", 6)
+    assert sat(6, 9, "ge", 6) and not sat(5, 9, "ge", 6)
+    assert not sat(1, 5, "lt", "x")  # incomparable -> unprovable
+
+
+def test_constraint_reasons_semantics():
+    from etl_ray.stages.validate import constraint_reasons, event_reasons
+
+    batch = pa.table(
+        {
+            "lsn": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "op": pa.array(
+                ["insert", "insert", "insert", "delete", "frobnicate"],
+                pa.string(),
+            ),
+            "url": pa.array(["a", "b", "c", "d", "e"], pa.string()),
+            "warc_ts": pa.array([1, 1, 1, 1, 1], pa.timestamp("us")),
+            "lang": pa.array(["en", "zz", None, "zz", "zz"], pa.string()),
+        }
+    )
+    rules = [
+        {"name": "lang_known", "op": "in", "value": LANG_SET, "aliases": ["lang"]}
+    ]
+    base = event_reasons(batch, "url", "warc_ts")
+    got = constraint_reasons(batch, rules, base).to_pylist()
+    # valid; violator; null passes (CHECK); delete exempt; built-in wins
+    assert got == [None, "constraint:lang_known", None, None, "bad_op"]
+
+
+def test_constraint_reasons_alias_resolution():
+    from etl_ray.stages.validate import constraint_reasons, event_reasons
+
+    batch = pa.table(
+        {
+            "lsn": pa.array([1], pa.int64()),
+            "op": pa.array(["insert"], pa.string()),
+            "url": pa.array(["a"], pa.string()),
+            "warc_ts": pa.array([1], pa.timestamp("us")),
+            "tongue": pa.array(["zz"], pa.string()),  # pre-rename era name
+        }
+    )
+    base = event_reasons(batch, "url", "warc_ts")
+    rules = [
+        {"name": "l", "op": "in", "value": LANG_SET, "aliases": ["lang", "tongue"]}
+    ]
+    assert constraint_reasons(batch, rules, base).to_pylist() == ["constraint:l"]
+    # batch carrying none of the aliases cannot violate
+    rules2 = [{"name": "l", "op": "in", "value": LANG_SET, "aliases": ["lang"]}]
+    assert constraint_reasons(batch, rules2, base).to_pylist() == [None]
+
+
+# -- lake-level behavior -------------------------------------------------------
+
+
+def _bootstrap(lake_root, small_wal):
+    from etl_ray.pipelines.replay import bootstrap_lake
+
+    bootstrap_lake(lake_root, small_wal["base"], num_partitions=16)
+
+
+def test_set_constraint_clean_verify_and_pruning(ray_session, small_wal, tmp_path):
+    from etl_ray.pipelines.maintenance import list_constraints, set_constraint
+    from etl_ray.state.manifest import LakeTable
+
+    lake = str(tmp_path / "lake" / "pages")
+    _bootstrap(lake, small_wal)
+    # every generated url starts with https:// -> footer stats PROVE every
+    # partition clean (shared-prefix interval), zero data pages read
+    rec = set_constraint(lake, "url_https", "url", "prefix", "https://")
+    assert rec["set_constraint"]["name"] == "url_https"
+    assert rec["partitions_scanned"] == 0 and rec["partitions_pruned"] > 0
+    # multi-lang partitions are NOT provable by stats for `in` -> full
+    # scan path, which finds zero violations
+    rec2 = set_constraint(lake, "lang_known", "lang", "in", LANG_SET)
+    assert rec2["partitions_scanned"] > 0
+    assert set(list_constraints(lake)) == {"url_https", "lang_known"}
+    m = LakeTable(lake).read_manifest()
+    assert m["constraints"]["lang_known"]["op"] == "in"
+
+
+def test_set_constraint_rejects_existing_violations(ray_session, small_wal, tmp_path):
+    from etl_ray.pipelines.maintenance import (
+        ConstraintViolation,
+        list_constraints,
+        set_constraint,
+    )
+    from etl_ray.state.manifest import LakeTable
+
+    lake = str(tmp_path / "lake" / "pages")
+    _bootstrap(lake, small_wal)
+    seq_before = LakeTable(lake).read_manifest()["tx_seq"]
+    with pytest.raises(ConstraintViolation, match="existing live row"):
+        set_constraint(lake, "only_en", "lang", "eq", "en")
+    assert LakeTable(lake).read_manifest()["tx_seq"] == seq_before
+    assert list_constraints(lake) == {}
+    # the escape hatch skips the scan and commits anyway
+    set_constraint(lake, "only_en", "lang", "eq", "en", verify=False)
+    assert "only_en" in list_constraints(lake)
+
+
+def test_set_constraint_validation_errors(ray_session, small_wal, tmp_path):
+    from etl_ray.pipelines.maintenance import set_constraint
+
+    lake = str(tmp_path / "lake" / "pages")
+    _bootstrap(lake, small_wal)
+    with pytest.raises(ValueError, match="op must be one of"):
+        set_constraint(lake, "x", "lang", "matches", "en")
+    with pytest.raises(ValueError, match="name"):
+        set_constraint(lake, "bad name!", "lang", "eq", "en")
+    with pytest.raises(ValueError, match="not in table schema"):
+        set_constraint(lake, "x", "nope", "eq", "en")
+    with pytest.raises(ValueError, match="internal column"):
+        set_constraint(lake, "x", "_lsn", "ge", 0)
+    with pytest.raises(ValueError, match="JSON scalar"):
+        set_constraint(lake, "x", "lang", "eq", {"not": "scalar"})
+    with pytest.raises(ValueError, match="list of JSON scalars"):
+        set_constraint(lake, "x", "lang", "in", "en")
+    # type-mismatched predicate is rejected at ADD time, not in a replay
+    # combiner task later
+    with pytest.raises(ValueError, match="not evaluable"):
+        set_constraint(lake, "x", "warc_ts", "lt", "not-a-timestamp")
+    set_constraint(lake, "dup", "url", "prefix", "https://")
+    with pytest.raises(ValueError, match="already exists"):
+        set_constraint(lake, "dup", "url", "prefix", "http://")
+
+
+def test_drop_constraint(ray_session, small_wal, tmp_path):
+    from etl_ray.pipelines.maintenance import (
+        drop_constraint,
+        list_constraints,
+        set_constraint,
+    )
+
+    lake = str(tmp_path / "lake" / "pages")
+    _bootstrap(lake, small_wal)
+    set_constraint(lake, "url_https", "url", "prefix", "https://")
+    rec = drop_constraint(lake, "url_https")
+    assert rec["drop_constraint"]["name"] == "url_https"
+    assert list_constraints(lake) == {}
+    with pytest.raises(KeyError):
+        drop_constraint(lake, "url_https")
+
+
+# -- replay enforcement --------------------------------------------------------
+
+
+def _constraint_segment(path: str, lsn0: int) -> tuple[pa.Table, pa.Table]:
+    """WAL segment mixing constraint-clean and constraint-violating
+    events.  Returns (full segment, rows the constrained replay must
+    apply)."""
+    ts0 = 1_800_000_000_000_000
+    urls = [
+        "https://c.example.com/clean",   # valid insert, lang in set
+        "https://c.example.com/dirty",   # violates lang_known
+        "https://c.example.com/nolang",  # null lang -> CHECK passes
+        "https://c.example.com/gone",    # delete w/ stale bad lang: exempt
+    ]
+    tbl = pa.table(
+        {
+            "lsn": pa.array([lsn0 + i for i in range(4)], pa.int64()),
+            "op": pa.array(
+                ["insert", "insert", "insert", "delete"], pa.string()
+            ),
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(
+                [ts0 + i for i in range(4)], pa.timestamp("us")
+            ),
+            "html": pa.array(
+                [make_html(u, 1) for u in urls[:3]] + [None], pa.binary()
+            ),
+            "lang": pa.array(["en", "zz", None, "zz"], pa.string()),
+        },
+        schema=WAL_SCHEMA_V1,
+    )
+    applied = tbl.take(pa.array([0, 2, 3]))
+    pq.write_table(tbl, path)
+    return tbl, applied
+
+
+@pytest.fixture()
+def constrained_wal(small_wal, tmp_path):
+    wal_dir = str(tmp_path / "wal")
+    shutil.copytree(small_wal["wal_dir"], wal_dir)
+    last_lsn = max(
+        pq.read_table(s, columns=["lsn"])["lsn"].to_numpy().max()
+        for s in small_wal["segments"]
+    )
+    dirty_path = os.path.join(wal_dir, "segment-constraint-00099.parquet")
+    _, applied = _constraint_segment(dirty_path, int(last_lsn) + 1)
+    clean_path = str(tmp_path / "clean-segment.parquet")
+    pq.write_table(applied, clean_path)
+    return {
+        "base": small_wal["base"],
+        "wal_dir": wal_dir,
+        "segments": sorted(small_wal["segments"] + [dirty_path]),
+        "oracle_segments": sorted(small_wal["segments"] + [clean_path]),
+    }
+
+
+def test_replay_enforces_check_constraints(ray_session, constrained_wal, tmp_path):
+    from etl_ray.pipelines.maintenance import set_constraint
+    from etl_ray.pipelines.replay import read_dlq, read_table_arrow, replay
+
+    lake = str(tmp_path / "lake" / "pages")
+    _bootstrap(lake, constrained_wal)
+    set_constraint(lake, "lang_known", "lang", "in", LANG_SET)
+    replay(lake, constrained_wal["wal_dir"])
+
+    # violator quarantined with the constraint reason, payload intact
+    dlq = read_dlq(lake)
+    assert dlq.num_rows == 1
+    assert dlq["reason"].to_pylist() == ["constraint:lang_known"]
+    assert dlq["lang"].to_pylist() == ["zz"]
+    assert dlq["url"].to_pylist() == ["https://c.example.com/dirty"]
+
+    # final state == oracle over the stream WITHOUT the violating event:
+    # null-lang row applied, delete (stale bad payload) applied
+    oracle = replay_oracle(
+        constrained_wal["base"], constrained_wal["oracle_segments"]
+    )
+    assert_tables_equal(read_table_arrow(lake), oracle)
+
+    # exactly-once: full redelivery is a no-op for DLQ and state alike
+    stats2 = replay(lake, constrained_wal["wal_dir"])
+    assert stats2.transactions == 0
+    assert read_dlq(lake).num_rows == 1
+
+
+def test_replay_after_drop_constraint_applies(ray_session, constrained_wal, tmp_path):
+    from etl_ray.pipelines.maintenance import drop_constraint, set_constraint
+    from etl_ray.pipelines.replay import read_dlq, read_table_arrow, replay
+
+    lake = str(tmp_path / "lake" / "pages")
+    _bootstrap(lake, constrained_wal)
+    set_constraint(lake, "lang_known", "lang", "in", LANG_SET)
+    # set then drop BEFORE replay -> the dirty event applies normally
+    drop_constraint(lake, "lang_known")
+    replay(lake, constrained_wal["wal_dir"])
+    assert read_dlq(lake).num_rows == 0
+    oracle = replay_oracle(constrained_wal["base"], constrained_wal["segments"])
+    assert_tables_equal(read_table_arrow(lake), oracle)
+
+
+def test_replay_constraints_delta_and_salted_modes(
+    ray_session, constrained_wal, tmp_path
+):
+    from etl_ray.pipelines.maintenance import set_constraint
+    from etl_ray.pipelines.replay import read_dlq, read_table_arrow, replay
+
+    oracle = replay_oracle(
+        constrained_wal["base"], constrained_wal["oracle_segments"]
+    )
+    for name, kw in [
+        ("salted", {"salting": "on", "salt": 4}),
+        ("delta", {"merge_mode": "delta", "max_segments_per_tx": 3}),
+    ]:
+        lake = str(tmp_path / f"lake_{name}" / "pages")
+        _bootstrap(lake, constrained_wal)
+        set_constraint(lake, "lang_known", "lang", "in", LANG_SET)
+        replay(lake, constrained_wal["wal_dir"], **kw)
+        assert read_dlq(lake).num_rows == 1, name
+        assert_tables_equal(read_table_arrow(lake), oracle)
