@@ -38,9 +38,12 @@ _DRIVER_PREFIX = [
     "cdc_replay_pages", "cdc_replay_pages_delta", "upsert_lww_events",
     "q1_pricing_summary", "cdc_table_diff", "incremental_domain_stats",
     "scd2_history_pages", "scd2_asof_read_pages", "dlq_quarantine_pages",
+    # round-5 CHECK constraints (swapped in for pages_per_domain,
+    # driver-green in r1-r4)
+    "constraint_quarantine_pages",
     "cdc_changelog_pages",
     "lake_training_docs", "lake_recent_hosts", "host_index_read",
-    "pages_per_domain", "canonical_urls", "sparse_attr_latest_events",
+    "canonical_urls", "sparse_attr_latest_events",
     # round-5 schema-evolution triple (rename+drop, metadata-only) —
     # swapped in for wal_update_depth (driver-green in the r5 sweep)
     "schema_evolution_pages",
@@ -173,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dead-letter queue: malformed events quarantined exactly-once
         # alongside the replay transaction (stages/validate.py)
         "dlq_quarantine_pages": Q.dlq_quarantine_pages,
+        "constraint_quarantine_pages": Q.constraint_quarantine_pages,
         # HLL sketch — non-SQL-expressible (hash-dependent estimate); the
         # error bound / merge laws / determinism are pytest-pinned
         # (tests/test_sketch.py), driver records the rows-only check
@@ -392,6 +396,7 @@ def oracle_sql() -> dict[str, str]:
     Q._pii_fixture_path()
     Q._cdc_fixture(*Q._CDC_SIZES["sf0.01"])
     dlq_root = Q._dlq_fixture()
+    constraint_root = Q._constraint_fixture()
     partial_root = Q._partial_wal_fixture()
     truth = Q._dedup_truth_fixture("/root/testdata/sf0.01")
     return {
@@ -1030,6 +1035,28 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{dlq_root}/wal/segment-dirty-00001.parquet')
             WHERE url IS NULL OR warc_ts IS NULL
                OR op IS NULL OR op NOT IN ('insert','update','delete')
+        """,
+        # manifest CHECK constraints: built-in reasons first, then
+        # constraints in name order; nulls pass except notnull; deletes
+        # exempt — the SQL statement of stages/validate.constraint_reasons
+        "constraint_quarantine_pages": f"""
+            SELECT lsn, reason FROM (
+              SELECT lsn,
+                     CASE WHEN url IS NULL THEN 'null_key'
+                          WHEN warc_ts IS NULL THEN 'null_ts'
+                          WHEN op IS NULL
+                               OR op NOT IN ('insert','update','delete')
+                               THEN 'bad_op'
+                          WHEN op <> 'delete' AND html IS NULL
+                               THEN 'constraint:html_present'
+                          WHEN op <> 'delete' AND lang IS NOT NULL
+                               AND lang NOT IN ('en','pt','de','es','fr','ja')
+                               THEN 'constraint:lang_known'
+                          WHEN op <> 'delete' AND url NOT LIKE 'https://%'
+                               THEN 'constraint:url_https'
+                     END AS reason
+              FROM read_parquet('{constraint_root}/wal/segment-mixed-00001.parquet')
+            ) WHERE reason IS NOT NULL
         """,
         "histogram_events": """
             SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,

@@ -221,6 +221,29 @@ def main(argv: list[str] | None = None) -> int:
                     help="drop NAME (its files become vacuum-reclaimable)")
     tg.add_argument("--list", action="store_true", dest="list_tags")
 
+    ct = sub.add_parser(
+        "constraint",
+        help="declarative CHECK constraints: set verifies existing rows "
+        "(footer-stats-pruned) then publishes one metadata-only tx; "
+        "replay quarantines violators to the DLQ with constraint:<name>",
+    )
+    ct.add_argument("action", choices=["set", "drop", "list"])
+    ct.add_argument("--lake", required=True)
+    ct.add_argument("--name", help="constraint name (set/drop)")
+    ct.add_argument("--column")
+    ct.add_argument("--op",
+                    choices=["eq", "prefix", "in", "lt", "le", "gt", "ge",
+                             "notnull"])
+    ct.add_argument("--value", action="append", default=None,
+                    help="predicate value (repeat for --op in; omit for notnull)")
+    ct.add_argument("--value-type", default="str",
+                    choices=["str", "int", "float"])
+    ct.add_argument("--no-verify", action="store_true",
+                    help="skip the existing-rows scan (NOT ENFORCED on "
+                    "existing data)")
+    ct.add_argument("--key", default="url")
+    ct.add_argument("--ts-col", default="warc_ts")
+
     rn = sub.add_parser(
         "rename-column",
         help="metadata-only column rename (no file rewrite); stored files "
@@ -424,6 +447,40 @@ def main(argv: list[str] | None = None) -> int:
             key=args.key, ts_col=args.ts_col,
         )
         print(json.dumps(lin if lin is not None else {"rows_purged": 0, "noop": True}))
+        return 0
+
+    if args.cmd == "constraint":
+        from .maintenance import drop_constraint, list_constraints, set_constraint
+
+        if args.action == "list":
+            print(json.dumps(list_constraints(args.lake)))
+            return 0
+        if not args.name:
+            raise SystemExit("--name is required for set/drop")
+        if args.action == "drop":
+            print(json.dumps(drop_constraint(args.lake, args.name)))
+            return 0
+        if not args.column or not args.op:
+            raise SystemExit("--column and --op are required for set")
+        _init_ray()  # the verification scan fans out Ray tasks
+
+        def _coerce(v):
+            return {"int": int, "float": float}.get(args.value_type, str)(v)
+
+        vals = [_coerce(v) for v in (args.value or [])]
+        if args.op == "notnull":
+            value = None
+        elif args.op == "in":
+            value = vals
+        elif len(vals) == 1:
+            value = vals[0]
+        else:
+            raise SystemExit("--value must appear exactly once for this --op")
+        lin = set_constraint(
+            args.lake, args.name, args.column, args.op, value,
+            key=args.key, ts_col=args.ts_col, verify=not args.no_verify,
+        )
+        print(json.dumps(lin))
         return 0
 
     if args.cmd == "view-refresh":

@@ -1480,11 +1480,20 @@ def _prove_partition_clean(
             (arrow_names.index(a) for a in aliases if a in arrow_names), None
         )
         if ci is None:
+            # absent column == all-null after conform: clean for every
+            # CHECK predicate EXCEPT notnull, where it's all-violating
+            if op == "notnull":
+                return pid, False
             continue
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(ci).statistics
             if st is None:
                 return pid, False
+            if op == "notnull":
+                # proof comes from the null count, not min/max
+                if st.null_count is None or st.null_count > 0:
+                    return pid, False
+                continue
             if st.num_values == 0:  # all-null row group: CHECK passes
                 continue
             if not st.has_min_max:
@@ -1546,8 +1555,10 @@ def _set_constraint_impl(
 ) -> dict:
     """Add a named CHECK constraint `<column> <op> <value>` to the table
     (see section comment above).  ``op`` ∈ ``eq | prefix | in | lt | le
-    | gt | ge``; ``value`` a JSON scalar (list of scalars for ``in``) so
-    the manifest stays a plain JSON document.  Verifies current live
+    | gt | ge | notnull``; ``value`` a JSON scalar (list of scalars for
+    ``in``, ignored/None for ``notnull`` — the SQL NOT NULL constraint,
+    the one CHECK where a null VIOLATES) so the manifest stays a plain
+    JSON document.  Verifies current live
     rows satisfy the predicate first (``verify=False`` skips the scan —
     the Delta `NOT ENFORCED`-on-existing-data escape hatch), then
     publishes ONE metadata-only transaction.  Raises
@@ -1564,7 +1575,9 @@ def _set_constraint_impl(
     if op not in PRED_OPS:
         raise ValueError(f"constraint op must be one of {PRED_OPS}, got {op!r}")
     _scalars = (str, int, float, bool)
-    if op == "in":
+    if op == "notnull":
+        value = None  # valueless op (SQL NOT NULL); nothing to store
+    elif op == "in":
         if not isinstance(value, (list, tuple)) or not all(
             isinstance(v, _scalars) for v in value
         ):

@@ -1833,6 +1833,100 @@ def dlq_quarantine_pages(sf_dir: str):
     return dlq.select(["lsn", "reason"])
 
 
+def _constraint_fixture() -> str:
+    """Deterministic WAL fixture for CHECK-constraint enforcement: one
+    segment of 240 change events cycling through built-in-malformed
+    rows, violators of three declared constraints (html notnull, lang
+    in the known set, url https-prefixed), exempt deletes with stale
+    bad payloads, and null-lang rows that PASS (CHECK null semantics).
+    The same file is engine input and DuckDB oracle source.  Fixed size
+    at every sf."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..gen import _LANGS, WAL_SCHEMA_V1, make_html
+
+    root = os.path.join(tempfile.gettempdir(), "etlray_constraintwal_v1")
+    seg = os.path.join(root, "wal", "segment-mixed-00001.parquet")
+    if not os.path.exists(seg):
+        tmp_root = f"{root}.tmp.{os.getpid()}"
+        os.makedirs(os.path.join(tmp_root, "wal"), exist_ok=True)
+        n = 240
+        lsn = np.arange(2_000_001, 2_000_001 + n, dtype=np.int64)
+        base_ts = 1_750_000_000_000_000
+        ops, urls, tss, htmls, langs = [], [], [], [], []
+        for i in range(n):
+            u = f"https://mixed.example.com/p/{i % 48}"
+            op, ts, html = "insert" if i % 2 == 0 else "update", base_ts + i, make_html(u, 1 + i % 3)
+            lang = _LANGS[i % len(_LANGS)]
+            kind = i % 12
+            if kind == 1:      # built-in: null key
+                u = None
+            elif kind == 3:    # built-in: null LWW ts
+                ts = None
+            elif kind == 5:    # built-in: unknown op
+                op = "frobnicate"
+            elif kind == 7:    # constraint:html_present (notnull)
+                html = None
+            elif kind == 9:    # constraint:lang_known
+                lang = "zz"
+            elif kind == 11:   # constraint:url_https
+                u = f"http://mixed.example.com/p/{i % 48}"
+            elif kind == 0:    # delete w/ stale bad payload: EXEMPT
+                op, html, lang = "delete", None, "zz"
+            elif kind == 2:    # null lang: CHECK passes
+                lang = None
+            ops.append(op); urls.append(u); tss.append(ts)
+            htmls.append(html); langs.append(lang)
+        tbl = pa.table(
+            {
+                "lsn": pa.array(lsn, pa.int64()),
+                "op": pa.array(ops, pa.string()),
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.timestamp("us")),
+                "html": pa.array(htmls, pa.binary()),
+                "lang": pa.array(langs, pa.string()),
+            },
+            schema=WAL_SCHEMA_V1,
+        )
+        pq.write_table(tbl, os.path.join(tmp_root, "wal", "segment-mixed-00001.parquet"))
+        try:
+            os.rename(tmp_root, root)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp_root, ignore_errors=True)
+    return root
+
+
+def constraint_quarantine_pages(sf_dir: str):
+    """Declarative CHECK constraints end-to-end: declare three manifest
+    invariants (html NOT NULL, lang IN the known set, url https-prefixed
+    — pipelines/maintenance.set_constraint), replay a WAL that mixes
+    violators with built-in-malformed rows, exempt deletes and null-lang
+    passes, and return the committed quarantine (lsn, reason).  Reason
+    precedence: built-in rules, then constraints in name order.  Oracle:
+    the same classification in SQL over the same segment file.  Fixed
+    fixture at every sf (see _constraint_fixture)."""
+    from ..state.manifest import LakeTable
+    from .maintenance import set_constraint
+    from .replay import bootstrap_lake, read_dlq, replay
+
+    from ..gen import _LANGS
+
+    root = _constraint_fixture()
+    lake_root = os.path.join(root, "lake", f"q{os.getpid()}", "pages")
+    if not LakeTable(lake_root).exists():  # same-process re-entry safe
+        bootstrap_lake(lake_root, None, num_partitions=8)
+        set_constraint(lake_root, "html_present", "html", "notnull", None)
+        set_constraint(lake_root, "lang_known", "lang", "in", list(_LANGS))
+        set_constraint(lake_root, "url_https", "url", "prefix", "https://")
+    replay(lake_root, os.path.join(root, "wal"))
+    return read_dlq(lake_root).select(["lsn", "reason"])
+
+
 def approx_distinct_events(sf_dir: str):
     """HyperLogLog approximate distinct count (stages/sketch.py) of the
     events table's event_id — one streaming pass, no key shuffle: tasks

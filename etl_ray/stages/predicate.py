@@ -1,5 +1,5 @@
 """Shared column-predicate vocabulary: ``eq | prefix | in | lt | le | gt
-| ge`` over one column.
+| ge | notnull`` over one column.
 
 Two consumers with OPPOSITE null semantics share these kernels:
 
@@ -21,12 +21,20 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-PRED_OPS = ("eq", "prefix", "in", "lt", "le", "gt", "ge")
+PRED_OPS = ("eq", "prefix", "in", "lt", "le", "gt", "ge", "notnull")
 
 
 def pred_mask_raw(arr, op: str, value) -> pa.BooleanArray:
     """Vectorized predicate over one column; null stays null (three-
-    valued logic) — callers pick the null policy."""
+    valued logic) — callers pick the null policy.
+
+    ``notnull`` is the exception in both ways: it is VALUELESS (``value``
+    ignored, store None) and never yields null — a null value evaluates
+    to a definite False, so under CHECK semantics (violate on FALSE)
+    nulls violate.  That is exactly SQL's ``NOT NULL``: the one
+    constraint where a null does not pass."""
+    if op == "notnull":
+        return pc.is_valid(arr)
     if op == "eq":
         return pc.equal(arr, value)
     if op == "prefix":
@@ -56,7 +64,11 @@ def pred_mask(arr, op: str, value) -> pa.BooleanArray:
 def stats_admit(lo, hi, op: str, value) -> bool:
     """True if a row group with column range [lo, hi] COULD contain a
     match.  Conservative: only ever returns False when no match is
-    possible."""
+    possible.  ``notnull`` always admits here — min/max stats existing
+    at all implies non-null values exist (null-count pruning is the
+    probes' job, not this range test)."""
+    if op == "notnull":
+        return True
     try:
         if op == "eq":
             return lo <= value <= hi

@@ -75,7 +75,9 @@ def constraint_reasons(
     in the table manifest by ``maintenance.set_constraint``).
 
     SQL CHECK semantics: a row VIOLATES only when the predicate
-    evaluates to FALSE — a null predicate (null column value) PASSES
+    evaluates to FALSE — a null predicate (null column value) PASSES,
+    except under the valueless ``notnull`` op, whose mask is a definite
+    False on nulls (SQL NOT NULL)
     (``stages/predicate.pred_mask_raw`` three-valued logic, the
     opposite null policy from ``delete_where``).  ``delete`` events are
     exempt: the row image is being removed, so its (usually null,

@@ -204,3 +204,26 @@ def test_cli_delete_where(ray_session, tmp_path, capsys):
     noop = _run(capsys, "delete-where", "--lake", lake, "--column", "warc_ts",
                 "--op", "lt", "--value", "1", "--value-type", "ts-us")
     assert noop == {"rows_purged": 0, "noop": True}
+
+
+def test_cli_constraint(ray_session, tmp_path, capsys):
+    data = str(tmp_path / "cdc_ct")
+    lake = str(tmp_path / "lake_ct" / "pages")
+    _run(capsys, "gen", "--out", data, "--urls", "100", "--events", "500",
+         "--segments", "3")
+    _run(capsys, "bootstrap", "--lake", lake, "--base",
+         f"{data}/base/pages.parquet", "--partitions", "8")
+
+    lin = _run(capsys, "constraint", "set", "--lake", lake,
+               "--name", "url_https", "--column", "url",
+               "--op", "prefix", "--value", "https://")
+    assert lin["set_constraint"]["name"] == "url_https"
+    _run(capsys, "constraint", "set", "--lake", lake,
+         "--name", "html_present", "--column", "html", "--op", "notnull")
+    got = _run(capsys, "constraint", "list", "--lake", lake)
+    assert set(got) == {"url_https", "html_present"}
+    assert got["html_present"]["value"] is None
+    _run(capsys, "constraint", "drop", "--lake", lake, "--name", "url_https")
+    assert set(_run(capsys, "constraint", "list", "--lake", lake)) == {
+        "html_present"
+    }
