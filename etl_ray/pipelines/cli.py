@@ -244,6 +244,21 @@ def main(argv: list[str] | None = None) -> int:
     ct.add_argument("--key", default="url")
     ct.add_argument("--ts-col", default="warc_ts")
 
+    rq = sub.add_parser(
+        "requeue-dlq",
+        help="close the quarantine loop: re-classify dead-lettered events "
+        "against current rules and re-apply the now-valid ones in one tx "
+        "(fix upstream / drop a constraint, then requeue)",
+    )
+    rq.add_argument("--lake", required=True)
+    rq.add_argument(
+        "--reason", action="append", default=None,
+        help="only requeue rows with this DLQ reason (repeatable; "
+        "default all)",
+    )
+    rq.add_argument("--merge-mode", default="rewrite",
+                    choices=["rewrite", "delta"])
+
     rn = sub.add_parser(
         "rename-column",
         help="metadata-only column rename (no file rewrite); stored files "
@@ -447,6 +462,19 @@ def main(argv: list[str] | None = None) -> int:
             key=args.key, ts_col=args.ts_col,
         )
         print(json.dumps(lin if lin is not None else {"rows_purged": 0, "noop": True}))
+        return 0
+
+    if args.cmd == "requeue-dlq":
+        _init_ray()
+        from .replay import requeue_dlq
+
+        res = requeue_dlq(args.lake, reasons=args.reason,
+                          merge_mode=args.merge_mode)
+        print(json.dumps({
+            "requeued": res["requeued"],
+            "kept": res["kept"],
+            "transactions": res["stats"].transactions,
+        }))
         return 0
 
     if args.cmd == "constraint":

@@ -884,6 +884,24 @@ def replay_many(streams: dict[str, StreamSpec], max_workers: int | None = None) 
         return {n: f.result() for n, f in futs.items()}
 
 
+def _constraint_rules(manifest: dict) -> list[dict]:
+    """CHECK-constraint rule list for the combiner classifier: manifest
+    constraints in name order, each with its storage-era column aliases
+    (stages/validate.constraint_reasons)."""
+    from ..state.schema_registry import storage_aliases
+
+    renames = manifest.get("renames", [])
+    return [
+        {
+            "name": cname,
+            "op": c["op"],
+            "value": c["value"],
+            "aliases": storage_aliases(c["column"], renames),
+        }
+        for cname, c in sorted(manifest.get("constraints", {}).items())
+    ]
+
+
 def _replay_one_tx(
     lake: LakeTable,
     manifest: dict,
@@ -895,6 +913,7 @@ def _replay_one_tx(
     stats: ReplayStats,
     spec: TableSpec = PAGES,
     merge_mode: str = "rewrite",
+    dedup: bool = True,
 ) -> None:
     import time as _time
 
@@ -993,19 +1012,7 @@ def _replay_one_tx(
     # keys-only projection that cannot see the constrained payload
     # columns, so a violating winner would shadow the older valid event
     # that the wide path (quarantine BEFORE the LWW merge) would keep.
-    constraint_rules = []
-    for cname in sorted(manifest.get("constraints", {})):
-        c = manifest["constraints"][cname]
-        from ..state.schema_registry import storage_aliases
-
-        constraint_rules.append(
-            {
-                "name": cname,
-                "op": c["op"],
-                "value": c["value"],
-                "aliases": storage_aliases(c["column"], tbl_renames),
-            }
-        )
+    constraint_rules = _constraint_rules(manifest)
 
     use_narrow = _use_narrow(spec, unified_wal, n_events_est) and not constraint_rules
     # fused read (default on; ETLRAY_FUSED_READ=0 reverts to the
@@ -1031,7 +1038,7 @@ def _replay_one_tx(
                 num_partitions, eff_salt, nschema, combine, spec,
                 applied_ranges=_merged_lsn_ranges(
                     manifest["applied_lsn_ranges"]
-                ),
+                ) if dedup else None,
             )
             if fused_items is not None:
                 with _plan_lock:
@@ -1141,7 +1148,10 @@ def _replay_one_tx(
         else:
             comb = _make_combiner(
                 num_partitions, eff_salt, unified_wal, combine, spec,
-                applied_ranges=_merged_lsn_ranges(manifest["applied_lsn_ranges"]),
+                applied_ranges=(
+                    _merged_lsn_ranges(manifest["applied_lsn_ranges"])
+                    if dedup else None
+                ),
                 constraints=constraint_rules,
             )
             if fused_items is not None:
@@ -1467,3 +1477,114 @@ def read_dlq(lake_root: str, fs=None) -> pa.Table:
         promote_options="default",
     )
     return out.take(pc.sort_indices(out, sort_keys=[("lsn", "ascending")]))
+
+
+def requeue_dlq(
+    lake_root: str,
+    reasons: list[str] | None = None,
+    spec: TableSpec = PAGES,
+    fs=None,
+    salting: str = "auto",
+    salt: int = 8,
+    combine: bool = True,
+    batch_size: int = 64 * 1024,
+    merge_mode: str = "rewrite",
+) -> dict:
+    """Close the quarantine loop: re-apply dead-lettered change events
+    that now pass classification (the Kafka-DLQ reprocessing pattern the
+    reference's pipeline has no answer to — a bad row there is simply
+    lost or crashes the batch, `kafka_multi_consumer.py:33-129` in
+    /root/reference).  The intended flow is quarantine → fix the cause
+    (drop/relax a constraint, upstream repair) → ``requeue_dlq``.
+
+    ``reasons``: only rows whose DLQ reason is in this list are
+    candidates (None = all rows).  Candidates are RE-CLASSIFIED against
+    the built-in rules + the constraints currently in force: rows that
+    still fail stay quarantined under their FRESH reason; rows that now
+    pass are replayed through the normal combiner → pid shuffle → LWW
+    merge path in ONE transaction that also publishes the shrunken DLQ —
+    atomically, so a crash leaves either the old state (rows still
+    quarantined) or the new (applied + removed), never both or neither.
+
+    The event-level duplicate filter is disabled for this transaction
+    (``dedup=False``): quarantined LSNs lie INSIDE committed ranges by
+    construction (their segment was applied — minus them).  Safe because
+    the DLQ itself is exactly-once and the requeued rows are removed
+    from it in the same commit; re-running requeue is a no-op.  LWW
+    ordering is preserved — rows carry their ORIGINAL (ts, lsn), so a
+    requeued event older than current state loses the merge, exactly as
+    if it had never been quarantined.
+
+    Returns ``{"requeued", "kept", "stats"}``."""
+    from ..stages.validate import constraint_reasons, event_reasons
+    from ..state.manifest import writer_lock
+
+    lake = LakeTable(lake_root, fs=fs)
+    stats = ReplayStats()
+    with writer_lock(lake_root):
+        manifest = lake.read_manifest()
+        dlq = read_dlq(lake_root, fs=fs)
+        if not dlq.num_rows:
+            return {"requeued": 0, "kept": 0, "stats": stats}
+        if reasons is not None:
+            cand_mask = pc.is_in(
+                dlq.column("reason"), value_set=pa.array(list(reasons))
+            )
+        else:
+            cand_mask = pa.array([True] * dlq.num_rows)
+        events = dlq.drop_columns(["reason"])
+        # re-classify candidates with the SAME kernels the combiner runs,
+        # so a row we forward can only be re-quarantined by checks that
+        # need post-normalize state (derived keys) — never double-counted
+        fresh = (
+            spec.validate(events)
+            if spec.validate is not None
+            else event_reasons(events, spec.key, spec.ts_col)
+        )
+        rules = _constraint_rules(manifest)
+        if rules:
+            fresh = constraint_reasons(events, rules, fresh)
+        now_valid = pc.and_(pc.is_null(fresh), cand_mask)
+        n_requeue = int(pc.sum(now_valid).as_py() or 0)
+        if n_requeue == 0:
+            return {"requeued": 0, "kept": dlq.num_rows, "stats": stats}
+        keep_mask = pc.invert(now_valid)
+        # kept candidates carry their FRESH reason (a dropped constraint
+        # may have been one of two defects); non-candidates keep theirs
+        kept_reason = pc.if_else(cand_mask, fresh, dlq.column("reason"))
+        keep = events.filter(keep_mask).append_column(
+            "reason", kept_reason.filter(keep_mask)
+        )
+
+        txid = lake.next_txid(manifest)  # deterministic: tx_seq + 1
+        manifest2 = dict(manifest)
+        dlq_entries = []
+        if keep.num_rows:
+            rel = os.path.join("dlq", f"dlq-keep-{txid}.parquet")
+            dst = os.path.join(lake.root, rel)
+            lake.fs.makedirs(os.path.dirname(dst))
+            pq.write_table(keep, dst, filesystem=lake.fs.pyarrow_fs)
+            dlq_entries.append(
+                {"file": rel, "rows": keep.num_rows, "pid": -1, "txid": txid}
+            )
+        manifest2["dlq"] = dlq_entries
+
+        import tempfile
+
+        seg_dir = tempfile.mkdtemp(prefix="etlray_requeue_")
+        seg = os.path.join(seg_dir, f"requeue-{txid}.parquet")
+        try:
+            pq.write_table(events.filter(now_valid), seg)
+            stats.transactions += 1
+            _replay_one_tx(
+                lake, manifest2, [seg], salting, salt, combine, batch_size,
+                stats, spec, merge_mode=merge_mode, dedup=False,
+            )
+        finally:
+            import shutil
+
+            shutil.rmtree(seg_dir, ignore_errors=True)
+    final = lake.read_manifest()
+    stats.rows_live = sum(p["rows"] for p in final["partitions"].values())
+    stats.schema_version = final["schema_version"]
+    return {"requeued": n_requeue, "kept": keep.num_rows, "stats": stats}

@@ -227,3 +227,28 @@ def test_cli_constraint(ray_session, tmp_path, capsys):
     assert set(_run(capsys, "constraint", "list", "--lake", lake)) == {
         "html_present"
     }
+
+
+def test_cli_requeue_dlq(ray_session, tmp_path, capsys):
+    import shutil as _sh
+
+    from tests.test_dlq import _dirty_segment
+
+    data = str(tmp_path / "cdc_rq")
+    lake = str(tmp_path / "lake_rq" / "pages")
+    _run(capsys, "gen", "--out", data, "--urls", "100", "--events", "500",
+         "--segments", "3")
+    wal = f"{data}/wal"
+    last = max(
+        int(pq.read_table(f"{wal}/{f}", columns=["lsn"])["lsn"].to_numpy().max())
+        for f in __import__("os").listdir(wal)
+    )
+    _dirty_segment(f"{wal}/segment-dirty-00097.parquet", last + 1)
+    _run(capsys, "bootstrap", "--lake", lake, "--base",
+         f"{data}/base/pages.parquet", "--partitions", "8")
+    _run(capsys, "replay", "--lake", lake, "--wal", wal)
+    # built-in-malformed rows stay malformed: requeue is a counted no-op
+    res = _run(capsys, "requeue-dlq", "--lake", lake)
+    assert res == {"requeued": 0, "kept": 4, "transactions": 0}
+    res2 = _run(capsys, "requeue-dlq", "--lake", lake, "--reason", "bad_op")
+    assert res2["requeued"] == 0

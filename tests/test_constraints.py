@@ -344,3 +344,100 @@ def test_replay_constraints_delta_and_salted_modes(
         replay(lake, constrained_wal["wal_dir"], **kw)
         assert read_dlq(lake).num_rows == 1, name
         assert_tables_equal(read_table_arrow(lake), oracle)
+
+
+# -- DLQ requeue (quarantine loop closure) ------------------------------------
+
+
+def test_requeue_after_drop_constraint(ray_session, constrained_wal, tmp_path):
+    from etl_ray.pipelines.maintenance import drop_constraint, set_constraint
+    from etl_ray.pipelines.replay import (
+        read_dlq,
+        read_table_arrow,
+        replay,
+        requeue_dlq,
+    )
+
+    lake = str(tmp_path / "lake" / "pages")
+    _bootstrap(lake, constrained_wal)
+    set_constraint(lake, "lang_known", "lang", "in", LANG_SET)
+    replay(lake, constrained_wal["wal_dir"])
+    assert read_dlq(lake).num_rows == 1
+
+    # fix the cause, then close the loop
+    drop_constraint(lake, "lang_known")
+    res = requeue_dlq(lake)
+    assert res["requeued"] == 1 and res["kept"] == 0
+    assert read_dlq(lake).num_rows == 0
+    # requeued row applied under its ORIGINAL (ts, lsn): state now equals
+    # the oracle over the FULL stream, as if never quarantined
+    oracle = replay_oracle(constrained_wal["base"], constrained_wal["segments"])
+    assert_tables_equal(read_table_arrow(lake), oracle)
+
+    # idempotent: nothing left to requeue, no transaction
+    res2 = requeue_dlq(lake)
+    assert res2["requeued"] == 0 and res2["stats"].transactions == 0
+
+
+def test_requeue_keeps_still_invalid_rows(ray_session, constrained_wal, tmp_path):
+    """Mixed DLQ: a constraint violator AND built-in-malformed rows.
+    After the constraint drops, requeue applies only the now-valid row;
+    the malformed ones stay quarantined under fresh (identical) reasons."""
+    import shutil as _sh
+
+    from tests.test_dlq import _dirty_segment
+
+    from etl_ray.pipelines.maintenance import drop_constraint, set_constraint
+    from etl_ray.pipelines.replay import read_dlq, read_table_arrow, replay, requeue_dlq
+
+    wal_dir = str(tmp_path / "wal2")
+    _sh.copytree(constrained_wal["wal_dir"], wal_dir)
+    last_lsn = max(
+        pq.read_table(s, columns=["lsn"])["lsn"].to_numpy().max()
+        for s in constrained_wal["segments"]
+    )
+    dirty_path = os.path.join(wal_dir, "segment-dirty-00098.parquet")
+    _, valid = _dirty_segment(dirty_path, int(last_lsn) + 1)
+    clean_path = str(tmp_path / "clean2.parquet")
+    pq.write_table(valid, clean_path)
+
+    lake = str(tmp_path / "lake" / "pages")
+    _bootstrap(lake, constrained_wal)
+    set_constraint(lake, "lang_known", "lang", "in", LANG_SET)
+    replay(lake, wal_dir)
+    assert read_dlq(lake).num_rows == 5  # 1 constraint + 4 built-in
+
+    drop_constraint(lake, "lang_known")
+    res = requeue_dlq(lake)
+    assert res["requeued"] == 1 and res["kept"] == 4
+    dlq = read_dlq(lake)
+    assert dlq.num_rows == 4
+    assert set(dlq["reason"].to_pylist()) == {"null_key", "null_ts", "bad_op"}
+
+    # state: full constrained stream + the valid rows of the dirty segment
+    oracle = replay_oracle(
+        constrained_wal["base"],
+        sorted(constrained_wal["segments"] + [clean_path]),
+    )
+    assert_tables_equal(read_table_arrow(lake), oracle)
+
+    # reason-filtered requeue of still-invalid rows is a clean no-op
+    res3 = requeue_dlq(lake, reasons=["bad_op"])
+    assert res3["requeued"] == 0 and res3["stats"].transactions == 0
+    assert read_dlq(lake).num_rows == 4
+
+
+def test_requeue_delta_mode(ray_session, constrained_wal, tmp_path):
+    from etl_ray.pipelines.maintenance import drop_constraint, set_constraint
+    from etl_ray.pipelines.replay import read_dlq, read_table_arrow, replay, requeue_dlq
+
+    lake = str(tmp_path / "lake" / "pages")
+    _bootstrap(lake, constrained_wal)
+    set_constraint(lake, "lang_known", "lang", "in", LANG_SET)
+    replay(lake, constrained_wal["wal_dir"], merge_mode="delta")
+    drop_constraint(lake, "lang_known")
+    res = requeue_dlq(lake, merge_mode="delta")
+    assert res["requeued"] == 1
+    assert read_dlq(lake).num_rows == 0
+    oracle = replay_oracle(constrained_wal["base"], constrained_wal["segments"])
+    assert_tables_equal(read_table_arrow(lake), oracle)
