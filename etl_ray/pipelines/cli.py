@@ -244,6 +244,19 @@ def main(argv: list[str] | None = None) -> int:
     ct.add_argument("--key", default="url")
     ct.add_argument("--ts-col", default="warc_ts")
 
+    an = sub.add_parser(
+        "analyze",
+        help="ANALYZE TABLE: one distributed pass collects per-column "
+        "row/null counts, HLL NDV, min/max, avg byte length into the "
+        "manifest (metadata-only tx); `stats` and table_stats() read it",
+    )
+    an.add_argument("--lake", required=True)
+    an.add_argument("--column", action="append", default=None,
+                    help="restrict to these columns (repeatable)")
+    an.add_argument("--hll-p", type=int, default=12)
+    an.add_argument("--key", default="url")
+    an.add_argument("--ts-col", default="warc_ts")
+
     rq = sub.add_parser(
         "requeue-dlq",
         help="close the quarantine loop: re-classify dead-lettered events "
@@ -462,6 +475,16 @@ def main(argv: list[str] | None = None) -> int:
             key=args.key, ts_col=args.ts_col,
         )
         print(json.dumps(lin if lin is not None else {"rows_purged": 0, "noop": True}))
+        return 0
+
+    if args.cmd == "analyze":
+        _init_ray()
+        from .maintenance import analyze
+
+        print(json.dumps(analyze(
+            args.lake, args.column, key=args.key, ts_col=args.ts_col,
+            p=args.hll_p,
+        )))
         return 0
 
     if args.cmd == "requeue-dlq":

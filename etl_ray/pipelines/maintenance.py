@@ -1712,3 +1712,171 @@ def drop_constraint(lake_root, name):
 
 set_constraint.__doc__ = _set_constraint_impl.__doc__
 drop_constraint.__doc__ = _drop_constraint_impl.__doc__
+
+
+# -- ANALYZE: table statistics into the manifest ------------------------------
+# One distributed pass over the merged LIVE state collects per-column
+# statistics — row/null counts, HLL NDV estimate (stages/sketch.py:
+# register partials max-merge on the driver, 4 KiB per column per
+# partition, raw values never leave their task), min/max, mean byte
+# length for string/binary — and publishes them into the manifest in a
+# metadata-only transaction.  The optimizer story at 100 TB: NDV sizes
+# shuffles and join sides, null fraction gates quality dashboards, and
+# min/max complement the per-file footer stats with a table-level view.
+# Stats are a SNAPSHOT (stamped with the txid they were computed at);
+# consumers check `as_of_txid` for staleness and re-run `analyze` after
+# large ingests.  The reference has no statistics at all.
+
+
+@ray.remote
+def _analyze_partition(
+    lake_root: str, pid: int, meta: dict, schema_json: dict,
+    columns: list[str], key: str, ts_col: str,
+    renames: list | None, drops: list | None, p: int,
+) -> dict:
+    """Per-column partials over one partition's merged live rows:
+    (rows, nulls, hll_registers, min, max, total_bytes)."""
+    from ..stages.merge import load_partition_state
+    from ..stages.sketch import hll_partial
+    from ..state.manifest import _schema_from_json
+
+    tbl = load_partition_state(
+        lake_root, meta, schema=_schema_from_json(schema_json), key=key,
+        ts_col=ts_col, renames=renames, drops=drops,
+    )
+    live = tbl.filter(pc.invert(tbl.column("_deleted")))
+    out = {"_rows": live.num_rows}
+    for col in columns:
+        arr = live.column(col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        nulls = arr.null_count
+        t = arr.type
+        # hashable view for the NDV sketch: temporal/bool -> int64,
+        # floats -> same-width bit pattern (distinctness of the bits)
+        h = arr
+        if (
+            pa.types.is_timestamp(t) or pa.types.is_date(t)
+            or pa.types.is_time(t) or pa.types.is_boolean(t)
+        ):
+            h = arr.cast(pa.int64())
+        elif pa.types.is_float64(t):
+            h = arr.view(pa.int64())
+        elif pa.types.is_float32(t):
+            h = arr.view(pa.int32()).cast(pa.int64())
+        regs = hll_partial(h, p=p) if live.num_rows else None
+        mn = mx = None
+        if live.num_rows > nulls:
+            mm = pc.min_max(arr)
+            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+        nbytes = None
+        if pa.types.is_string(t) or pa.types.is_large_string(t) \
+                or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            nbytes = int(
+                pc.sum(pc.binary_length(arr)).as_py() or 0
+            )
+        out[col] = (nulls, regs, mn, mx, nbytes)
+    return out
+
+
+def _json_safe(v):
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, bytes):
+        return v[:64].hex()  # bounded: stats, not data
+    return str(v)  # timestamps/decimals -> ISO/str repr
+
+
+def _analyze_impl(
+    lake_root: str,
+    columns: list[str] | None = None,
+    *,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    p: int = 12,
+) -> dict:
+    """ANALYZE TABLE (see section comment above): compute per-column
+    statistics over the live state and publish them into the manifest
+    as ``table_stats`` in one metadata-only transaction.  ``columns``
+    defaults to every non-internal schema column; ``p`` is the HLL
+    precision (2^p uint8 registers per column per partition in flight;
+    relative NDV error ~1.04/sqrt(2^p), ~1.6% at the default).
+    Returns the published stats record."""
+    from ..stages.sketch import hll_estimate, hll_merge
+    from ..state.manifest import partition_file_list
+
+    lake = LakeTable(lake_root)
+    manifest = lake.read_manifest()
+    schema = lake.schema(manifest)
+    if columns is None:
+        columns = [n for n in schema.names if not n.startswith("_")]
+    for c in columns:
+        if c not in schema.names:
+            raise ValueError(f"analyze column {c!r} not in schema {schema.names}")
+    renames = manifest.get("renames", [])
+    drops = manifest.get("drops", [])
+    schema_json = _schema_to_json_cached(schema)
+    futs = [
+        _analyze_partition.remote(
+            lake_root, int(pid), meta, schema_json, columns, key, ts_col,
+            renames, drops, p,
+        )
+        for pid, meta in manifest["partitions"].items()
+        if partition_file_list(meta)
+    ]
+    parts = ray.get(futs)
+    rows = sum(pt["_rows"] for pt in parts)
+    col_stats = {}
+    for col in columns:
+        nulls = sum(pt[col][0] for pt in parts)
+        regs = [pt[col][1] for pt in parts if pt[col][1] is not None]
+        ndv = int(round(hll_estimate(hll_merge(regs)))) if regs else 0
+        mns = [pt[col][2] for pt in parts if pt[col][2] is not None]
+        mxs = [pt[col][3] for pt in parts if pt[col][3] is not None]
+        nb = [pt[col][4] for pt in parts if pt[col][4] is not None]
+        non_null = rows - nulls
+        col_stats[col] = {
+            "nulls": int(nulls),
+            "null_frac": round(nulls / rows, 6) if rows else None,
+            "ndv": min(ndv, non_null),  # estimate cannot exceed population
+            "min": _json_safe(min(mns)) if mns else None,
+            "max": _json_safe(max(mxs)) if mxs else None,
+            "avg_len": (
+                round(sum(nb) / non_null, 2) if nb and non_null else None
+            ),
+        }
+    txid = lake.next_txid(manifest)
+    stats = {
+        "as_of_txid": manifest["txid"],
+        "analyzed_txid": txid,
+        "rows": int(rows),
+        "hll_p": int(p),
+        "columns": col_stats,
+    }
+    manifest2 = dict(manifest)
+    manifest2["table_stats"] = stats
+    lake.commit(
+        manifest2,
+        txid,
+        [],
+        applied_segments=[f"__analyze_{txid}__"],
+        applied_lsn_range=None,
+        extras={"analyze": {"columns": list(columns), "rows": int(rows)}},
+    )
+    return stats
+
+
+def table_stats(lake_root: str) -> dict | None:
+    """Latest published ANALYZE record (None if never analyzed).  Check
+    ``as_of_txid`` against the current manifest txid for staleness."""
+    return LakeTable(lake_root).read_manifest().get("table_stats")
+
+
+def analyze(lake_root, columns=None, **kwargs):
+    from ..state.manifest import writer_lock
+
+    with writer_lock(lake_root):
+        return _analyze_impl(lake_root, columns, **kwargs)
+
+
+analyze.__doc__ = _analyze_impl.__doc__

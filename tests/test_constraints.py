@@ -441,3 +441,90 @@ def test_requeue_delta_mode(ray_session, constrained_wal, tmp_path):
     assert read_dlq(lake).num_rows == 0
     oracle = replay_oracle(constrained_wal["base"], constrained_wal["segments"])
     assert_tables_equal(read_table_arrow(lake), oracle)
+
+
+def test_follow_constraint_lifecycle_mid_tail(ray_session, small_wal, tmp_path):
+    """Constraints are re-read from the manifest at every transaction, so
+    a drop DURING steady-state tailing takes effect on the next poll —
+    and requeue afterwards recovers the rows quarantined before it."""
+    import threading
+    import time
+
+    from etl_ray.pipelines.maintenance import drop_constraint, set_constraint
+    from etl_ray.pipelines.replay import (
+        bootstrap_lake,
+        follow,
+        read_dlq,
+        read_table_arrow,
+        requeue_dlq,
+    )
+    from etl_ray.state.manifest import WriterLockHeld
+
+    def _violator(path, lsn, url):
+        ts0 = 1_900_000_000_000_000
+        tbl = pa.table(
+            {
+                "lsn": pa.array([lsn], pa.int64()),
+                "op": pa.array(["insert"], pa.string()),
+                "url": pa.array([url], pa.string()),
+                "warc_ts": pa.array([ts0 + lsn], pa.timestamp("us")),
+                "html": pa.array([make_html(url, 1)], pa.binary()),
+                "lang": pa.array(["zz"], pa.string()),
+            },
+            schema=WAL_SCHEMA_V1,
+        )
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)  # atomic appear for the directory poller
+
+    lake = str(tmp_path / "lake" / "pages")
+    bootstrap_lake(lake, small_wal["base"], num_partitions=8)
+    set_constraint(lake, "lang_known", "lang", "in", LANG_SET)
+
+    wal = str(tmp_path / "wal")
+    os.makedirs(wal)
+    for s in small_wal["segments"]:
+        shutil.copy(s, wal)
+    last = max(
+        pq.read_table(s, columns=["lsn"])["lsn"].to_numpy().max()
+        for s in small_wal["segments"]
+    )
+    url_a = "https://mid.example.com/a"
+    url_b = "https://mid.example.com/b"
+    _violator(os.path.join(wal, "segment-viol-00090.parquet"), int(last) + 1, url_a)
+
+    def mid_tail():
+        # wait for the first violator to be quarantined, then relax the
+        # rule and publish a second violator — it must now APPLY
+        for _ in range(100):
+            try:
+                if read_dlq(lake).num_rows >= 1:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.2)
+        while True:
+            try:
+                drop_constraint(lake, "lang_known")
+                break
+            except WriterLockHeld:
+                time.sleep(0.1)  # the tailer's poll holds the lock
+        _violator(
+            os.path.join(wal, "segment-viol-00091.parquet"), int(last) + 2, url_b
+        )
+
+    t = threading.Thread(target=mid_tail)
+    t.start()
+    follow(lake, wal, poll_interval=0.3, idle_exit_after=5)
+    t.join()
+
+    dlq = read_dlq(lake)
+    assert dlq["url"].to_pylist() == [url_a]  # pre-drop violator held
+    tbl = read_table_arrow(lake)
+    urls = set(tbl["url"].to_pylist())
+    assert url_b in urls and url_a not in urls  # post-drop violator applied
+
+    res = requeue_dlq(lake)
+    assert res["requeued"] == 1
+    assert url_a in set(read_table_arrow(lake)["url"].to_pylist())
+    assert read_dlq(lake).num_rows == 0
