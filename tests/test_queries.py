@@ -70,6 +70,7 @@ def test_oracle_queries_match_duckdb(entrymod, con):
                 "wal_update_depth",
                 "lake_clean_corpus",
                 "schema_evolution_pages",
+                "gdpr_delete_pages",
             )
             else SF
         )
