@@ -1600,6 +1600,24 @@ def _set_constraint_impl(
     constraints = dict(manifest.get("constraints", {}))
     if name in constraints:
         raise ValueError(f"constraint {name!r} already exists; drop it first")
+    if op == "notnull":
+        # coalesce (partial-image) tables: an update event legitimately
+        # ships null for every UNCHANGED column, so a notnull gate would
+        # quarantine all partial updates — refuse it (same in-file
+        # detection as rename_column)
+        for meta in manifest["partitions"].values():
+            rel = meta.get("file")
+            if rel:
+                names = pq.read_schema(
+                    os.path.join(lake_root, rel), filesystem=lake.fs.pyarrow_fs
+                ).names
+                if "_up_ts" in names:
+                    raise NotImplementedError(
+                        "notnull constraints are not supported on coalesce "
+                        "(partial-image) tables: updates carry nulls for "
+                        "unchanged columns by design"
+                    )
+                break
     # fail-fast type check: evaluate the predicate against a zero-row
     # array of the column's CURRENT type, so a value/column type mismatch
     # surfaces HERE, not inside a replay combiner task months later

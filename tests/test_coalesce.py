@@ -316,3 +316,27 @@ def test_coalesce_delta_mode(ray_session, tmp_path):
     assert_equal(
         engine_rows(root_d, COLS_V0), oracle_fold(evs + late, COLS_V0), COLS_V0
     )
+
+
+def test_coalesce_refuses_notnull_constraint(ray_session, tmp_path):
+    """Partial-image updates legitimately carry nulls for unchanged
+    columns, so a notnull gate would quarantine every partial update —
+    set_constraint refuses it on coalesce tables (other ops are fine:
+    CHECK semantics already pass nulls)."""
+    from etl_ray.pipelines.maintenance import list_constraints, set_constraint
+    from etl_ray.pipelines.replay import bootstrap_lake, replay
+
+    spec = _spec()
+    root = str(tmp_path / "lake" / "up_ct")
+    bootstrap_lake(root, None, num_partitions=4, schema=spec.schema_v0)
+    wal = str(tmp_path / "walct")
+    write_segments(gen_events(200, 20, 7), wal, 2)
+    replay(root, wal, spec=spec)
+
+    with pytest.raises(NotImplementedError, match="coalesce"):
+        set_constraint(root, "email_req", "email", "notnull", None,
+                       key="user_id", ts_col="ts")
+    # value predicates still work: nulls pass CHECK by definition
+    set_constraint(root, "score_pos", "score", "ge", -1e9,
+                   key="user_id", ts_col="ts")
+    assert "score_pos" in list_constraints(root)
