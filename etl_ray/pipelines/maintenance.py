@@ -1527,6 +1527,8 @@ def _count_partition_violations(
     tbl = load_partition_state(
         lake_root, meta, schema=_schema_from_json(schema_json), key=key,
         ts_col=ts_col, renames=renames, drops=drops,
+        columns=[column],  # pruned read: only the constrained column
+        # (plus the LWW fold's key/ts/internals) leaves storage
     )
     live = tbl.filter(pc.invert(tbl.column("_deleted")))
     if not live.num_rows:
@@ -1761,6 +1763,9 @@ def _analyze_partition(
     tbl = load_partition_state(
         lake_root, meta, schema=_schema_from_json(schema_json), key=key,
         ts_col=ts_col, renames=renames, drops=drops,
+        columns=columns,  # prune the read: a 2-column ANALYZE must not
+        # pull the html payload off storage (the LWW fold's own needs —
+        # key/ts/internals — are added by load_partition_state)
     )
     live = tbl.filter(pc.invert(tbl.column("_deleted")))
     out = {"_rows": live.num_rows}
