@@ -1117,6 +1117,16 @@ def _rename_column_impl(
         metadata=schema.metadata,
     )
     renames = list(manifest.get("renames", [])) + [{"from": old, "to": new}]
+    # CHECK constraints follow the rename in the SAME transaction: a
+    # constraint left referencing the old name would silently stop
+    # matching payloads that ship the new name (its alias walk starts
+    # from the stored column name)
+    constraints = {
+        cname: (
+            {**c, "column": new} if c["column"] == old else dict(c)
+        )
+        for cname, c in manifest.get("constraints", {}).items()
+    }
     txid = lake.next_txid(manifest)
     m = lake.commit(
         manifest,
@@ -1126,6 +1136,7 @@ def _rename_column_impl(
         applied_lsn_range=None,
         new_schema=new_schema,
         renames=renames,
+        constraints=constraints or None,
         extras={"rename_from": old, "rename_to": new},
     )
     return m["lineage"][-1]
@@ -1174,6 +1185,15 @@ def _drop_column_impl(
         )
     if column not in schema.names:
         raise ValueError(f"drop_column: no column {column!r} in {schema.names}")
+    holders = [
+        n for n, c in manifest.get("constraints", {}).items()
+        if c["column"] == column
+    ]
+    if holders:
+        raise ValueError(
+            f"drop_column: {column!r} is referenced by CHECK constraint(s) "
+            f"{holders}; drop_constraint first"
+        )
     for meta in manifest["partitions"].values():
         rel = meta.get("file")
         if rel:

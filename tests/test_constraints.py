@@ -528,3 +528,41 @@ def test_follow_constraint_lifecycle_mid_tail(ray_session, small_wal, tmp_path):
     assert res["requeued"] == 1
     assert url_a in set(read_table_arrow(lake)["url"].to_pylist())
     assert read_dlq(lake).num_rows == 0
+
+
+# -- schema-evolution interplay ------------------------------------------------
+
+
+def test_constraint_follows_rename_and_blocks_drop(
+    ray_session, constrained_wal, tmp_path
+):
+    """Renaming a constrained column rewrites the constraint's column
+    reference in the same tx (enforcement keeps matching BOTH era names
+    via the alias walk); dropping a constrained column is refused until
+    the constraint is dropped."""
+    from etl_ray.pipelines.maintenance import (
+        drop_column,
+        drop_constraint,
+        list_constraints,
+        rename_column,
+        set_constraint,
+    )
+    from etl_ray.pipelines.replay import read_dlq, replay
+
+    lake = str(tmp_path / "lake" / "pages")
+    _bootstrap(lake, constrained_wal)
+    set_constraint(lake, "lang_known", "lang", "in", LANG_SET)
+    rename_column(lake, "lang", "tongue")
+    assert list_constraints(lake)["lang_known"]["column"] == "tongue"
+
+    # WAL still ships the OLD name (upstream lags the rename): the
+    # violator must still quarantine through the alias walk
+    replay(lake, constrained_wal["wal_dir"])
+    dlq = read_dlq(lake)
+    assert dlq["reason"].to_pylist() == ["constraint:lang_known"]
+
+    with pytest.raises(ValueError, match="drop_constraint first"):
+        drop_column(lake, "tongue")
+    drop_constraint(lake, "lang_known")
+    drop_column(lake, "tongue")  # now fine
+    assert list_constraints(lake) == {}
