@@ -38,12 +38,12 @@ _DRIVER_PREFIX = [
     "cdc_replay_pages", "cdc_replay_pages_delta", "upsert_lww_events",
     "q1_pricing_summary", "cdc_table_diff", "incremental_domain_stats",
     "scd2_history_pages", "scd2_asof_read_pages", "dlq_quarantine_pages",
-    # round-5 CHECK constraints (swapped in for pages_per_domain,
-    # driver-green in r1-r4)
-    "constraint_quarantine_pages",
+    # round-5 CHECK constraints + DLQ requeue loop (swapped in for
+    # pages_per_domain and canonical_urls, driver-green in r1-r4)
+    "constraint_quarantine_pages", "constraint_requeue_pages",
     "cdc_changelog_pages",
     "lake_training_docs", "lake_recent_hosts", "host_index_read",
-    "canonical_urls", "sparse_attr_latest_events",
+    "sparse_attr_latest_events",
     # round-5 schema-evolution triple (rename+drop, metadata-only) —
     # swapped in for wal_update_depth (driver-green in the r5 sweep)
     "schema_evolution_pages",
@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # alongside the replay transaction (stages/validate.py)
         "dlq_quarantine_pages": Q.dlq_quarantine_pages,
         "constraint_quarantine_pages": Q.constraint_quarantine_pages,
+        "constraint_requeue_pages": Q.constraint_requeue_pages,
         # HLL sketch — non-SQL-expressible (hash-dependent estimate); the
         # error bound / merge laws / determinism are pytest-pinned
         # (tests/test_sketch.py), driver records the rows-only check
@@ -1057,6 +1058,24 @@ def oracle_sql() -> dict[str, str]:
                      END AS reason
               FROM read_parquet('{constraint_root}/wal/segment-mixed-00001.parquet')
             ) WHERE reason IS NOT NULL
+        """,
+        # the quarantine loop's end-state: after drop + requeue the table
+        # is the plain LWW window over every structurally-valid event
+        "constraint_requeue_pages": f"""
+            WITH ev AS (
+              SELECT url, warc_ts, lsn, op, lang
+              FROM read_parquet('{constraint_root}/wal/segment-mixed-00001.parquet')
+              WHERE url IS NOT NULL AND warc_ts IS NOT NULL
+                AND op IN ('insert','update','delete')
+            ),
+            w AS (
+              SELECT url, warc_ts, lang, op,
+                     row_number() OVER (
+                       PARTITION BY url ORDER BY warc_ts DESC, lsn DESC
+                     ) AS rn
+              FROM ev
+            )
+            SELECT url, warc_ts, lang FROM w WHERE rn = 1 AND op <> 'delete'
         """,
         "histogram_events": """
             SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,

@@ -1927,6 +1927,37 @@ def constraint_quarantine_pages(sf_dir: str):
     return read_dlq(lake_root).select(["lsn", "reason"])
 
 
+def constraint_requeue_pages(sf_dir: str):
+    """The full quarantine loop, SQL-checked end-state: replay the mixed
+    fixture under three CHECK constraints (violators quarantine), then
+    DROP all three and ``requeue_dlq`` — the constraint violators
+    re-apply under their ORIGINAL (warc_ts, lsn), the built-in-malformed
+    rows stay dead-lettered, and the final table equals the plain LWW
+    window over every structurally-valid event, as if the constraints
+    had never existed.  Oracle: that LWW window in SQL over the same
+    segment file."""
+    from ..state.manifest import LakeTable
+    from .maintenance import drop_constraint, set_constraint
+    from .replay import bootstrap_lake, read_table_arrow, replay, requeue_dlq
+
+    from ..gen import _LANGS
+
+    root = _constraint_fixture()
+    lake_root = os.path.join(root, "lake", f"rq{os.getpid()}", "pages")
+    if not LakeTable(lake_root).exists():  # same-process re-entry safe
+        bootstrap_lake(lake_root, None, num_partitions=8)
+        set_constraint(lake_root, "html_present", "html", "notnull", None)
+        set_constraint(lake_root, "lang_known", "lang", "in", list(_LANGS))
+        set_constraint(lake_root, "url_https", "url", "prefix", "https://")
+        replay(lake_root, os.path.join(root, "wal"))
+        for name in ("html_present", "lang_known", "url_https"):
+            drop_constraint(lake_root, name)
+    replay(lake_root, os.path.join(root, "wal"))  # no-op redelivery
+    requeue_dlq(lake_root)
+    out = read_table_arrow(lake_root)
+    return out.select(["url", "warc_ts", "lang"])
+
+
 def approx_distinct_events(sf_dir: str):
     """HyperLogLog approximate distinct count (stages/sketch.py) of the
     events table's event_id — one streaming pass, no key shuffle: tasks
