@@ -444,6 +444,18 @@ def fsck(
             problems.append({"pid": e["pid"], "file": e["file"], "what": "dlq_missing"})
         elif _pq.read_metadata(path).num_rows != int(e["rows"]):
             problems.append({"pid": e["pid"], "file": e["file"], "what": "dlq_rows"})
+    # constraint coherence: every CHECK constraint must reference a
+    # current schema column with a known op (a stale reference would
+    # silently never match — rename_column rewrites these, so a miss
+    # here means manifest corruption or hand-editing)
+    from ..stages.predicate import PRED_OPS
+
+    schema_names = set(lake.schema(m).names)
+    for cname, c in m.get("constraints", {}).items():
+        if c.get("column") not in schema_names or c.get("op") not in PRED_OPS:
+            problems.append(
+                {"pid": -1, "file": f"constraint:{cname}", "what": "constraint_ref"}
+            )
     return {
         "txid": m["txid"],
         "partitions": len(m["partitions"]),

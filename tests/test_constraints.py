@@ -566,3 +566,31 @@ def test_constraint_follows_rename_and_blocks_drop(
     drop_constraint(lake, "lang_known")
     drop_column(lake, "tongue")  # now fine
     assert list_constraints(lake) == {}
+
+
+def test_fsck_flags_stale_constraint_reference(ray_session, small_wal, tmp_path):
+    import json as _json
+
+    from etl_ray.pipelines.maintenance import fsck, set_constraint
+    from etl_ray.state.manifest import LakeTable
+
+    lake = str(tmp_path / "lake" / "pages")
+    _bootstrap(lake, small_wal)
+    set_constraint(lake, "url_https", "url", "prefix", "https://")
+    assert fsck(lake)["mismatches"] == []
+
+    # simulate manifest corruption / hand-editing: point the constraint
+    # at a column that does not exist (normal APIs refuse this)
+    lk = LakeTable(lake)
+    m = lk.read_manifest()
+    head = os.path.join(lake, "commits", f"{m['tx_seq']:09d}.json")
+    for path in (head, os.path.join(lake, "MANIFEST.json")):
+        with open(path) as f:
+            doc = _json.load(f)
+        doc["constraints"]["url_https"]["column"] = "ghost"
+        with open(path, "w") as f:
+            _json.dump(doc, f)
+    bad = fsck(lake)["mismatches"]
+    assert bad == [
+        {"pid": -1, "file": "constraint:url_https", "what": "constraint_ref"}
+    ]
