@@ -244,6 +244,18 @@ def main(argv: list[str] | None = None) -> int:
     ct.add_argument("--key", default="url")
     ct.add_argument("--ts-col", default="warc_ts")
 
+    cl = sub.add_parser(
+        "clone",
+        help="deep-copy a committed snapshot (head or --at-txid/--at-ts) "
+        "into a fresh lake carrying the exactly-once ledger, evolution "
+        "metadata, and constraints — replay resumes on the clone",
+    )
+    cl.add_argument("--lake", required=True, help="source table root")
+    cl.add_argument("--dest", required=True, help="new table root")
+    cl.add_argument("--at-txid", default=None)
+    cl.add_argument("--at-ts", type=int, default=None,
+                    help="epoch microseconds (timestamp time travel)")
+
     an = sub.add_parser(
         "analyze",
         help="ANALYZE TABLE: one distributed pass collects per-column "
@@ -475,6 +487,15 @@ def main(argv: list[str] | None = None) -> int:
             key=args.key, ts_col=args.ts_col,
         )
         print(json.dumps(lin if lin is not None else {"rows_purged": 0, "noop": True}))
+        return 0
+
+    if args.cmd == "clone":
+        _init_ray()
+        from .maintenance import clone_table
+
+        print(json.dumps(clone_table(
+            args.lake, args.dest, at_txid=args.at_txid, at_ts=args.at_ts,
+        )))
         return 0
 
     if args.cmd == "analyze":

@@ -1935,3 +1935,145 @@ def analyze(lake_root, columns=None, **kwargs):
 
 
 analyze.__doc__ = _analyze_impl.__doc__
+
+
+# -- table clone (snapshot export) --------------------------------------------
+# Deep-copy a committed snapshot into a fresh lake: backup/restore, dev
+# clones, and fork-for-experiment without touching the source.  The
+# clone carries the FULL exactly-once ledger (applied segments + LSN
+# ranges), schema-evolution metadata (rename chain, drop log), and the
+# CHECK constraints in force — so `replay` against the same WAL resumes
+# on the clone exactly where the snapshot left off, and the clone
+# evolves independently afterwards.  File copies fan out as Ray tasks
+# through the fs adapter (object-store portable); the clone publishes
+# via the same seq-1 conditional-put CAS as every other commit, so a
+# crashed clone leaves only an un-referenced directory.
+
+
+@ray.remote(num_cpus=0.25)
+def _copy_rels(src_root: str, dst_root: str, rels: list[str]) -> int:
+    from ..state.fs import resolve as _resolve
+
+    adapter = _resolve(None)
+    pafs = adapter.pyarrow_fs  # None on the plain-os adapter
+    n = 0
+    for rel in rels:
+        src = os.path.join(src_root, rel)
+        dst = os.path.join(dst_root, rel)
+        adapter.makedirs(os.path.dirname(dst))
+        if pafs is None:
+            import shutil as _sh
+
+            _sh.copyfile(src, dst)
+        else:
+            with pafs.open_input_stream(src) as r, \
+                    pafs.open_output_stream(dst) as w:
+                while True:
+                    chunk = r.read(8 << 20)
+                    if not chunk:
+                        break
+                    w.write(chunk)
+        n += 1
+    return n
+
+
+def _ledger_upto(src: "LakeTable", txid: str) -> tuple[list, list]:
+    """Cumulative (applied_segments, lsn_ranges) as of a historical
+    txid, reconstructed from the immutable per-tx records.  Ranges are
+    per-TRANSACTION granular (the per-tx record stores the merged
+    [lo, hi]); with in-order WAL publication that equals the head
+    ledger, with out-of-order (broker) publication it is coarser —
+    exact resume from a historical clone then relies on the
+    file-level applied_segments set, which is always exact."""
+    seq = int(txid.removeprefix("tx"))
+    segs: list = []
+    ranges: list = []
+    for n in range(1, seq + 1):
+        rec = src.fs.read_json(
+            os.path.join(src.manifests_dir, f"tx{n:06d}.json")
+        )
+        segs.extend(rec.get("applied_segments", []))
+        r = rec.get("applied_lsn_range")
+        if r:
+            ranges.append(list(r))
+    return segs, ranges
+
+
+def clone_table(
+    src_root: str,
+    dst_root: str,
+    *,
+    at_txid: str | None = None,
+    at_ts=None,
+) -> dict:
+    """Clone ``src_root``'s committed state (head, or a snapshot via
+    ``at_txid`` / ``at_ts``) into a NEW lake at ``dst_root`` (see
+    section comment above).  Returns the clone's lineage record."""
+    from ..state.manifest import resolve_txid_at_ts
+
+    if at_txid is not None and at_ts is not None:
+        raise ValueError("pass at_txid or at_ts, not both")
+    src = LakeTable(src_root)
+    if at_ts is not None:
+        at_txid = resolve_txid_at_ts(src_root, at_ts)
+    if at_txid is None:
+        m = src.read_manifest()
+        state = {
+            k: m[k] for k in (
+                "num_partitions", "schema", "schema_version", "partitions",
+                "applied_segments", "applied_lsn_ranges",
+            )
+        }
+        for k in ("renames", "drops", "constraints"):
+            if m.get(k):
+                state[k] = m[k]
+        src_txid = m["txid"]
+    else:
+        snap = src.manifest_at(at_txid)
+        rec = src.fs.read_json(
+            os.path.join(src.manifests_dir, f"{at_txid}.json")
+        )
+        segs, ranges = _ledger_upto(src, at_txid)
+        state = {
+            "num_partitions": snap["num_partitions"],
+            "schema": snap["schema"],
+            # schema_version is not snapshotted per tx; the clone restarts
+            # version counting (cosmetic — evolution compares schemas, not
+            # version numbers)
+            "schema_version": 0,
+            "partitions": snap["partitions"],
+            "applied_segments": segs,
+            "applied_lsn_ranges": ranges,
+        }
+        if snap.get("renames"):
+            state["renames"] = snap["renames"]
+        if snap.get("drops"):
+            state["drops"] = snap["drops"]
+        if rec.get("snapshot", {}).get("constraints"):
+            state["constraints"] = rec["snapshot"]["constraints"]
+        src_txid = at_txid
+
+    from ..state.manifest import _schema_from_json, partition_file_list
+
+    dst = LakeTable(dst_root, num_partitions=state["num_partitions"])
+    dst.init(_schema_from_json(state["schema"]), state["num_partitions"])
+
+    rels = [
+        rel
+        for meta in state["partitions"].values()
+        for rel in partition_file_list(meta)
+    ]
+    futs = [
+        _copy_rels.remote(src_root, dst_root, rels[i:i + 16])
+        for i in range(0, len(rels), 16)
+    ]
+    copied = sum(ray.get(futs))
+    m = dst.install_snapshot(
+        state,
+        provenance={
+            "cloned_from": src_root,
+            "cloned_txid": src_txid,
+            "files_copied": copied,
+        },
+    )
+    return m["lineage"][-1]

@@ -400,6 +400,73 @@ class LakeTable:
         self.fs.rmtree(os.path.join(self.staging_root, txid))
         return m
 
+    def install_snapshot(self, state: dict, provenance: dict) -> dict:
+        """Publish a fully-formed table state as THIS (empty, freshly
+        ``init``-ed) table's first transaction — the clone primitive
+        (maintenance.clone_table).  ``state`` carries partitions /
+        schema / ledger / evolution metadata whose referenced files the
+        caller has already copied under this root; ``provenance`` is
+        recorded in the lineage entry and per-tx record.  Same CAS
+        commit point as ``commit()``: the seq-1 conditional put."""
+        manifest = self.read_manifest()
+        if manifest["tx_seq"] != 0 or manifest["partitions"]:
+            raise CommitConflict(
+                f"install_snapshot requires a freshly initialized table; "
+                f"{self.root} is at tx_seq {manifest['tx_seq']}"
+            )
+        txid = self.next_txid(manifest)
+        m = dict(manifest)
+        m["txid"] = txid
+        m["tx_seq"] = 1
+        for k in (
+            "num_partitions", "schema", "schema_version", "partitions",
+            "applied_segments", "applied_lsn_ranges",
+        ):
+            m[k] = state[k]
+        for k in ("renames", "drops", "constraints"):
+            if state.get(k):
+                m[k] = state[k]
+        rows_total = int(sum(p["rows"] for p in m["partitions"].values()))
+        tx_record = {
+            "txid": txid,
+            "committed_at": int(time.time() * 1_000_000),
+            "applied_segments": [],
+            "applied_lsn_range": None,
+            "partitions": [],
+            "rows_total": rows_total,
+            "events_applied": 0,
+            **provenance,
+            "snapshot": {
+                "partitions": m["partitions"],
+                "schema": dict(m["schema"]),
+                "num_partitions": m["num_partitions"],
+                "renames": m.get("renames", []),
+                "drops": m.get("drops", []),
+                "constraints": m.get("constraints", {}),
+            },
+        }
+        self.fs.makedirs(self.manifests_dir)
+        self.fs.write_json(
+            os.path.join(self.manifests_dir, f"{txid}.json"), tx_record
+        )
+        m["lineage"] = [{
+            "txid": txid,
+            "committed_at": tx_record["committed_at"],
+            "rows_total": rows_total,
+            "events_applied": 0,
+            "applied_lsn_range": None,
+            "partitions_rewritten": 0,
+            **provenance,
+        }]
+        try:
+            self.fs.create_exclusive_json(self._commit_path(1), m)
+        except FileExistsError:
+            raise CommitConflict(
+                f"tx_seq 1 already committed by another writer on {self.root}"
+            ) from None
+        self._atomic_write(m)
+        return m
+
     def manifest_at(self, txid: str) -> dict:
         """Reconstruct the committed state as of ``txid`` from its
         immutable per-tx snapshot (time travel).  Raises FileNotFoundError
