@@ -256,6 +256,16 @@ def main(argv: list[str] | None = None) -> int:
     cl.add_argument("--at-ts", type=int, default=None,
                     help="epoch microseconds (timestamp time travel)")
 
+    sy = sub.add_parser(
+        "sync",
+        help="incrementally update a clone to the source head, copying "
+        "only changed partitions (mirror semantics; refuses a diverged "
+        "destination unless --force)",
+    )
+    sy.add_argument("--lake", required=True, help="source table root")
+    sy.add_argument("--dest", required=True, help="mirror table root")
+    sy.add_argument("--force", action="store_true")
+
     an = sub.add_parser(
         "analyze",
         help="ANALYZE TABLE: one distributed pass collects per-column "
@@ -496,6 +506,13 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(clone_table(
             args.lake, args.dest, at_txid=args.at_txid, at_ts=args.at_ts,
         )))
+        return 0
+
+    if args.cmd == "sync":
+        _init_ray()
+        from .maintenance import sync_clone
+
+        print(json.dumps(sync_clone(args.lake, args.dest, force=args.force)))
         return 0
 
     if args.cmd == "analyze":

@@ -2077,3 +2077,94 @@ def clone_table(
         },
     )
     return m["lineage"][-1]
+
+
+def sync_clone(src_root: str, dst_root: str, *, force: bool = False) -> dict:
+    """Incrementally update a clone to the source's CURRENT head,
+    copying only the files of partitions that changed since the last
+    clone/sync — O(changed partitions) per sync, the replication shape
+    for a 100 TB mirror (continuous DR / read-replica feeding).
+
+    Mirror semantics: the destination's state is REPLACED by the source
+    head (partitions, ledger, schema, rename chain, drop log,
+    constraints) in one CAS-published transaction; superseded local
+    files become vacuum-reclaimable orphans.  Refused when the
+    destination has committed anything since its last clone/sync (it
+    diverged — ``force=True`` overwrites anyway, keeping time travel to
+    the divergent snapshots until vacuum).  A source that hasn't moved
+    is a no-op (no transaction)."""
+    from ..state.manifest import partition_file_list
+
+    src = LakeTable(src_root)
+    dst = LakeTable(dst_root)
+    sm = src.read_manifest()
+    with writer_lock_for(dst_root):
+        dm = dst.read_manifest()
+        last = dm["lineage"][-1] if dm["lineage"] else {}
+        mirror_of = last.get("synced_from") or last.get("cloned_from")
+        if mirror_of != src_root and not force:
+            raise ValueError(
+                f"sync_clone: {dst_root} is not an up-to-date mirror of "
+                f"{src_root} (last tx {last.get('txid')} is "
+                f"{'a local commit' if mirror_of is None else f'a mirror of {mirror_of}'}); "
+                "pass force=True to overwrite"
+            )
+        synced_txid = last.get("synced_txid") or last.get("cloned_txid")
+        if mirror_of == src_root and synced_txid == sm["txid"]:
+            return {"synced_txid": sm["txid"], "partitions_updated": 0,
+                    "files_copied": 0, "noop": True}
+
+        # identity = (rows, checksum) per file entry, NOT the file name:
+        # two lakes mint txids independently, so a diverged mirror can
+        # hold different bytes under the same part-{pid}-{txid} name —
+        # a name-only diff would keep the stale local file
+        def _file_entries(meta: dict) -> dict:
+            out = {}
+            if meta.get("file"):
+                out[meta["file"]] = (meta.get("rows"), meta.get("checksum"))
+            for d in meta.get("deltas", []):
+                out[d["file"]] = (d.get("rows"), d.get("checksum"))
+            return out
+
+        dst_files = {
+            pid: _file_entries(meta) for pid, meta in dm["partitions"].items()
+        }
+        rels: list[str] = []
+        changed = 0
+        for pid, meta in sm["partitions"].items():
+            want = _file_entries(meta)
+            have = dst_files.get(pid, {})
+            missing = [r for r, ident in want.items() if have.get(r) != ident]
+            if missing:
+                changed += 1
+                rels.extend(missing)
+        futs = [
+            _copy_rels.remote(src_root, dst_root, rels[i:i + 16])
+            for i in range(0, len(rels), 16)
+        ]
+        copied = sum(ray.get(futs))
+        state = {
+            k: sm[k] for k in (
+                "num_partitions", "schema", "schema_version", "partitions",
+                "applied_segments", "applied_lsn_ranges",
+            )
+        }
+        for k in ("renames", "drops", "constraints"):
+            if sm.get(k):
+                state[k] = sm[k]
+        m = dst.publish_state(
+            state,
+            provenance={
+                "synced_from": src_root,
+                "synced_txid": sm["txid"],
+                "partitions_updated": changed,
+                "files_copied": copied,
+            },
+        )
+        return m["lineage"][-1]
+
+
+def writer_lock_for(root: str):
+    from ..state.manifest import writer_lock
+
+    return writer_lock(root)

@@ -400,24 +400,19 @@ class LakeTable:
         self.fs.rmtree(os.path.join(self.staging_root, txid))
         return m
 
-    def install_snapshot(self, state: dict, provenance: dict) -> dict:
-        """Publish a fully-formed table state as THIS (empty, freshly
-        ``init``-ed) table's first transaction — the clone primitive
-        (maintenance.clone_table).  ``state`` carries partitions /
-        schema / ledger / evolution metadata whose referenced files the
-        caller has already copied under this root; ``provenance`` is
+    def publish_state(self, state: dict, provenance: dict) -> dict:
+        """Publish a fully-formed table state (partitions / schema /
+        ledger / evolution metadata, whose referenced files the caller
+        has already placed under this root) as this table's next
+        transaction — the clone/mirror primitive
+        (maintenance.clone_table / sync_clone).  ``provenance`` is
         recorded in the lineage entry and per-tx record.  Same CAS
-        commit point as ``commit()``: the seq-1 conditional put."""
+        commit point as ``commit()``: the next-seq conditional put."""
         manifest = self.read_manifest()
-        if manifest["tx_seq"] != 0 or manifest["partitions"]:
-            raise CommitConflict(
-                f"install_snapshot requires a freshly initialized table; "
-                f"{self.root} is at tx_seq {manifest['tx_seq']}"
-            )
         txid = self.next_txid(manifest)
         m = dict(manifest)
         m["txid"] = txid
-        m["tx_seq"] = 1
+        m["tx_seq"] = manifest["tx_seq"] + 1
         for k in (
             "num_partitions", "schema", "schema_version", "partitions",
             "applied_segments", "applied_lsn_ranges",
@@ -426,6 +421,8 @@ class LakeTable:
         for k in ("renames", "drops", "constraints"):
             if state.get(k):
                 m[k] = state[k]
+            else:
+                m.pop(k, None)  # mirror semantics: absent upstream wins
         rows_total = int(sum(p["rows"] for p in m["partitions"].values()))
         tx_record = {
             "txid": txid,
@@ -449,7 +446,7 @@ class LakeTable:
         self.fs.write_json(
             os.path.join(self.manifests_dir, f"{txid}.json"), tx_record
         )
-        m["lineage"] = [{
+        m["lineage"] = list(manifest["lineage"]) + [{
             "txid": txid,
             "committed_at": tx_record["committed_at"],
             "rows_total": rows_total,
@@ -458,14 +455,27 @@ class LakeTable:
             "partitions_rewritten": 0,
             **provenance,
         }]
+        self.fs.makedirs(self.commits_dir)
         try:
-            self.fs.create_exclusive_json(self._commit_path(1), m)
+            self.fs.create_exclusive_json(self._commit_path(m["tx_seq"]), m)
         except FileExistsError:
             raise CommitConflict(
-                f"tx_seq 1 already committed by another writer on {self.root}"
+                f"tx_seq {m['tx_seq']} already committed by another writer "
+                f"on {self.root}"
             ) from None
         self._atomic_write(m)
         return m
+
+    def install_snapshot(self, state: dict, provenance: dict) -> dict:
+        """``publish_state`` gated to a freshly ``init``-ed table — the
+        initial-clone path (maintenance.clone_table)."""
+        manifest = self.read_manifest()
+        if manifest["tx_seq"] != 0 or manifest["partitions"]:
+            raise CommitConflict(
+                f"install_snapshot requires a freshly initialized table; "
+                f"{self.root} is at tx_seq {manifest['tx_seq']}"
+            )
+        return self.publish_state(state, provenance)
 
     def manifest_at(self, txid: str) -> dict:
         """Reconstruct the committed state as of ``txid`` from its

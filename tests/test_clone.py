@@ -120,3 +120,79 @@ def test_cli_clone(ray_session, small_wal, tmp_path, capsys):
     rec = _run(capsys, "clone", "--lake", lake, "--dest", dst)
     assert rec["files_copied"] > 0
     assert_tables_equal(read_table_arrow(dst), read_table_arrow(lake))
+
+
+def _one_url_segment(wal_dir, name, lsn, url):
+    import pyarrow as pa
+
+    from etl_ray.gen import WAL_SCHEMA_V1, make_html
+
+    tbl = pa.table(
+        {
+            "lsn": pa.array([lsn], pa.int64()),
+            "op": pa.array(["update"], pa.string()),
+            "url": pa.array([url], pa.string()),
+            "warc_ts": pa.array([2_000_000_000_000_000 + lsn], pa.timestamp("us")),
+            "html": pa.array([make_html(url, 9)], pa.binary()),
+            "lang": pa.array(["en"], pa.string()),
+        },
+        schema=WAL_SCHEMA_V1,
+    )
+    pq.write_table(tbl, os.path.join(wal_dir, name))
+
+
+def test_sync_clone_incremental_mirror(ray_session, small_wal, tmp_path):
+    from etl_ray.pipelines.maintenance import clone_table, sync_clone
+    from etl_ray.pipelines.replay import read_table_arrow, replay
+    from etl_ray.state.manifest import LakeTable
+
+    lake, wal, segs = _replayed(small_wal, tmp_path, n_first=len(
+        sorted(small_wal["segments"])))
+    dst = str(tmp_path / "mirror" / "pages")
+    clone_table(lake, dst)
+
+    # source advances by ONE url -> exactly one partition changes
+    url = read_table_arrow(lake)["url"][0].as_py()
+    last = max(
+        pq.read_table(s, columns=["lsn"])["lsn"].to_numpy().max() for s in segs
+    )
+    _one_url_segment(wal, "segment-one-00090.parquet", int(last) + 1, url)
+    replay(lake, wal)
+
+    rec = sync_clone(lake, dst)
+    assert rec["partitions_updated"] == 1
+    assert 0 < rec["files_copied"] <= 2
+    assert_tables_equal(read_table_arrow(dst), read_table_arrow(lake))
+    # mirror ledger carried: the one-url segment is already applied
+    assert replay(dst, wal).transactions == 0
+    # unchanged source -> no-op, no transaction
+    seq = LakeTable(dst).read_manifest()["tx_seq"]
+    assert sync_clone(lake, dst)["noop"] is True
+    assert LakeTable(dst).read_manifest()["tx_seq"] == seq
+
+
+def test_sync_clone_refuses_diverged_mirror(ray_session, small_wal, tmp_path):
+    from etl_ray.pipelines.maintenance import clone_table, sync_clone
+    from etl_ray.pipelines.replay import read_table_arrow, replay
+
+    lake, wal, segs = _replayed(small_wal, tmp_path)
+    dst = str(tmp_path / "mirror" / "pages")
+    clone_table(lake, dst)
+
+    # the mirror commits locally -> diverged
+    last = max(
+        pq.read_table(s, columns=["lsn"])["lsn"].to_numpy().max() for s in segs
+    )
+    wal2 = str(tmp_path / "wal_local")
+    os.makedirs(wal2)
+    _one_url_segment(
+        wal2, "segment-local-00091.parquet", int(last) + 50,
+        "https://local.example.com/only-on-mirror",
+    )
+    replay(dst, wal2)
+
+    with pytest.raises(ValueError, match="diverged|local commit"):
+        sync_clone(lake, dst)
+    # force overwrites back to the source head
+    sync_clone(lake, dst, force=True)
+    assert_tables_equal(read_table_arrow(dst), read_table_arrow(lake))
