@@ -2054,6 +2054,7 @@ def clone_table(
         src_txid = at_txid
 
     from ..state.manifest import _schema_from_json, partition_file_list
+    from .tags import create_tag, delete_tag
 
     dst = LakeTable(dst_root, num_partitions=state["num_partitions"])
     dst.init(_schema_from_json(state["schema"]), state["num_partitions"])
@@ -2063,11 +2064,22 @@ def clone_table(
         for meta in state["partitions"].values()
         for rel in partition_file_list(meta)
     ]
-    futs = [
-        _copy_rels.remote(src_root, dst_root, rels[i:i + 16])
-        for i in range(0, len(rels), 16)
-    ]
-    copied = sum(ray.get(futs))
+    # pin the snapshot against a concurrent vacuum on the SOURCE for the
+    # duration of the copy (vacuum auto-protects tagged snapshots) —
+    # cheaper than holding the source writer lock across a 100 TB copy
+    guard = f"__clone_{os.getpid()}_{src_txid}"
+    create_tag(src_root, guard, src_txid, replace=True)
+    try:
+        futs = [
+            _copy_rels.remote(src_root, dst_root, rels[i:i + 16])
+            for i in range(0, len(rels), 16)
+        ]
+        copied = sum(ray.get(futs))
+    finally:
+        try:
+            delete_tag(src_root, guard)
+        except KeyError:
+            pass
     m = dst.install_snapshot(
         state,
         provenance={
@@ -2138,11 +2150,21 @@ def sync_clone(src_root: str, dst_root: str, *, force: bool = False) -> dict:
             if missing:
                 changed += 1
                 rels.extend(missing)
-        futs = [
-            _copy_rels.remote(src_root, dst_root, rels[i:i + 16])
-            for i in range(0, len(rels), 16)
-        ]
-        copied = sum(ray.get(futs))
+        from .tags import create_tag, delete_tag
+
+        guard = f"__sync_{os.getpid()}_{sm['txid']}"
+        create_tag(src_root, guard, sm["txid"], replace=True)
+        try:
+            futs = [
+                _copy_rels.remote(src_root, dst_root, rels[i:i + 16])
+                for i in range(0, len(rels), 16)
+            ]
+            copied = sum(ray.get(futs))
+        finally:
+            try:
+                delete_tag(src_root, guard)
+            except KeyError:
+                pass
         state = {
             k: sm[k] for k in (
                 "num_partitions", "schema", "schema_version", "partitions",

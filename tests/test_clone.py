@@ -196,3 +196,15 @@ def test_sync_clone_refuses_diverged_mirror(ray_session, small_wal, tmp_path):
     # force overwrites back to the source head
     sync_clone(lake, dst, force=True)
     assert_tables_equal(read_table_arrow(dst), read_table_arrow(lake))
+
+
+def test_clone_guards_snapshot_against_vacuum(ray_session, small_wal, tmp_path):
+    """During the copy the source snapshot is pinned by a guard tag, so
+    a concurrent writer+vacuum cannot reclaim the files mid-clone; the
+    guard is gone afterwards (tagging is transient)."""
+    from etl_ray.pipelines.maintenance import clone_table
+    from etl_ray.pipelines.tags import list_tags
+
+    lake, _, _ = _replayed(small_wal, tmp_path)
+    clone_table(lake, str(tmp_path / "g" / "pages"))
+    assert not any(t.startswith("__clone_") for t in list_tags(lake))
