@@ -297,6 +297,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship chain #2: replay -> zorder -> predicate-pruned read
         # -> host rollup (proves the rewrite under a predicate read)
         "lake_recent_hosts": Q.lake_recent_hosts,
+        # manifest-stats file-skipping scan: filters= tuple API prunes
+        # whole partitions from writer-recorded column stats (zero
+        # footer reads) before row-group pushdown (state/partstats.py)
+        "scan_prune_recent_pages": Q.scan_prune_recent_pages,
         # train-then-score char-bigram LM quality filter (CCNet shape)
         "charlm_score_docs": Q.charlm_score_docs,
         # distributed PCA (moment partials -> driver eigh -> broadcast
@@ -1636,6 +1640,19 @@ def oracle_sql() -> dict[str, str]:
             FROM live, cut
             WHERE warc_ts >= c
             GROUP BY 1
+        """,
+        "scan_prune_recent_pages": """
+            WITH w AS (
+              SELECT url, warc_ts, op,
+                     row_number() OVER (
+                       PARTITION BY url ORDER BY warc_ts DESC, lsn DESC) AS rn
+              FROM read_parquet('/tmp/etlray_cdc_1000_8000/data/oracle_events.parquet')
+            ),
+            live AS (SELECT url, warc_ts FROM w WHERE rn = 1 AND op <> 'delete'),
+            cut AS (SELECT quantile_disc(warc_ts, 0.5) AS c FROM live)
+            SELECT url, CAST(epoch_us(warc_ts) AS BIGINT) AS ts_us
+            FROM live, cut
+            WHERE warc_ts >= c
         """,
         "brand_revenue_topk": """
             SELECT p_brand,

@@ -181,6 +181,18 @@ def main(argv: list[str] | None = None) -> int:
     dq.add_argument("--limit", type=int, default=0,
                     help="also print up to N quarantined rows (lsn, reason, url)")
 
+    xp = sub.add_parser(
+        "explain", help="dry-run the manifest-stats scan plan for a "
+        "filtered read: partitions/files/rows skipped, no data I/O"
+    )
+    xp.add_argument("--lake", required=True)
+    xp.add_argument(
+        "--where", action="append", required=True,
+        help="repeatable filter conjunct col:op:value "
+             "(op in == != < <= > >= ; timestamps as epoch microseconds)",
+    )
+    xp.add_argument("--at-txid", default=None, help="time-travel snapshot")
+
     gt = sub.add_parser(
         "get", help="point lookup: freshest live row(s) for url key(s), "
         "reading only the partitions they hash to"
@@ -586,6 +598,23 @@ def main(argv: list[str] | None = None) -> int:
         rep = fsck(args.lake, at_txid=args.at_txid)
         print(json.dumps(rep))
         return 0 if not rep["mismatches"] else 2
+
+    if args.cmd == "explain":
+        # driver-local: the plan is manifest metadata only
+        from .replay import explain_scan
+
+        filters = []
+        for w in args.where:
+            col, op, raw = w.split(":", 2)
+            for cast in (int, float):
+                try:
+                    raw = cast(raw)
+                    break
+                except ValueError:
+                    continue
+            filters.append((col, op, raw))
+        print(json.dumps(explain_scan(args.lake, filters, at_txid=args.at_txid)))
+        return 0
 
     if args.cmd == "get":
         # driver-local: a lookup reads O(touched partitions) files, no Ray

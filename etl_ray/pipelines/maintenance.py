@@ -75,6 +75,8 @@ def _compact_partition(
         live.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False),
         live.column("_lsn").to_numpy(zero_copy_only=False),
     )
+    from ..state.partstats import stats_json
+
     return {
         "pid": pid,
         "rows": live.num_rows,
@@ -82,6 +84,7 @@ def _compact_partition(
         "lsn_hi": int(lsn_np.max()) if len(lsn_np) else 0,
         "events_applied": 0,
         "tombstones_dropped": int(tbl.num_rows - out.num_rows),
+        "stats_json": stats_json(live),
     }
 
 
@@ -218,6 +221,8 @@ def _fold_partition(
         live.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False),
         live.column("_lsn").to_numpy(zero_copy_only=False),
     )
+    from ..state.partstats import stats_json
+
     return {
         "pid": pid,
         "rows": live.num_rows,
@@ -225,6 +230,7 @@ def _fold_partition(
         "lsn_hi": int(lsn_np.max()) if len(lsn_np) else 0,
         "events_applied": 0,
         "deltas_folded": len(meta.get("deltas", [])),
+        "stats_json": stats_json(live),
     }
 
 
@@ -315,12 +321,15 @@ def _backfill_partition(
         live.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False),
         live.column("_lsn").to_numpy(zero_copy_only=False),
     )
+    from ..state.partstats import stats_json
+
     return {
         "pid": pid,
         "rows": live.num_rows,
         "checksum": ck,
         "lsn_hi": int(lsn_np.max()) if len(lsn_np) else 0,
         "events_applied": 0,
+        "stats_json": stats_json(live),
     }
 
 
@@ -596,6 +605,8 @@ class _RepartitionWriter:
             live.column("warc_ts").cast(pa.int64()).to_numpy(zero_copy_only=False),
             live.column("_lsn").to_numpy(zero_copy_only=False),
         )
+        from ..state.partstats import stats_json
+
         return pa.table(
             {
                 "pid": pa.array([pid], pa.int32()),
@@ -604,6 +615,7 @@ class _RepartitionWriter:
                 "checksum": pa.array([ck], pa.uint64()),
                 "lsn_hi": pa.array([int(lsn_np.max()) if len(lsn_np) else 0], pa.int64()),
                 "events_applied": pa.array([0], pa.int64()),
+                "stats_json": pa.array([stats_json(live)], pa.string()),
             }
         )
 
@@ -1003,12 +1015,15 @@ def _zorder_partition(
         live.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False),
         live.column("_lsn").to_numpy(zero_copy_only=False),
     )
+    from ..state.partstats import stats_json
+
     return {
         "pid": pid,
         "rows": live.num_rows,
         "checksum": ck,
         "lsn_hi": int(lsn_np.max()) if len(lsn_np) else 0,
         "events_applied": 0,
+        "stats_json": stats_json(live),
     }
 
 
@@ -1364,6 +1379,8 @@ def _purge_partition(
         live.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False),
         live.column("_lsn").to_numpy(zero_copy_only=False),
     )
+    from ..state.partstats import stats_json
+
     return {
         "pid": pid,
         "rows": live.num_rows,
@@ -1371,6 +1388,7 @@ def _purge_partition(
         "lsn_hi": int(lsn_np.max()) if len(lsn_np) else 0,
         "events_applied": 0,
         "rows_purged": purged_live,
+        "stats_json": stats_json(live),
     }
 
 

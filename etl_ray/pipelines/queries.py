@@ -6748,3 +6748,50 @@ def theil_index_user_spend(sf_dir: str):
             "theil_t": pa.array([theil], pa.float64()),
         }
     )
+
+
+def scan_prune_recent_pages(sf_dir: str):
+    """Stats-pruned filtered lake read through the ``filters=`` tuple
+    API (pipelines/replay.read_table + state/partstats.py): CDC replay,
+    then serve the recent half of the live table as
+    ``(url, ts_us)`` with the warc_ts >= p50 predicate applied at all
+    three pruning layers — manifest-level partition skipping from
+    writer-recorded column stats (zero footer reads), row-group
+    pushdown via the derived expression, and the in-task filter.  The
+    oracle recomputes the same LWW winners + quantile cut in SQL, so
+    hash equality proves the stats planner never skips a partition it
+    needs.  The plan itself is sanity-checked via explain_scan (kept +
+    skipped must tile the manifest)."""
+    from ..stages.quantiles import exact_quantiles
+    from .replay import bootstrap_lake, explain_scan, read_table, replay
+
+    n_urls, n_events = _CDC_SIZES.get(os.path.basename(sf_dir.rstrip("/")), (300, 1500))
+    root = _cdc_fixture(n_urls, n_events)
+    data_dir = os.path.join(root, "data")
+    lake_root = os.path.join(root, "lake", f"sp{os.getpid()}", "pages")
+    bootstrap_lake(lake_root, os.path.join(data_dir, "base", "pages.parquet"), num_partitions=16)
+    replay(lake_root, os.path.join(data_dir, "wal"))
+
+    cut = exact_quantiles(
+        read_table(lake_root, columns=["warc_ts"]), "warc_ts", [0.5]
+    )["value"][0].as_py()
+
+    plan = explain_scan(lake_root, [("warc_ts", ">=", cut)])
+    if plan["partitions_skipped"] > plan["partitions_total"]:
+        raise AssertionError(f"inconsistent scan plan: {plan}")
+
+    recent = read_table(
+        lake_root,
+        columns=["url", "warc_ts"],
+        filters=[("warc_ts", ">=", cut)],
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "ts_us": pc.cast(t.column("warc_ts"), pa.int64()),
+            }
+        )
+
+    return recent.map_batches(project, batch_format="pyarrow")

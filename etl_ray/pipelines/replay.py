@@ -31,7 +31,7 @@ from ..config import PAGES, TableSpec
 from ..gen import PAGES_SCHEMA
 from ..stages.merge import INTERNAL_COLS, MergePartition, lww_compact
 from ..stages.partition import add_partition_cols
-from ..state.manifest import LakeTable
+from ..state.manifest import LakeTable, partition_file_list
 from ..state.schema_registry import conform, evolve
 
 # WAL envelope columns that are not lake payload
@@ -175,6 +175,8 @@ class _BootstrapPartition:
             body.column(self.ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False),
             body.column("_lsn").to_numpy(zero_copy_only=False),
         )
+        from ..state.partstats import stats_json
+
         return pa.table(
             {
                 "pid": pa.array([pid], pa.int32()),
@@ -182,6 +184,7 @@ class _BootstrapPartition:
                 "checksum": pa.array([ck], pa.uint64()),
                 "lsn_hi": pa.array([0], pa.int64()),
                 "events_applied": pa.array([0], pa.int64()),
+                "stats_json": pa.array([stats_json(body)], pa.string()),
             }
         )
 
@@ -1287,6 +1290,90 @@ def _resolve_at(lake_root, at_txid, at_tag, fs, at_ts=None):
     return at_txid
 
 
+def _plan_scan(
+    m: dict, schema: pa.Schema, filters, renames
+) -> tuple[dict, dict]:
+    """Manifest-level scan planning: split the partition map into kept
+    vs skipped using writer-recorded column stats (state/partstats.py)
+    — zero parquet footer reads.  Returns (kept_partitions, report)."""
+    from ..state.partstats import (
+        check_filters,
+        partition_excluded,
+        rename_blocks_pruning,
+    )
+
+    parts = m["partitions"]
+    n_files = lambda meta: (1 if meta.get("file") else 0) + len(  # noqa: E731
+        meta.get("deltas", []) or []
+    )
+    live = lambda meta: int(meta.get("rows", 0)) + sum(  # noqa: E731
+        int(d.get("rows", 0)) for d in meta.get("deltas", []) or []
+    )
+    report = {
+        "txid": m["txid"],
+        "filters": [[c, op, repr(v)] for c, op, v in (filters or [])],
+        "partitions_total": len(parts),
+        "partitions_skipped": 0,
+        "files_total": sum(n_files(p) for p in parts.values()),
+        "files_skipped": 0,
+        "rows_total": sum(live(p) for p in parts.values()),
+        "rows_skipped": 0,
+        "stats_partitions": sum(
+            1 for p in parts.values() if p.get("stats") or p.get("deltas")
+        ),
+        "pruning": "on",
+        "skipped_pids": [],
+    }
+    if not filters:
+        report["pruning"] = "off (no filters)"
+        return parts, report
+    check_filters(filters, schema)
+    if rename_blocks_pruning(filters, renames):
+        report["pruning"] = "off (filter column involved in rename chain)"
+        return parts, report
+    kept: dict = {}
+    for pid, meta in parts.items():
+        if partition_excluded(meta, filters, schema):
+            report["partitions_skipped"] += 1
+            report["files_skipped"] += n_files(meta)
+            report["rows_skipped"] += live(meta)
+            if len(report["skipped_pids"]) < 64:
+                report["skipped_pids"].append(int(pid))
+        else:
+            kept[pid] = meta
+    return kept, report
+
+
+def explain_scan(
+    lake_root: str,
+    filters,
+    columns: list[str] | None = None,
+    at_txid: str | None = None,
+    at_tag: str | None = None,
+    at_ts=None,
+    fs=None,
+) -> dict:
+    """Dry-run the manifest-level scan plan for ``read_table(filters=)``
+    and report what file-skipping would do — partitions/files/live rows
+    read vs skipped — without touching any data or footer bytes.  The
+    observability half of stats pruning: at 100 TB the difference
+    between "opens 2M footers to prune" and "drops 1.9M files from the
+    manifest alone" is the scan's startup latency, and this is how an
+    operator checks a predicate actually prunes BEFORE paying for the
+    scan (the Delta/Iceberg ``EXPLAIN`` analogue)."""
+    at_txid = _resolve_at(lake_root, at_txid, at_tag, fs, at_ts=at_ts)
+    lake = LakeTable(lake_root, fs=fs)
+    m = lake.manifest_at(at_txid) if at_txid is not None else lake.read_manifest()
+    schema = lake.schema(m)
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+    _, report = _plan_scan(m, lake.schema(m), filters, m.get("renames", []))
+    report["merged_read"] = bool(
+        m.get("renames") or any(p.get("deltas") for p in m["partitions"].values())
+    )
+    return report
+
+
 def read_table(
     lake_root: str,
     at_txid: str | None = None,
@@ -1294,6 +1381,7 @@ def read_table(
     ts_col: str = "warc_ts",
     columns: list[str] | None = None,
     predicate=None,
+    filters=None,
     at_tag: str | None = None,
     at_ts=None,
     fs=None,
@@ -1321,7 +1409,18 @@ def read_table(
     ``columns`` prunes the read at the parquet layer — a scan that needs
     one narrow column must not ship the html/text payload through the
     object store.  Files written under older schema versions null-fill
-    requested columns they don't carry (additive evolution)."""
+    requested columns they don't carry (additive evolution).
+
+    ``filters`` — a list of ``(column, op, value)`` conjuncts (op in
+    ``== != < <= > >= in``) — prunes at THREE layers: whole partitions
+    drop from the manifest alone via writer-recorded column stats
+    (state/partstats.py, no footer reads), surviving files prune row
+    groups through the derived pushdown expression, and the same
+    expression applies post-merge on delta-chain reads.  Filter columns
+    must be in the read schema.  ``explain_scan`` previews the plan.
+    ``predicate`` (a pyarrow.dataset expression) remains for arbitrary
+    shapes the tuple form can't say — it pushes down but cannot
+    file-skip (expressions aren't introspectable against stats)."""
     import json as _json
 
     at_txid = _resolve_at(lake_root, at_txid, at_tag, fs, at_ts=at_ts)
@@ -1333,15 +1432,32 @@ def read_table(
         if columns is not None
         else full_schema
     )
-    files = lake.data_files(m)
+    renames = m.get("renames", [])
+    parts = m["partitions"]
+    if filters:
+        from ..state.partstats import filters_to_expr
+
+        for c, _, _ in filters:
+            if c not in schema.names:
+                raise ValueError(
+                    f"filter column {c!r} must be in the read schema "
+                    f"(add it to columns=)"
+                )
+        parts, _ = _plan_scan(m, full_schema, filters, renames)
+        fexpr = filters_to_expr(filters, full_schema)
+        predicate = fexpr if predicate is None else predicate & fexpr
+    files = [
+        os.path.join(lake_root, rel)
+        for p in parts.values()
+        for rel in partition_file_list(p)
+    ]
     if not files:
         return ray.data.from_arrow(schema.empty_table())
 
-    renames = m.get("renames", [])
     if renames or any(p.get("deltas") for p in m["partitions"].values()):
         items = [
             {"pid": int(pid), "meta": _json.dumps(meta)}
-            for pid, meta in sorted(m["partitions"].items(), key=lambda kv: int(kv[0]))
+            for pid, meta in sorted(parts.items(), key=lambda kv: int(kv[0]))
         ]
         ds = ray.data.from_items(items, override_num_blocks=len(items))
         out = ds.map_batches(

@@ -461,6 +461,8 @@ class MergePartition:
             live.column("_lsn").to_numpy(zero_copy_only=False),
         )
         ev_lsn = changes.column("lsn").to_numpy(zero_copy_only=False)
+        from ..state.partstats import stats_json
+
         return pa.table(
             {
                 "pid": pa.array([pid], pa.int32()),
@@ -472,6 +474,7 @@ class MergePartition:
                 "lsn_lo_applied": pa.array([int(ev_lsn.min()) if len(ev_lsn) else 0], pa.int64()),
                 "lsn_hi_applied": pa.array([int(ev_lsn.max()) if len(ev_lsn) else 0], pa.int64()),
                 "dlq_rows": pa.array([dlq_rows], pa.int64()),
+                "stats_json": pa.array([stats_json(live)], pa.string()),
             }
         )
 
@@ -589,6 +592,8 @@ class MergePartition:
             live.column("_lsn").to_numpy(zero_copy_only=False),
         )
         ev_lsn = changes.column("lsn").to_numpy(zero_copy_only=False)
+        from ..state.partstats import stats_json
+
         return pa.table(
             {
                 "pid": pa.array([pid], pa.int32()),
@@ -608,5 +613,6 @@ class MergePartition:
                     [int(ev_lsn.max()) if len(ev_lsn) else 0], pa.int64()
                 ),
                 "dlq_rows": pa.array([dlq_rows], pa.int64()),
+                "stats_json": pa.array([stats_json(live)], pa.string()),
             }
         )

@@ -251,6 +251,10 @@ class LakeTable:
                 "checksum": int(res["checksum"]),
                 "lsn_hi": int(res.get("lsn_hi", 0)),
             }
+            # writer-computed column min/max (state/partstats.py): the
+            # scan planner skips this file from the manifest alone
+            if res.get("stats_json"):
+                entry["stats"] = json.loads(res["stats_json"])
             if delta:
                 prev = dict(
                     partitions.get(

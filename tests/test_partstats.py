@@ -1,0 +1,340 @@
+"""Manifest column stats + file-skipping scan pruning (state/partstats.py).
+
+Unit laws (no Ray): bound validity under string truncation, NaN/null
+handling, union soundness for partial-image (coalesce) mixing.
+End-to-end (Ray): stats recorded by bootstrap/replay/maintenance
+writers, filters= scans equal manual post-filters, explain_scan
+reports, and pruning never changes results in delta mode.
+"""
+
+import datetime
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from etl_ray.state.partstats import (
+    STR_CAP,
+    file_excluded,
+    filters_to_expr,
+    partition_excluded,
+    rename_blocks_pruning,
+    table_stats,
+    union_stats,
+)
+
+SCHEMA = pa.schema(
+    [
+        ("k", pa.string()),
+        ("n", pa.int64()),
+        ("x", pa.float64()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+
+def _stats(**cols):
+    return table_stats(pa.table(cols))
+
+
+class TestTableStats:
+    def test_int_bounds(self):
+        s = _stats(n=pa.array([3, 1, 7], pa.int64()))
+        assert s["n"] == {"nulls": 0, "min": 1, "max": 7}
+
+    def test_nulls_counted_and_all_null_marked(self):
+        s = _stats(n=pa.array([None, 5, None], pa.int64()))
+        assert s["n"] == {"nulls": 2, "min": 5, "max": 5}
+        s = _stats(n=pa.array([None, None], pa.int64()))
+        assert s["n"] == {"nulls": 2}  # no bounds: all-null marker
+
+    def test_nan_column_skipped_entirely(self):
+        s = _stats(
+            x=pa.array([1.0, float("nan")], pa.float64()),
+            n=pa.array([1, 2], pa.int64()),
+        )
+        assert "x" not in s and "n" in s
+
+    def test_binary_and_internal_skipped(self):
+        t = pa.table(
+            {
+                "b": pa.array([b"zz"], pa.binary()),
+                "_lsn": pa.array([4], pa.int64()),
+                "n": pa.array([1], pa.int64()),
+            }
+        )
+        s = table_stats(t)
+        assert set(s) == {"n"}
+
+    def test_timestamp_ticks(self):
+        ts = datetime.datetime(2024, 1, 2, 3, 4, 5)
+        s = _stats(ts=pa.array([ts], pa.timestamp("us")))
+        assert s["ts"]["min"] == pa.scalar(ts, pa.timestamp("us")).value
+
+    def test_empty_table_none(self):
+        assert _stats(n=pa.array([], pa.int64())) is None
+
+    def test_string_truncation_bounds_stay_valid(self):
+        lo = "a" * (STR_CAP + 10)
+        hi = "z" * (STR_CAP + 10)
+        s = _stats(k=pa.array([lo, hi], pa.string()))
+        ent = s["k"]
+        assert ent["trunc"] is True
+        assert ent["min"] <= lo  # truncated lower bound still lower
+        assert ent["max"] >= hi  # incremented upper bound still upper
+        assert len(ent["min"]) <= STR_CAP and len(ent["max"]) <= STR_CAP
+
+    def test_json_round_trips(self):
+        s = _stats(
+            k=pa.array(["aa", "bb"]),
+            n=pa.array([1, 2], pa.int64()),
+        )
+        assert json.loads(json.dumps(s)) == s
+
+
+class TestExclusion:
+    def test_range_ops(self):
+        s = _stats(n=pa.array([10, 20], pa.int64()))
+        keep = lambda op, v: not file_excluded(s, [("n", op, v)], SCHEMA)  # noqa: E731
+        assert not keep("==", 9) and keep("==", 10) and keep("==", 15)
+        assert not keep(">", 20) and keep(">", 19)
+        assert not keep(">=", 21) and keep(">=", 20)
+        assert not keep("<", 10) and keep("<", 11)
+        assert not keep("<=", 9) and keep("<=", 10)
+        assert not keep("in", [1, 2, 30]) and keep("in", [1, 15])
+        assert not keep("in", [])
+
+    def test_ne_prunes_only_exact_singletons(self):
+        s = _stats(n=pa.array([7, 7], pa.int64()))
+        assert file_excluded(s, [("n", "!=", 7)], SCHEMA)
+        assert not file_excluded(s, [("n", "!=", 8)], SCHEMA)
+        s2 = _stats(n=pa.array([7, None], pa.int64()))
+        # a null row never matches != either, but singleton rule demands
+        # zero nulls; stays conservative (kept)
+        assert not file_excluded(s2, [("n", "!=", 7)], SCHEMA)
+
+    def test_all_null_excludes_any_comparison(self):
+        s = _stats(n=pa.array([None, None], pa.int64()))
+        assert file_excluded(s, [("n", "==", 1)], SCHEMA)
+        assert file_excluded(s, [("n", "<", 10**9)], SCHEMA)
+
+    def test_unknown_column_or_absent_stats_keep(self):
+        s = _stats(n=pa.array([1], pa.int64()))
+        assert not file_excluded(s, [("x", "==", 5.0)], SCHEMA)
+        assert not file_excluded(None, [("n", "==", 99)], SCHEMA)
+
+    def test_timestamp_filter_normalizes_to_ticks(self):
+        ts0 = datetime.datetime(2024, 1, 1)
+        ts1 = datetime.datetime(2024, 6, 1)
+        s = _stats(ts=pa.array([ts0, ts1], pa.timestamp("us")))
+        assert file_excluded(
+            s, [("ts", ">", datetime.datetime(2024, 7, 1))], SCHEMA
+        )
+        assert not file_excluded(
+            s, [("ts", ">", datetime.datetime(2024, 3, 1))], SCHEMA
+        )
+
+    def test_truncated_string_equality_respects_bounds(self):
+        long = "m" * (STR_CAP + 5)
+        s = _stats(k=pa.array([long], pa.string()))
+        # the true value is inside [min, max]; equality on it must keep
+        assert not file_excluded(s, [("k", "==", long)], SCHEMA)
+        # and != on the truncated bound must not prune (trunc flag)
+        assert not file_excluded(s, [("k", "!=", s["k"]["min"])], SCHEMA)
+        assert file_excluded(s, [("k", "==", "a")], SCHEMA)
+        assert file_excluded(s, [("k", "==", "n")], SCHEMA)
+
+
+class TestUnionSoundness:
+    def test_coalesce_mixing_cannot_skip(self):
+        """The served partial-image row may combine A from file 1 with B
+        from file 2; per-file AND-exclusion would wrongly skip, the
+        union must not."""
+        f1 = _stats(
+            a=pa.array([20], pa.int64()), b=pa.array([1], pa.int64())
+        )
+        f2 = _stats(
+            a=pa.array([1], pa.int64()), b=pa.array([20], pa.int64())
+        )
+        schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+        filters = [("a", ">=", 10), ("b", ">=", 10)]
+        # each file alone IS excluded…
+        assert file_excluded(f1, filters, schema)
+        assert file_excluded(f2, filters, schema)
+        # …but the partition (which can serve a=20, b=20) is NOT
+        meta = {
+            "file": "base.parquet",
+            "rows": 1,
+            "stats": f1,
+            "deltas": [{"file": "d1.parquet", "rows": 1, "stats": f2}],
+        }
+        assert not partition_excluded(meta, filters, schema)
+        # out-of-union filters still skip
+        assert partition_excluded(meta, [("a", ">", 25)], schema)
+
+    def test_union_requires_stats_on_every_file(self):
+        f1 = _stats(a=pa.array([1], pa.int64()))
+        assert union_stats([f1, None]) is None
+        meta = {
+            "file": "base.parquet",
+            "rows": 1,
+            "stats": f1,
+            "deltas": [{"file": "d1.parquet", "rows": 1}],  # no stats
+        }
+        schema = pa.schema([("a", pa.int64())])
+        assert not partition_excluded(meta, [("a", ">", 100)], schema)
+
+    def test_zero_live_rows_partition_always_skips(self):
+        meta = {"file": "base.parquet", "rows": 0}
+        schema = pa.schema([("a", pa.int64())])
+        assert partition_excluded(meta, [("a", "==", 1)], schema)
+
+    def test_rename_guard(self):
+        renames = [{"from": "old_name", "to": "new_name"}]
+        assert rename_blocks_pruning([("new_name", "==", 1)], renames)
+        assert rename_blocks_pruning([("old_name", "==", 1)], renames)
+        assert not rename_blocks_pruning([("other", "==", 1)], renames)
+        assert not rename_blocks_pruning([("new_name", "==", 1)], [])
+
+
+class TestFiltersToExpr:
+    def test_expr_matches_manual_filter(self):
+        t = pa.table(
+            {
+                "k": pa.array(["a", "b", "c", None]),
+                "n": pa.array([1, 5, 9, 5], pa.int64()),
+            }
+        )
+        schema = t.schema
+        e = filters_to_expr([("n", ">=", 5), ("k", "!=", "b")], schema)
+        got = t.filter(e)
+        assert got.column("k").to_pylist() == ["c"]
+        e2 = filters_to_expr([("k", "in", ["a", "c"])], schema)
+        assert t.filter(e2).column("n").to_pylist() == [1, 9]
+
+
+# -- end-to-end over a real lake -----------------------------------------
+
+
+def _build(tmp_path, small_wal, name, **replay_kw):
+    from etl_ray.pipelines.replay import bootstrap_lake, replay
+
+    root = str(tmp_path / name / "pages")
+    bootstrap_lake(root, small_wal["base"], num_partitions=8)
+    replay(root, small_wal["wal_dir"], **replay_kw)
+    return root
+
+
+def test_writers_record_stats_and_scan_prunes(ray_session, small_wal, tmp_path):
+    from etl_ray.pipelines.replay import (
+        explain_scan,
+        read_table,
+        read_table_arrow,
+    )
+    from etl_ray.state.manifest import LakeTable
+
+    root = _build(tmp_path, small_wal, "lk")
+    m = LakeTable(root).read_manifest()
+    assert all(p.get("stats") for p in m["partitions"].values())
+    full = read_table_arrow(root)
+
+    # beyond-range filter: every partition skipped from the manifest
+    tsmax = pc.max(full["warc_ts"]).as_py()
+    rep = explain_scan(root, [("warc_ts", ">", tsmax)])
+    assert rep["partitions_skipped"] == rep["partitions_total"] > 0
+    assert rep["rows_skipped"] == full.num_rows
+    assert read_table(root, filters=[("warc_ts", ">", tsmax)]).count() == 0
+
+    # in-range filter: pruning on, result equals the manual filter
+    cut = pc.quantile(full["warc_ts"].cast(pa.int64()), 0.5).to_pylist()[0]
+    cut_ts = pa.scalar(int(cut), pa.timestamp("us"))
+    got = (
+        read_table(root, filters=[("warc_ts", ">=", cut_ts.as_py())])
+        .to_arrow_refs()
+    )
+    import ray as _ray
+
+    got = pa.concat_tables(
+        [t for t in _ray.get(got) if t.num_rows], promote_options="default"
+    )
+    got = got.take(pc.sort_indices(got, sort_keys=[("url", "ascending")]))
+    want = full.filter(pc.greater_equal(full["warc_ts"], cut_ts))
+    assert got.equals(want)
+
+    # filter column must be in the read schema
+    with pytest.raises(ValueError, match="read schema"):
+        read_table(root, columns=["url"], filters=[("lang", "==", "en")])
+
+    # combined with columns= the projection still works
+    urls = read_table(
+        root,
+        columns=["url", "warc_ts"],
+        filters=[("warc_ts", ">=", cut_ts.as_py())],
+    ).take_all()
+    assert len(urls) == want.num_rows
+    assert set(urls[0]) == {"url", "warc_ts"}
+
+
+def test_filters_equal_manual_on_delta_mode_lake(ray_session, small_wal, tmp_path):
+    from etl_ray.pipelines.replay import read_table, read_table_arrow
+
+    root = _build(tmp_path, small_wal, "lkd", merge_mode="delta")
+    full = read_table_arrow(root)
+    langs = sorted(
+        {v for v in full.column("lang").to_pylist() if v is not None}
+    )[:1]
+    got = read_table(root, filters=[("lang", "==", langs[0])]).take_all()
+    want = full.filter(pc.equal(full["lang"], langs[0]))
+    assert len(got) == want.num_rows
+    assert {r["url"] for r in got} == set(want.column("url").to_pylist())
+
+
+def test_compact_and_zorder_preserve_stats(ray_session, small_wal, tmp_path):
+    from etl_ray.pipelines.maintenance import compact, zorder_rewrite
+    from etl_ray.pipelines.replay import explain_scan, read_table_arrow
+    from etl_ray.state.manifest import LakeTable
+
+    root = _build(tmp_path, small_wal, "lkm")
+    compact(root, assume_caught_up=True)
+    m = LakeTable(root).read_manifest()
+    assert all(p.get("stats") for p in m["partitions"].values())
+    zorder_rewrite(root, ["warc_ts"])
+    m = LakeTable(root).read_manifest()
+    assert all(p.get("stats") for p in m["partitions"].values())
+    full = read_table_arrow(root)
+    tsmax = pc.max(full["warc_ts"]).as_py()
+    rep = explain_scan(root, [("warc_ts", ">", tsmax)])
+    assert rep["partitions_skipped"] == rep["partitions_total"]
+
+
+def test_explain_scan_renames_disable_pruning(ray_session, small_wal, tmp_path):
+    from etl_ray.pipelines.maintenance import rename_column
+    from etl_ray.pipelines.replay import explain_scan, read_table, read_table_arrow
+
+    root = _build(tmp_path, small_wal, "lkr")
+    full = read_table_arrow(root)
+    rename_column(root, "lang", "language")
+    rep = explain_scan(root, [("language", "==", "zz")])
+    assert rep["pruning"].startswith("off")
+    assert rep["partitions_skipped"] == 0
+    # correctness unaffected: the scan still filters (post-merge path)
+    got = read_table(root, filters=[("language", "==", "zz")]).take_all()
+    want = full.filter(pc.equal(full["lang"], "zz"))
+    assert len(got) == want.num_rows
+
+
+def test_stats_survive_time_travel(ray_session, small_wal, tmp_path):
+    from etl_ray.pipelines.replay import explain_scan, read_table_arrow
+    from etl_ray.state.manifest import LakeTable
+
+    root = _build(tmp_path, small_wal, "lkt")
+    first_tx = "tx000001"
+    m1 = LakeTable(root).manifest_at(first_tx)
+    assert all(p.get("stats") for p in m1["partitions"].values())
+    full1 = read_table_arrow(root, at_txid=first_tx)
+    tsmax = pc.max(full1["warc_ts"]).as_py()
+    rep = explain_scan(root, [("warc_ts", ">", tsmax)], at_txid=first_tx)
+    assert rep["txid"] == first_tx
+    assert rep["partitions_skipped"] == rep["partitions_total"]
