@@ -301,6 +301,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # whole partitions from writer-recorded column stats (zero
         # footer reads) before row-group pushdown (state/partstats.py)
         "scan_prune_recent_pages": Q.scan_prune_recent_pages,
+        # metadata-only counting: manifest stats decide all-match /
+        # none-match partitions, only boundary partitions scanned
+        "meta_count_recent_pages": Q.meta_count_recent_pages,
         # train-then-score char-bigram LM quality filter (CCNet shape)
         "charlm_score_docs": Q.charlm_score_docs,
         # distributed PCA (moment partials -> driver eigh -> broadcast
@@ -1651,6 +1654,19 @@ def oracle_sql() -> dict[str, str]:
             live AS (SELECT url, warc_ts FROM w WHERE rn = 1 AND op <> 'delete'),
             cut AS (SELECT quantile_disc(warc_ts, 0.5) AS c FROM live)
             SELECT url, CAST(epoch_us(warc_ts) AS BIGINT) AS ts_us
+            FROM live, cut
+            WHERE warc_ts >= c
+        """,
+        "meta_count_recent_pages": """
+            WITH w AS (
+              SELECT url, warc_ts, op,
+                     row_number() OVER (
+                       PARTITION BY url ORDER BY warc_ts DESC, lsn DESC) AS rn
+              FROM read_parquet('/tmp/etlray_cdc_1000_8000/data/oracle_events.parquet')
+            ),
+            live AS (SELECT url, warc_ts FROM w WHERE rn = 1 AND op <> 'delete'),
+            cut AS (SELECT quantile_disc(warc_ts, 0.5) AS c FROM live)
+            SELECT CAST(count(*) AS BIGINT) AS n_recent
             FROM live, cut
             WHERE warc_ts >= c
         """,

@@ -38,6 +38,21 @@ def _init_ray():
     DataContext.get_current().enable_progress_bars = False
 
 
+def _parse_where(where: list[str]) -> list[tuple]:
+    """--where col:op:value conjuncts; value coerced int -> float -> str."""
+    filters = []
+    for w in where:
+        col, op, raw = w.split(":", 2)
+        for cast in (int, float):
+            try:
+                raw = cast(raw)
+                break
+            except ValueError:
+                continue
+        filters.append((col, op, raw))
+    return filters
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="etl_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -192,6 +207,17 @@ def main(argv: list[str] | None = None) -> int:
              "(op in == != < <= > >= ; timestamps as epoch microseconds)",
     )
     xp.add_argument("--at-txid", default=None, help="time-travel snapshot")
+
+    cn = sub.add_parser(
+        "count", help="exact live-row count; metadata-only where column "
+        "stats decide, scanning only boundary partitions"
+    )
+    cn.add_argument("--lake", required=True)
+    cn.add_argument(
+        "--where", action="append", default=None,
+        help="optional repeatable filter conjunct col:op:value",
+    )
+    cn.add_argument("--at-txid", default=None, help="time-travel snapshot")
 
     gt = sub.add_parser(
         "get", help="point lookup: freshest live row(s) for url key(s), "
@@ -603,17 +629,20 @@ def main(argv: list[str] | None = None) -> int:
         # driver-local: the plan is manifest metadata only
         from .replay import explain_scan
 
-        filters = []
-        for w in args.where:
-            col, op, raw = w.split(":", 2)
-            for cast in (int, float):
-                try:
-                    raw = cast(raw)
-                    break
-                except ValueError:
-                    continue
-            filters.append((col, op, raw))
-        print(json.dumps(explain_scan(args.lake, filters, at_txid=args.at_txid)))
+        print(json.dumps(explain_scan(
+            args.lake, _parse_where(args.where), at_txid=args.at_txid
+        )))
+        return 0
+
+    if args.cmd == "count":
+        from .metaquery import count_rows
+
+        _init_ray()  # boundary partitions may need a real (tiny) scan
+        print(json.dumps(count_rows(
+            args.lake,
+            _parse_where(args.where) if args.where else None,
+            at_txid=args.at_txid,
+        )))
         return 0
 
     if args.cmd == "get":

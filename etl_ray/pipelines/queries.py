@@ -6795,3 +6795,31 @@ def scan_prune_recent_pages(sf_dir: str):
         )
 
     return recent.map_batches(project, batch_format="pyarrow")
+
+
+def meta_count_recent_pages(sf_dir: str):
+    """Metadata-only counting (pipelines/metaquery.count_rows): exact
+    live-row count of the recent half of the CDC lake, answered from
+    manifest column stats wherever a partition's range falls wholly
+    inside or outside the predicate, scanning only boundary partitions
+    (the Iceberg/Delta metadata-only-query shape).  The SQL oracle
+    recomputes count(*) over the LWW winners, so equality proves both
+    the skip rule (never drops a matching partition) and the all-match
+    rule (never double-counts)."""
+    from ..stages.quantiles import exact_quantiles
+    from .metaquery import count_rows
+    from .replay import bootstrap_lake, read_table, replay
+
+    n_urls, n_events = _CDC_SIZES.get(os.path.basename(sf_dir.rstrip("/")), (300, 1500))
+    root = _cdc_fixture(n_urls, n_events)
+    data_dir = os.path.join(root, "data")
+    lake_root = os.path.join(root, "lake", f"mcnt{os.getpid()}", "pages")
+    bootstrap_lake(lake_root, os.path.join(data_dir, "base", "pages.parquet"), num_partitions=16)
+    replay(lake_root, os.path.join(data_dir, "wal"))
+
+    cut = exact_quantiles(
+        read_table(lake_root, columns=["warc_ts"]), "warc_ts", [0.5]
+    )["value"][0].as_py()
+
+    rep = count_rows(lake_root, [("warc_ts", ">=", cut)])
+    return pa.table({"n_recent": pa.array([int(rep["count"])], pa.int64())})
