@@ -56,9 +56,12 @@ _DRIVER_PREFIX = [
     "anti_join_customers_without_orders",
     "semi_join_customers_with_open_orders",
     # text / dedup / similarity sample
-    "dedup_docs_exact", "minhash_pairs_docs",
-    "shingle_jaccard_docs", "knn_brute_embeddings",
+    "minhash_pairs_docs", "knn_brute_embeddings",
     "pack_sequences_docs",
+    # round-5 session-3: manifest-stats file skipping + metadata-only
+    # count — swapped in for dedup_docs_exact / shingle_jaccard_docs,
+    # each driver-green in r1-r4
+    "scan_prune_recent_pages", "meta_count_recent_pages",
     # round-4/5 additions never driver-checked before
     "fuzzy_pairs_docs", "coalesce_upsert_users", "coalesce_upsert_users_delta",
     "percent_rank_events_by_type", "top_unshipped_orders", "pmi_bigrams_docs",

@@ -415,6 +415,44 @@ def _fsck_partition(
                     "what": f"{label} checksum {ck} != manifest {ent['checksum']}",
                 }
             )
+        # stats audit: scan pruning TRUSTS these bounds — a manifest
+        # entry claiming a narrower range than the file's live rows
+        # would make filtered reads silently drop data.  Soundness is
+        # CONTAINMENT (claimed bounds ⊇ actual bounds; string bounds are
+        # truncation-widened by design), plus exact null accounting.
+        claimed = ent.get("stats")
+        if claimed and live.num_rows:
+            from ..state.partstats import table_stats
+
+            actual = table_stats(live) or {}
+            for col, c_ent in claimed.items():
+                a_ent = actual.get(col)
+                if a_ent is None:
+                    continue  # column no longer stat-eligible: ignore
+                bad = None
+                if int(c_ent.get("nulls", 0)) != int(a_ent.get("nulls", 0)):
+                    bad = (
+                        f"nulls {c_ent.get('nulls')} != {a_ent.get('nulls')}"
+                    )
+                elif "min" not in c_ent and "min" in a_ent:
+                    bad = "claimed all-null but file has values"
+                elif "min" in c_ent and "min" in a_ent:
+                    if c_ent["min"] > a_ent["min"]:
+                        bad = f"min bound {c_ent['min']!r} > actual {a_ent['min']!r}"
+                    elif (
+                        c_ent.get("max") is not None
+                        and a_ent.get("max") is not None
+                        and c_ent["max"] < a_ent["max"]
+                    ):
+                        bad = f"max bound {c_ent['max']!r} < actual {a_ent['max']!r}"
+                if bad:
+                    problems.append(
+                        {
+                            "pid": pid,
+                            "file": ent["file"],
+                            "what": f"{label} stats[{col}]: {bad}",
+                        }
+                    )
     return problems
 
 

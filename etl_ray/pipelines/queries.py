@@ -4686,9 +4686,10 @@ def lake_recent_hosts(sf_dir: str):
     host + latest crawl ts in band).  The cutoff is the exact p50 of
     live event times (engine quantile == SQL quantile_disc at q=0.5),
     so the whole chain is oracle-checkable; equality also proves the
-    z-order rewrite preserved table state under a predicate read."""
-    import pyarrow.dataset as pads
-
+    z-order rewrite preserved table state under a predicate read.  The
+    predicate rides the ``filters=`` tuple path, so it prunes at the
+    manifest layer (writer-recorded stats, state/partstats.py) before
+    the row-group pushdown the z-order clustering makes selective."""
     from ..stages.quantiles import exact_quantiles
     from ..stages.urlops import add_url_parts
     from .maintenance import zorder_rewrite
@@ -4709,7 +4710,7 @@ def lake_recent_hosts(sf_dir: str):
     recent = read_table(
         lake_root,
         columns=["url", "warc_ts"],
-        predicate=(pads.field("warc_ts") >= pa.scalar(cut, pa.timestamp("us"))),
+        filters=[("warc_ts", ">=", cut)],
     )
 
     def rollup(t: pa.Table) -> pa.Table:

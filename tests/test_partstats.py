@@ -338,3 +338,33 @@ def test_stats_survive_time_travel(ray_session, small_wal, tmp_path):
     rep = explain_scan(root, [("warc_ts", ">", tsmax)], at_txid=first_tx)
     assert rep["txid"] == first_tx
     assert rep["partitions_skipped"] == rep["partitions_total"]
+
+
+def test_fsck_audits_stats_bounds(ray_session, small_wal, tmp_path):
+    """Scan pruning trusts manifest stats; fsck must catch a manifest
+    claiming a NARROWER range than the file's live rows (the unsound
+    direction) while passing honest lakes."""
+    import json
+
+    from etl_ray.pipelines.maintenance import fsck
+
+    root = _build(tmp_path, small_wal, "lkf")
+    rep = fsck(root)
+    assert rep["mismatches"] == []
+
+    # tamper: shrink one partition's warc_ts upper bound
+    mp = os.path.join(root, "MANIFEST.json")
+    m = json.load(open(mp))
+    pid = next(iter(m["partitions"]))
+    ent = m["partitions"][pid]["stats"]["warc_ts"]
+    ent["max"] = ent["min"]  # claims everything is at the minimum
+    json.dump(m, open(mp, "w"))
+    rep = fsck(root)
+    assert any("stats[warc_ts]" in p["what"] for p in rep["mismatches"])
+
+    # tamper the null count too
+    m = json.load(open(mp))
+    m["partitions"][pid]["stats"]["lang"]["nulls"] = 99999
+    json.dump(m, open(mp, "w"))
+    rep = fsck(root)
+    assert any("stats[lang]" in p["what"] for p in rep["mismatches"])
