@@ -219,6 +219,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     cn.add_argument("--at-txid", default=None, help="time-travel snapshot")
 
+    rn2 = sub.add_parser(
+        "range", help="exact live min/max of one column; metadata-only "
+        "for numeric/timestamp columns on flat lakes"
+    )
+    rn2.add_argument("--lake", required=True)
+    rn2.add_argument("--column", required=True)
+    rn2.add_argument("--at-txid", default=None, help="time-travel snapshot")
+
     gt = sub.add_parser(
         "get", help="point lookup: freshest live row(s) for url key(s), "
         "reading only the partitions they hash to"
@@ -244,6 +252,10 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--fmt", choices=("parquet", "jsonl"), default="parquet",
                     help="shard format for --resumable exports (jsonl = "
                          "newline-delimited JSON for training loaders)")
+    ex.add_argument("--where", action="append", default=None,
+                    help="repeatable filter conjunct col:op:value; stats-"
+                         "pruned partitions are never read, and filtered "
+                         "shards carry a filter-identity name tag")
 
     tg = sub.add_parser(
         "tag", help="named snapshot tags (lake refs): pin a committed txid "
@@ -645,6 +657,15 @@ def main(argv: list[str] | None = None) -> int:
         )))
         return 0
 
+    if args.cmd == "range":
+        from .metaquery import column_range
+
+        _init_ray()  # truncated-bound / chain partitions may need a scan
+        rep = column_range(args.lake, args.column, at_txid=args.at_txid)
+        rep["min"], rep["max"] = str(rep["min"]), str(rep["max"])
+        print(json.dumps(rep))
+        return 0
+
     if args.cmd == "get":
         # driver-local: a lookup reads O(touched partitions) files, no Ray
         from .replay import get_rows
@@ -667,6 +688,7 @@ def main(argv: list[str] | None = None) -> int:
         from .replay import read_table
 
         cols = args.columns.split(",") if args.columns else None
+        fexpr = _parse_where(args.where) if args.where else None
         if args.resumable:
             from .maintenance import export_partitioned
 
@@ -674,10 +696,14 @@ def main(argv: list[str] | None = None) -> int:
                 args.lake, args.out, at_txid=args.at_txid, at_ts=args.at_ts,
                 columns=cols,
                 fmt=args.fmt,
+                filters=fexpr,
             )
             print(json.dumps({"out": args.out, **rep}))
             return 0
-        ds = read_table(args.lake, at_txid=args.at_txid, at_ts=args.at_ts, columns=cols)
+        ds = read_table(
+            args.lake, at_txid=args.at_txid, at_ts=args.at_ts, columns=cols,
+            filters=fexpr,
+        )
         # streaming partitioned-parquet sink: one file per block; consumers
         # read the directory.  Row count comes from the written files'
         # parquet footers (metadata-only; correct under merge-on-read

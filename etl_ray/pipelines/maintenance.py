@@ -823,6 +823,8 @@ class _ExportPartition:
         fs_spec: str = "local-os",
         renames: list | None = None,
         fmt: str = "parquet",
+        filters=None,
+        name_tag: str = "",
     ):
         self.__name__ = "_ExportPartition"
         self.lake_root = lake_root
@@ -835,6 +837,9 @@ class _ExportPartition:
         self.fs_spec = fs_spec
         self.renames = list(renames or [])
         self.fmt = fmt
+        self.filters = list(filters or [])
+        self.name_tag = name_tag  # filter-identity suffix (see export)
+        self._expr = None  # dataset expressions don't pickle: built lazily
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import json as _json
@@ -847,7 +852,9 @@ class _ExportPartition:
         ):
             pdir = os.path.join(self.out_dir, f"pid={pid:05d}")
             ext = "parquet" if self.fmt == "parquet" else "jsonl"
-            final = os.path.join(pdir, f"part-{self.txid}.{ext}")
+            final = os.path.join(
+                pdir, f"part-{self.txid}{self.name_tag}.{ext}"
+            )
             if os.path.exists(final):  # resumed run: partition is done
                 pids.append(pid)
                 if self.fmt == "parquet":
@@ -857,13 +864,25 @@ class _ExportPartition:
                         rows.append(sum(1 for _ in fh))
                 skipped.append(True)
                 continue
+            load_cols = self.columns
+            if load_cols is not None and self.filters:
+                # filter columns must be loaded even when not exported
+                load_cols = sorted(
+                    set(load_cols) | {c for c, _, _ in self.filters}
+                )
             t = load_partition_state(
                 self.lake_root, _json.loads(meta_json), self.schema,
-                self.key, self.ts_col, columns=self.columns,
+                self.key, self.ts_col, columns=load_cols,
                 renames=self.renames, fs=self.fs_spec,
             )
             t = t.filter(pc.invert(t.column("_deleted")))
             t = t.drop_columns([c for c in INTERNAL_COLS if c in t.column_names])
+            if self.filters:
+                if self._expr is None:
+                    from ..state.partstats import filters_to_expr
+
+                    self._expr = filters_to_expr(self.filters, self.schema)
+                t = t.filter(self._expr)
             if self.columns is not None:
                 t = t.select(self.columns)
             os.makedirs(pdir, exist_ok=True)
@@ -902,10 +921,20 @@ def export_partitioned(
     columns: list[str] | None = None,
     fs=None,
     fmt: str = "parquet",
+    filters=None,
 ) -> dict:
     """RESUMABLE partitioned export of the lake's live rows: one output
     directory per lake partition (``out/pid=NNNNN/part-<txid>.parquet``),
     one Ray task per partition, atomic per-partition publish.
+
+    ``filters`` — the same ``(col, op, value)`` conjuncts as
+    ``read_table(filters=)`` — exports only matching rows.  Partitions
+    whose manifest stats exclude the filters are dropped from the task
+    list outright (nothing read, reported as ``pruned``); a filtered
+    export's shard names carry a filter-identity tag
+    (``part-<txid>-f<hash>.parquet``), so resuming with DIFFERENT
+    filters can never silently mix shards from two predicates in one
+    output tree.
 
     ``fmt="jsonl"`` writes newline-delimited JSON shards instead (the
     format training data loaders consume); binary columns are rejected
@@ -932,20 +961,39 @@ def export_partitioned(
         at_txid = resolve_txid_at_ts(lake_root, at_ts, fs=fs)
     m = lake.manifest_at(at_txid) if at_txid is not None else lake.read_manifest()
     schema = lake.schema(m)
+    parts = m["partitions"]
+    name_tag = ""
+    pruned = 0
+    if filters:
+        import hashlib as _hashlib
+
+        from ..state.partstats import check_filters
+        from .replay import _plan_scan
+
+        check_filters(filters, schema)
+        kept, plan = _plan_scan(m, schema, filters, m.get("renames", []))
+        pruned = plan["partitions_skipped"]
+        parts = kept
+        ident = _json.dumps(
+            [[c, op, repr(v)] for c, op, v in filters] + [columns or []],
+            sort_keys=True,
+        )
+        name_tag = "-f" + _hashlib.sha1(ident.encode()).hexdigest()[:8]
     items = [
         {"pid": int(pid), "meta": _json.dumps(meta)}
-        for pid, meta in sorted(m["partitions"].items(), key=lambda kv: int(kv[0]))
+        for pid, meta in sorted(parts.items(), key=lambda kv: int(kv[0]))
     ]
     if not items:
         return {
             "txid": m["txid"], "partitions": 0, "written": 0,
-            "skipped": 0, "rows": 0,
+            "skipped": 0, "pruned": pruned, "rows": 0,
         }
     ds = ray.data.from_items(items, override_num_blocks=len(items))
     lineage = ds.map_batches(
         _ExportPartition(
             lake_root, out_dir, m["txid"], schema, key, ts_col, columns,
             fs_spec=lake.fs.spec, renames=m.get("renames", []), fmt=fmt,
+            filters=filters, name_tag=name_tag,
         ),
         batch_format="pyarrow",
         batch_size=None,
@@ -957,6 +1005,7 @@ def export_partitioned(
         "partitions": len(lineage),
         "written": sum(1 for r in lineage if not r["skipped"]),
         "skipped": sum(1 for r in lineage if r["skipped"]),
+        "pruned": pruned,
         "rows": int(sum(r["rows"] for r in lineage)),
     }
 

@@ -341,3 +341,118 @@ def history(lake_root: str, fs=None) -> pa.Table:
         ]
     )
     return pa.Table.from_pylist(rows, schema=sch)
+
+
+def column_range(
+    lake_root: str,
+    column: str,
+    at_txid: str | None = None,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    fs=None,
+) -> dict:
+    """Exact live-table min/max of one column, from metadata where the
+    encoding permits.
+
+    Numeric / timestamp bounds are recorded exactly, so on flat
+    partitions the global range is a pure manifest fold (zero data
+    I/O).  Three cases force a real (column-projected) scan, and the
+    report says which partitions took it:
+
+    * delta chains — a superseded version may hold the recorded
+      extreme, so the union bound is not the live bound;
+    * string columns with truncated bounds — the recorded min is <= the
+      true min by construction (state/partstats.py), not equal;
+    * partitions without stats (pre-stats manifests).
+
+    Returns ``{"min", "max", "nulls", "from_stats", "scanned"}``; min /
+    max are None for an all-null or empty table.  The
+    ``SELECT min(c), max(c)`` that touches no data — the partner of
+    ``count_rows`` and the probe a scan planner uses to pick
+    partitioning cuts on a 100 TB table without reading it."""
+    from ..state.partstats import rename_blocks_pruning
+    from .replay import _MergedPartitionRead
+
+    lake, m = _resolve(lake_root, at_txid, fs)
+    schema = lake.schema(m)
+    t = schema.field(column).type
+    ticks = (
+        pa.types.is_timestamp(t) or pa.types.is_date(t) or pa.types.is_time(t)
+    )
+    stats_usable = not rename_blocks_pruning(
+        [(column, "==", None)], m.get("renames", [])
+    )
+
+    # stats fold runs in the ENCODED domain (int ticks for temporals);
+    # scans return logical values — keep the accumulators apart and
+    # decode the stats side before merging
+    s_lo = s_hi = None  # encoded (stats) bounds
+    d_lo = d_hi = None  # logical (scanned) bounds
+    nulls = 0
+    scan_pids = []
+    rep = {"from_stats": 0, "scanned": 0}
+    for pid, meta in m["partitions"].items():
+        chain = meta.get("deltas")
+        ent = (meta.get("stats") or {}).get(column)
+        rows = int(meta.get("rows", 0)) + sum(
+            int(d.get("rows", 0)) for d in chain or []
+        )
+        if rows == 0:
+            rep["from_stats"] += 1
+            continue
+        if (
+            stats_usable
+            and not chain
+            and ent is not None
+            and not ent.get("trunc")
+            and ("min" not in ent or "max" in ent)
+        ):
+            nulls += int(ent.get("nulls", 0))
+            if "min" in ent:
+                s_lo = ent["min"] if s_lo is None else min(s_lo, ent["min"])
+                s_hi = ent["max"] if s_hi is None else max(s_hi, ent["max"])
+            rep["from_stats"] += 1
+            continue
+        scan_pids.append(pid)
+    if scan_pids:
+        rep["scanned"] = len(scan_pids)
+        import ray.data
+
+        items = [
+            {"pid": int(pid), "meta": json.dumps(m["partitions"][pid])}
+            for pid in sorted(scan_pids, key=int)
+        ]
+        ds = ray.data.from_items(items, override_num_blocks=len(items))
+        out = ds.map_batches(
+            _MergedPartitionRead(
+                lake_root, schema, key, ts_col, columns=[column],
+                fs_spec=lake.fs.spec, renames=m.get("renames", []),
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+
+        def partial(tb: pa.Table) -> pa.Table:
+            col = tb.column(column)
+            mm = pc.min_max(col)
+            return pa.table(
+                {
+                    "lo": pa.array([mm["min"].as_py()]),
+                    "hi": pa.array([mm["max"].as_py()]),
+                    "nulls": pa.array([col.null_count], pa.int64()),
+                }
+            )
+
+        for r in out.map_batches(partial, batch_format="pyarrow").take_all():
+            nulls += int(r["nulls"])
+            if r["lo"] is not None:
+                d_lo = r["lo"] if d_lo is None else min(d_lo, r["lo"])
+            if r["hi"] is not None:
+                d_hi = r["hi"] if d_hi is None else max(d_hi, r["hi"])
+    if s_lo is not None and ticks:
+        s_lo = pa.scalar(s_lo, t).as_py()
+        s_hi = pa.scalar(s_hi, t).as_py()
+    lo = s_lo if d_lo is None else (d_lo if s_lo is None else min(s_lo, d_lo))
+    hi = s_hi if d_hi is None else (d_hi if s_hi is None else max(s_hi, d_hi))
+    rep.update({"min": lo, "max": hi, "nulls": int(nulls)})
+    return rep

@@ -278,15 +278,22 @@ def union_stats(parts: list[dict | None]) -> dict | None:
 def partition_excluded(meta: dict, filters, schema: pa.Schema) -> bool:
     """A partition (base file ∪ delta chain) is skippable iff the UNION
     of its files' live-row column ranges excludes some filter conjunct
-    (see union_stats for why per-file exclusion would be unsound)."""
+    (see union_stats for why per-file exclusion would be unsound).
+    Files with ZERO live rows (e.g. an all-tombstone delta) carry no
+    stats by construction and contribute no servable values — they must
+    not veto pruning."""
     parts: list[dict | None] = []
     rows = 0
     if meta.get("file") is not None:
-        parts.append(meta.get("stats"))
-        rows += int(meta.get("rows", 0))
+        n = int(meta.get("rows", 0))
+        rows += n
+        if n:
+            parts.append(meta.get("stats"))
     for d in meta.get("deltas", []) or []:
-        parts.append(d.get("stats"))
-        rows += int(d.get("rows", 0))
+        n = int(d.get("rows", 0))
+        rows += n
+        if n:
+            parts.append(d.get("stats"))
     if rows == 0:
         return True  # no live row versions anywhere in the partition
     return file_excluded(union_stats(parts), filters, schema)

@@ -163,3 +163,106 @@ def test_cli_count_and_explain(ray_session, small_wal, tmp_path, capsys):
     ) == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["count"] == 0 and rep["scanned"] == 0
+
+
+def test_column_range_metadata_only_on_flat_lake(
+    ray_session, small_wal, tmp_path
+):
+    from etl_ray.pipelines.metaquery import column_range
+    from etl_ray.pipelines.replay import read_table_arrow
+
+    root = _build(tmp_path, small_wal, "mr")
+    full = read_table_arrow(root)
+
+    # timestamp: exact encoded bounds -> zero scan
+    r = column_range(root, "warc_ts")
+    assert r["scanned"] == 0 and r["from_stats"] > 0
+    assert r["min"] == pc.min(full["warc_ts"]).as_py()
+    assert r["max"] == pc.max(full["warc_ts"]).as_py()
+
+    # short strings (urls) are exact too
+    r = column_range(root, "url")
+    assert r["scanned"] == 0
+    assert r["min"] == pc.min(full["url"]).as_py()
+    assert r["max"] == pc.max(full["url"]).as_py()
+
+    # long text bounds are truncation-widened -> must scan, still exact
+    r = column_range(root, "text")
+    assert r["scanned"] > 0
+    assert r["min"] == pc.min(full["text"]).as_py()
+    assert r["max"] == pc.max(full["text"]).as_py()
+    assert r["nulls"] == full.column("text").null_count
+
+
+def test_column_range_delta_chain_scans_exactly(
+    ray_session, small_wal, tmp_path
+):
+    from etl_ray.pipelines.metaquery import column_range
+    from etl_ray.pipelines.replay import read_table_arrow
+
+    root = _build(tmp_path, small_wal, "mrd", merge_mode="delta")
+    full = read_table_arrow(root)
+    r = column_range(root, "warc_ts")
+    # chains cannot answer from union bounds (superseded extremes)
+    assert r["scanned"] > 0
+    assert r["min"] == pc.min(full["warc_ts"]).as_py()
+    assert r["max"] == pc.max(full["warc_ts"]).as_py()
+
+
+def test_filtered_resumable_export(ray_session, small_wal, tmp_path):
+    """export_partitioned(filters=): matching rows only, stats-pruned
+    partitions never read, and a different predicate can't silently mix
+    shards with a previous run (filter-identity name tag)."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_ray.pipelines.maintenance import export_partitioned
+    from etl_ray.pipelines.replay import read_table_arrow
+
+    root = _build(tmp_path, small_wal, "mx")
+    full = read_table_arrow(root)
+    out = str(tmp_path / "mx_out")
+
+    lang = sorted(
+        {v for v in full.column("lang").to_pylist() if v is not None}
+    )[0]
+    rep = export_partitioned(
+        root, out, columns=["url", "lang"], filters=[("lang", "==", lang)]
+    )
+    want = full.filter(pc.equal(full["lang"], lang))
+    assert rep["rows"] == want.num_rows
+    shards = glob.glob(os.path.join(out, "pid=*", "part-*.parquet"))
+    got = pa.concat_tables([pq.read_table(f) for f in shards])
+    assert got.num_rows == want.num_rows
+    assert set(got.column_names) == {"url", "lang"}
+    assert set(got.column("lang").to_pylist()) == {lang}
+    # shard names carry the filter tag
+    assert all("-f" in os.path.basename(f) for f in shards)
+
+    # re-run: everything skipped, nothing rewritten
+    rep2 = export_partitioned(
+        root, out, columns=["url", "lang"], filters=[("lang", "==", lang)]
+    )
+    assert rep2["written"] == 0 and rep2["skipped"] == rep["written"]
+
+    # a DIFFERENT predicate writes its own shards (no silent mixing)
+    lang2 = sorted(
+        {v for v in full.column("lang").to_pylist() if v is not None}
+    )[1]
+    rep3 = export_partitioned(
+        root, out, columns=["url", "lang"], filters=[("lang", "==", lang2)]
+    )
+    assert rep3["written"] > 0
+    shards_all = glob.glob(os.path.join(out, "pid=*", "part-*.parquet"))
+    assert len({os.path.basename(s).split("-f")[1] for s in shards_all}) == 2
+
+    # beyond-range filters prune every partition before any task runs
+    tsmax = pc.max(full["warc_ts"]).as_py()
+    rep4 = export_partitioned(
+        root, str(tmp_path / "mx_none"),
+        filters=[("warc_ts", ">", tsmax)],
+    )
+    assert rep4["pruned"] == 8 and rep4["rows"] == 0

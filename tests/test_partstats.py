@@ -368,3 +368,26 @@ def test_fsck_audits_stats_bounds(ray_session, small_wal, tmp_path):
     json.dump(m, open(mp, "w"))
     rep = fsck(root)
     assert any("stats[lang]" in p["what"] for p in rep["mismatches"])
+
+
+def test_zero_live_row_files_do_not_veto_pruning():
+    """An all-tombstone delta (0 live rows) has no stats by
+    construction; it contributes no servable values, so the partition
+    must still prune on the base file's range."""
+    import pyarrow as pa
+
+    from etl_ray.state.partstats import partition_excluded
+
+    schema = pa.schema([("a", pa.int64())])
+    base_stats = {"a": {"nulls": 0, "min": 1, "max": 5}}
+    meta = {
+        "file": "base.parquet",
+        "rows": 10,
+        "stats": base_stats,
+        "deltas": [{"file": "d.parquet", "rows": 0}],  # tombstones only
+    }
+    assert partition_excluded(meta, [("a", ">", 100)], schema)
+    assert not partition_excluded(meta, [("a", ">", 3)], schema)
+    # but a LIVE delta without stats still vetoes
+    meta["deltas"] = [{"file": "d.parquet", "rows": 2}]
+    assert not partition_excluded(meta, [("a", ">", 100)], schema)

@@ -71,6 +71,8 @@ def test_oracle_queries_match_duckdb(entrymod, con):
                 "lake_clean_corpus",
                 "schema_evolution_pages",
                 "gdpr_delete_pages",
+                "scan_prune_recent_pages",
+                "meta_count_recent_pages",
             )
             else SF
         )
