@@ -208,6 +208,23 @@ def main(argv: list[str] | None = None) -> int:
     )
     xp.add_argument("--at-txid", default=None, help="time-travel snapshot")
 
+    mt = sub.add_parser(
+        "maintain", help="policy-driven maintenance loop: fold long delta "
+        "chains, compact tombstones (only under an explicit safety flag), "
+        "vacuum orphans; --dry-run reports recommendations only"
+    )
+    mt.add_argument("--lake", required=True)
+    mt.add_argument("--max-chain", type=int, default=3)
+    mt.add_argument("--tombstone-ratio", type=float, default=0.2)
+    mt.add_argument("--assume-caught-up", action="store_true",
+                    help="caller asserts the WAL has ended: enables "
+                         "tombstone GC (gap-free prefix rule)")
+    mt.add_argument("--lateness-us", type=int, default=None,
+                    help="bounded-lateness contract for tombstone GC while "
+                         "still tailing")
+    mt.add_argument("--no-vacuum", action="store_true")
+    mt.add_argument("--dry-run", action="store_true")
+
     cn = sub.add_parser(
         "count", help="exact live-row count; metadata-only where column "
         "stats decide, scanning only boundary partitions"
@@ -644,6 +661,22 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(explain_scan(
             args.lake, _parse_where(args.where), at_txid=args.at_txid
         )))
+        return 0
+
+    if args.cmd == "maintain":
+        from .maintenance import auto_maintain
+
+        _init_ray()
+        rep = auto_maintain(
+            args.lake,
+            max_chain=args.max_chain,
+            tombstone_ratio=args.tombstone_ratio,
+            assume_caught_up=args.assume_caught_up,
+            lateness_us=args.lateness_us,
+            run_vacuum=not args.no_vacuum,
+            dry_run=args.dry_run,
+        )
+        print(json.dumps(rep))
         return 0
 
     if args.cmd == "count":

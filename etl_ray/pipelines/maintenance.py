@@ -2295,3 +2295,137 @@ def writer_lock_for(root: str):
     from ..state.manifest import writer_lock
 
     return writer_lock(root)
+
+
+def _maintenance_signals(lake_root: str) -> dict:
+    """Cheap health probe for the policy loop: chain lengths from the
+    manifest (free), tombstone counts from parquet footers (one
+    metadata GET per base file — no data pages), orphan files from one
+    directory listing."""
+    from ..state.fs import resolve as _resolve
+    from ..state.manifest import partition_file_list
+
+    lake = LakeTable(lake_root)
+    m = lake.read_manifest()
+    _fs = _resolve(None)
+    chains = {
+        int(pid): len(meta.get("deltas", []) or [])
+        for pid, meta in m["partitions"].items()
+    }
+    live = 0
+    stored = 0
+    for meta in m["partitions"].values():
+        live += int(meta.get("rows", 0))
+        rel = meta.get("file")
+        if rel:
+            stored += pq.read_metadata(
+                os.path.join(lake_root, rel), filesystem=_fs.pyarrow_fs
+            ).num_rows
+        for d in meta.get("deltas", []) or []:
+            stored += pq.read_metadata(
+                os.path.join(lake_root, d["file"]), filesystem=_fs.pyarrow_fs
+            ).num_rows
+    referenced = {
+        os.path.basename(rel)
+        for p in m["partitions"].values()
+        for rel in partition_file_list(p)
+    }
+    parts_dir = os.path.join(lake_root, "parts")
+    try:
+        on_disk = set(_fs.listdir(parts_dir))
+    except (FileNotFoundError, OSError):
+        on_disk = set()
+    return {
+        "txid": m["txid"],
+        "partitions": len(chains),
+        "max_chain": max(chains.values(), default=0),
+        "chained_partitions": sum(1 for v in chains.values() if v),
+        "live_rows": live,
+        "stored_rows": stored,
+        "tombstone_rows": stored - live,
+        "tombstone_ratio": (stored - live) / stored if stored else 0.0,
+        "orphan_files": len(on_disk - referenced),
+    }
+
+
+def auto_maintain(
+    lake_root: str,
+    *,
+    max_chain: int = 3,
+    tombstone_ratio: float = 0.2,
+    assume_caught_up: bool = False,
+    lateness_us: int | None = None,
+    run_vacuum: bool = True,
+    keep_txids: list[str] | None = None,
+    dry_run: bool = False,
+) -> dict:
+    """Policy-driven maintenance — the one-call OPTIMIZE loop an
+    operator schedules after each tailing window instead of hand-
+    sequencing compact_deltas / compact / vacuum.
+
+    Signals → actions, in dependency order (each re-reads the manifest
+    the previous action committed):
+
+    1. any delta chain >= ``max_chain``  → ``compact_deltas``
+       (fold merge-on-read chains; read cost is chain-length-linear,
+       so bounding it bounds every reader);
+    2. tombstone rows / stored rows >= ``tombstone_ratio``
+       → ``compact`` — but ONLY under ``assume_caught_up=True`` or an
+       explicit ``lateness_us`` bound (tombstone GC is correctness-
+       sensitive while the WAL may still redeliver; without either
+       flag the condition is REPORTED as a recommendation, never run);
+    3. orphan part files present and ``run_vacuum`` → ``vacuum``
+       (tag- and ``keep_txids``-protected snapshots survive, as ever).
+
+    ``dry_run=True`` evaluates every signal and returns the
+    recommendations without touching the lake.  Returns
+    ``{"signals", "actions", "recommendations"}`` where actions carry
+    each executed step's lineage.  Idempotent: a second run on a
+    healthy lake does nothing."""
+    sig = _maintenance_signals(lake_root)
+    actions: list[dict] = []
+    recs: list[str] = []
+
+    if sig["max_chain"] >= max_chain:
+        rec = (
+            f"fold {sig['chained_partitions']} delta chain(s) "
+            f"(longest {sig['max_chain']} >= max_chain {max_chain})"
+        )
+        if dry_run:
+            recs.append(rec)
+        else:
+            lin = compact_deltas(lake_root, min_chain=max_chain)
+            actions.append({"kind": "compact_deltas", "lineage": lin})
+            sig = _maintenance_signals(lake_root)  # chains now folded
+
+    if sig["stored_rows"] and sig["tombstone_ratio"] >= tombstone_ratio:
+        rec = (
+            f"compact {sig['tombstone_rows']} tombstone row(s) "
+            f"({sig['tombstone_ratio']:.1%} of stored >= "
+            f"{tombstone_ratio:.1%})"
+        )
+        if dry_run:
+            recs.append(
+                rec if (assume_caught_up or lateness_us is not None)
+                else rec + " — blocked: needs assume_caught_up or lateness_us"
+            )
+        elif assume_caught_up or lateness_us is not None:
+            lin = compact(
+                lake_root,
+                assume_caught_up=assume_caught_up,
+                **({"lateness_us": lateness_us} if lateness_us is not None else {}),
+            )
+            actions.append({"kind": "compact", "lineage": lin})
+            sig = _maintenance_signals(lake_root)
+        else:
+            recs.append(rec + " — blocked: needs assume_caught_up or lateness_us")
+
+    if sig["orphan_files"] and run_vacuum:
+        if dry_run:
+            recs.append(f"vacuum {sig['orphan_files']} orphan file(s)")
+        else:
+            res = vacuum(lake_root, keep_txids=keep_txids)
+            actions.append({"kind": "vacuum", "result": res})
+            sig = _maintenance_signals(lake_root)
+
+    return {"signals": sig, "actions": actions, "recommendations": recs}
