@@ -225,6 +225,16 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument("--no-vacuum", action="store_true")
     mt.add_argument("--dry-run", action="store_true")
 
+    xs = sub.add_parser(
+        "expire", help="snapshot retention: keep the head, the last N, "
+        "anything newer than a cutoff, and tagged snapshots; vacuum the rest"
+    )
+    xs.add_argument("--lake", required=True)
+    xs.add_argument("--keep-last", type=int, default=2)
+    xs.add_argument("--keep-after-us", type=int, default=None,
+                    help="absolute epoch-µs cutoff: snapshots committed at or "
+                         "after it are kept")
+
     cn = sub.add_parser(
         "count", help="exact live-row count; metadata-only where column "
         "stats decide, scanning only boundary partitions"
@@ -677,6 +687,15 @@ def main(argv: list[str] | None = None) -> int:
             dry_run=args.dry_run,
         )
         print(json.dumps(rep))
+        return 0
+
+    if args.cmd == "expire":
+        from .maintenance import expire_snapshots
+
+        print(json.dumps(expire_snapshots(
+            args.lake, keep_last=args.keep_last,
+            keep_committed_after_us=args.keep_after_us,
+        )))
         return 0
 
     if args.cmd == "count":

@@ -2429,3 +2429,46 @@ def auto_maintain(
             sig = _maintenance_signals(lake_root)
 
     return {"signals": sig, "actions": actions, "recommendations": recs}
+
+
+def expire_snapshots(
+    lake_root: str,
+    *,
+    keep_last: int = 2,
+    keep_committed_after_us: int | None = None,
+    keep_txids: list[str] | None = None,
+) -> dict:
+    """Snapshot retention policy (the Iceberg ``expireSnapshots``
+    shape): compute the keep-set from the commit lineage — the head,
+    the last ``keep_last`` transactions, anything committed at or after
+    ``keep_committed_after_us`` (absolute epoch µs), any explicit
+    ``keep_txids`` — and vacuum the part files only older snapshots
+    reference.  Tag-pinned snapshots are additionally protected by
+    vacuum itself (tags ARE the indefinite-retention mechanism; this
+    call handles the untagged tail).
+
+    Time travel to an expired txid fails at read time (its files are
+    gone) unless every file it references is still shared with a kept
+    snapshot; per-tx snapshot manifests themselves are metadata and are
+    never deleted.  Returns ``{"kept", "expired", **vacuum_result}``."""
+    lake = LakeTable(lake_root)
+    m = lake.read_manifest()
+    lineage = m.get("lineage", [])
+    all_txids = [rec["txid"] for rec in lineage]
+    keep = set(keep_txids or ())
+    keep.add(m["txid"])  # the head is never expirable
+    if keep_last > 0:
+        keep.update(all_txids[-keep_last:])
+    if keep_committed_after_us is not None:
+        keep.update(
+            rec["txid"]
+            for rec in lineage
+            if int(rec.get("committed_at", 0)) >= keep_committed_after_us
+        )
+    expired = [t for t in all_txids if t not in keep]
+    res = vacuum(lake_root, keep_txids=sorted(keep - {m["txid"]}))
+    return {
+        "kept": sorted(keep),
+        "expired": expired,
+        **res,
+    }

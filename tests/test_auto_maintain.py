@@ -91,3 +91,40 @@ def test_cli_maintain(ray_session, small_wal, tmp_path, capsys):
     assert [a["kind"] for a in rep["actions"]] == [
         "compact_deltas", "compact", "vacuum"
     ]
+
+
+def test_expire_snapshots_retention(ray_session, small_wal, tmp_path):
+    """expire_snapshots: kept snapshots stay time-travelable, expired
+    ones lose their files; the head is never expirable."""
+    import pytest
+
+    from etl_ray.pipelines.maintenance import expire_snapshots
+    from etl_ray.pipelines.replay import read_table_arrow
+
+    root = _build(tmp_path, small_wal, "ex", max_segments_per_tx=2)
+    lake = LakeTable(root)
+    m = lake.read_manifest()
+    txids = [r["txid"] for r in m["lineage"]]
+    assert len(txids) >= 3  # bootstrap + >=2 replay txs
+    head = m["txid"]
+    before = read_table_arrow(root)
+
+    rep = expire_snapshots(root, keep_last=2)
+    assert head in rep["kept"]
+    assert rep["expired"] == txids[:-2]
+    assert rep["removed_parts"] > 0
+
+    # head and the previous snapshot still read
+    assert read_table_arrow(root).equals(before)
+    read_table_arrow(root, at_txid=txids[-2])
+    # the expired bootstrap snapshot's files are gone
+    with pytest.raises(Exception):
+        read_table_arrow(root, at_txid=txids[0])
+
+    # absolute-time retention: keep everything committed after epoch 0
+    root2 = _build(tmp_path, small_wal, "ex2", max_segments_per_tx=2)
+    txids2 = [r["txid"] for r in LakeTable(root2).read_manifest()["lineage"]]
+    rep2 = expire_snapshots(root2, keep_last=0, keep_committed_after_us=0)
+    assert rep2["expired"] == []
+    for t in txids2:
+        read_table_arrow(root2, at_txid=t)
