@@ -254,6 +254,17 @@ def main(argv: list[str] | None = None) -> int:
     rn2.add_argument("--column", required=True)
     rn2.add_argument("--at-txid", default=None, help="time-travel snapshot")
 
+    hd = sub.add_parser(
+        "head", help="preview N live rows; on flat lakes only the minimal "
+        "partition prefix covering N is ever opened"
+    )
+    hd.add_argument("--lake", required=True)
+    hd.add_argument("--n", type=int, default=10)
+    hd.add_argument("--columns", default=None,
+                    help="comma-separated column projection")
+    hd.add_argument("--where", action="append", default=None,
+                    help="repeatable filter conjunct col:op:value")
+
     gt = sub.add_parser(
         "get", help="point lookup: freshest live row(s) for url key(s), "
         "reading only the partitions they hash to"
@@ -716,6 +727,25 @@ def main(argv: list[str] | None = None) -> int:
         rep = column_range(args.lake, args.column, at_txid=args.at_txid)
         rep["min"], rep["max"] = str(rep["min"]), str(rep["max"])
         print(json.dumps(rep))
+        return 0
+
+    if args.cmd == "head":
+        from .replay import read_table
+
+        _init_ray()
+        cols = args.columns.split(",") if args.columns else None
+        rows = read_table(
+            args.lake, columns=cols,
+            filters=_parse_where(args.where) if args.where else None,
+            limit=args.n,
+        ).take_all()
+        for r in rows:
+            for k, v in list(r.items()):
+                if isinstance(v, bytes):
+                    r[k] = f"<{len(v)} bytes>"
+                elif hasattr(v, "isoformat"):
+                    r[k] = v.isoformat()
+        print(json.dumps({"rows": rows, "n": len(rows)}))
         return 0
 
     if args.cmd == "get":

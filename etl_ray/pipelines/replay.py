@@ -1374,6 +1374,21 @@ def explain_scan(
     return report
 
 
+def _limit_prefix(parts: dict, limit: int) -> dict:
+    """Minimal pid-ordered prefix of FLAT partitions whose manifest
+    live-row counts cover ``limit`` — a limited scan opens only these
+    files.  Only callable when every partition is flat (manifest rows
+    are exact there); callers must not use it under delta chains."""
+    chosen: dict = {}
+    acc = 0
+    for pid, meta in sorted(parts.items(), key=lambda kv: int(kv[0])):
+        chosen[pid] = meta
+        acc += int(meta.get("rows", 0))
+        if acc >= limit:
+            break
+    return chosen
+
+
 def read_table(
     lake_root: str,
     at_txid: str | None = None,
@@ -1382,6 +1397,7 @@ def read_table(
     columns: list[str] | None = None,
     predicate=None,
     filters=None,
+    limit: int | None = None,
     at_tag: str | None = None,
     at_ts=None,
     fs=None,
@@ -1420,7 +1436,15 @@ def read_table(
     must be in the read schema.  ``explain_scan`` previews the plan.
     ``predicate`` (a pyarrow.dataset expression) remains for arbitrary
     shapes the tuple form can't say — it pushes down but cannot
-    file-skip (expressions aren't introspectable against stats)."""
+    file-skip (expressions aren't introspectable against stats).
+
+    ``limit`` bounds the result to N rows.  On an all-flat lake with no
+    predicate it also prunes the FILE LIST: manifest live-row counts
+    are exact there, so only the minimal pid-prefix of partitions that
+    covers N is ever opened — the 100 TB ``head``.  Under filters /
+    predicates / delta chains the limit still applies (and Ray Data's
+    streaming executor stops early), but every candidate partition
+    stays in the plan."""
     import json as _json
 
     at_txid = _resolve_at(lake_root, at_txid, at_tag, fs, at_ts=at_ts)
@@ -1446,6 +1470,13 @@ def read_table(
         parts, _ = _plan_scan(m, full_schema, filters, renames)
         fexpr = filters_to_expr(filters, full_schema)
         predicate = fexpr if predicate is None else predicate & fexpr
+    if (
+        limit is not None
+        and predicate is None
+        and not renames
+        and not any(p.get("deltas") for p in parts.values())
+    ):
+        parts = _limit_prefix(parts, limit)
     files = [
         os.path.join(lake_root, rel)
         for p in parts.values()
@@ -1474,7 +1505,7 @@ def read_table(
             out = out.map_batches(
                 lambda t: t.filter(predicate), batch_format="pyarrow"
             )
-        return out
+        return out if limit is None else out.limit(limit)
 
     # explicit read schema: fragments written before an additive
     # evolution null-fill the missing columns at the dataset layer
@@ -1493,7 +1524,8 @@ def read_table(
         t = t.filter(pc.invert(t.column("_deleted")))
         return t.drop_columns(["_deleted"])
 
-    return ds.map_batches(live, batch_format="pyarrow")
+    out = ds.map_batches(live, batch_format="pyarrow")
+    return out if limit is None else out.limit(limit)
 
 
 def get_rows(

@@ -391,3 +391,42 @@ def test_zero_live_row_files_do_not_veto_pruning():
     # but a LIVE delta without stats still vetoes
     meta["deltas"] = [{"file": "d.parquet", "rows": 2}]
     assert not partition_excluded(meta, [("a", ">", 100)], schema)
+
+
+def test_limit_prefix_unit():
+    from etl_ray.pipelines.replay import _limit_prefix
+
+    parts = {str(i): {"rows": 10} for i in range(8)}
+    assert len(_limit_prefix(parts, 25)) == 3
+    assert len(_limit_prefix(parts, 80)) == 8
+    assert len(_limit_prefix(parts, 1000)) == 8
+    assert list(_limit_prefix(parts, 25)) == ["0", "1", "2"]
+
+
+def test_read_table_limit(ray_session, small_wal, tmp_path):
+    from etl_ray.pipelines.replay import read_table, read_table_arrow
+
+    root = _build(tmp_path, small_wal, "ll")
+    full = read_table_arrow(root)
+    urls = set(full.column("url").to_pylist())
+
+    got = read_table(root, limit=17).take_all()
+    assert len(got) == 17
+    assert {r["url"] for r in got} <= urls
+
+    # limit beyond table size returns everything
+    assert read_table(root, limit=10**6).count() == full.num_rows
+
+    # limit composes with filters (no file-list pruning, still correct)
+    lang = sorted(
+        {v for v in full.column("lang").to_pylist() if v is not None}
+    )[0]
+    got = read_table(root, filters=[("lang", "==", lang)], limit=5).take_all()
+    n_lang = len(full.filter(pc.equal(full["lang"], lang)))
+    assert len(got) == min(5, n_lang)
+    assert all(r["lang"] == lang for r in got)
+
+    # and on a delta-chain lake (merged path)
+    root_d = _build(tmp_path, small_wal, "lld", merge_mode="delta")
+    got = read_table(root_d, limit=9).take_all()
+    assert len(got) == 9
