@@ -725,7 +725,9 @@ def main(argv: list[str] | None = None) -> int:
 
         _init_ray()  # truncated-bound / chain partitions may need a scan
         rep = column_range(args.lake, args.column, at_txid=args.at_txid)
-        rep["min"], rep["max"] = str(rep["min"]), str(rep["max"])
+        for k in ("min", "max"):  # JSON null for empty/all-null columns
+            if rep[k] is not None:
+                rep[k] = str(rep[k])
         print(json.dumps(rep))
         return 0
 

@@ -2301,9 +2301,20 @@ def _maintenance_signals(lake_root: str) -> dict:
     """Cheap health probe for the policy loop: chain lengths from the
     manifest (free), tombstone counts from parquet footers (one
     metadata GET per base file — no data pages), orphan files from one
-    directory listing."""
+    directory listing.
+
+    The tombstone ratio is computed over FLAT partitions only, where it
+    is exact (footer rows − manifest live rows = tombstones).  On a
+    chained partition "stored − live" would also count superseded row
+    versions and pure-insert delta rows as tombstone debt — the
+    fold-chains action runs first precisely so the refreshed ratio
+    becomes exact.  Orphan counting honors the same protection set
+    vacuum does (tag-pinned snapshots), so a tagged lake reports 0
+    reclaimable orphans instead of recommending a vacuum that can never
+    reclaim anything."""
     from ..state.fs import resolve as _resolve
     from ..state.manifest import partition_file_list
+    from .tags import list_tags
 
     lake = LakeTable(lake_root)
     m = lake.read_manifest()
@@ -2315,21 +2326,26 @@ def _maintenance_signals(lake_root: str) -> dict:
     live = 0
     stored = 0
     for meta in m["partitions"].values():
-        live += int(meta.get("rows", 0))
+        if meta.get("deltas"):
+            continue  # chained: ratio undefined until folded
         rel = meta.get("file")
         if rel:
+            live += int(meta.get("rows", 0))
             stored += pq.read_metadata(
                 os.path.join(lake_root, rel), filesystem=_fs.pyarrow_fs
-            ).num_rows
-        for d in meta.get("deltas", []) or []:
-            stored += pq.read_metadata(
-                os.path.join(lake_root, d["file"]), filesystem=_fs.pyarrow_fs
             ).num_rows
     referenced = {
         os.path.basename(rel)
         for p in m["partitions"].values()
         for rel in partition_file_list(p)
     }
+    for txid in sorted(set(list_tags(lake_root, fs=lake.fs).values())):
+        snap = lake.manifest_at(txid)
+        referenced |= {
+            os.path.basename(rel)
+            for p in snap["partitions"].values()
+            for rel in partition_file_list(p)
+        }
     parts_dir = os.path.join(lake_root, "parts")
     try:
         on_disk = set(_fs.listdir(parts_dir))
@@ -2451,6 +2467,8 @@ def expire_snapshots(
     gone) unless every file it references is still shared with a kept
     snapshot; per-tx snapshot manifests themselves are metadata and are
     never deleted.  Returns ``{"kept", "expired", **vacuum_result}``."""
+    from .tags import list_tags
+
     lake = LakeTable(lake_root)
     m = lake.read_manifest()
     lineage = m.get("lineage", [])
@@ -2465,6 +2483,9 @@ def expire_snapshots(
             for rec in lineage
             if int(rec.get("committed_at", 0)) >= keep_committed_after_us
         )
+    # tag-pinned snapshots survive vacuum regardless; report them as
+    # kept so the audit trail matches what actually happens on disk
+    keep.update(set(list_tags(lake_root, fs=lake.fs).values()))
     expired = [t for t in all_txids if t not in keep]
     res = vacuum(lake_root, keep_txids=sorted(keep - {m["txid"]}))
     return {

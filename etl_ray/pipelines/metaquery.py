@@ -281,8 +281,14 @@ def files(lake_root: str, at_txid: str | None = None, fs=None) -> pa.Table:
 def partitions_table(
     lake_root: str, at_txid: str | None = None, fs=None
 ) -> pa.Table:
-    """One row per partition: live rows, delta-chain length, stats
-    coverage — the operator's skew / chain-health view."""
+    """One row per partition: row versions, delta-chain length, stats
+    coverage — the operator's skew / chain-health view.
+
+    ``version_rows`` counts stored live row VERSIONS (base + delta
+    change rows).  On a chained partition that is an upper bound on the
+    served rows — a delta row superseding a base row contributes twice
+    until the chain folds — so it is deliberately NOT named live_rows;
+    exact live counts come from ``count_rows`` (which scans chains)."""
     _, m = _resolve(lake_root, at_txid, fs)
     rows = []
     for pid, meta in sorted(m["partitions"].items(), key=lambda kv: int(kv[0])):
@@ -290,7 +296,7 @@ def partitions_table(
         rows.append(
             {
                 "pid": int(pid),
-                "live_rows": int(meta.get("rows", 0))
+                "version_rows": int(meta.get("rows", 0))
                 + sum(int(d.get("rows", 0)) for d in chain),
                 "base_rows": int(meta.get("rows", 0)),
                 "delta_files": len(chain),
@@ -301,7 +307,7 @@ def partitions_table(
     sch = pa.schema(
         [
             ("pid", pa.int64()),
-            ("live_rows", pa.int64()),
+            ("version_rows", pa.int64()),
             ("base_rows", pa.int64()),
             ("delta_files", pa.int64()),
             ("has_stats", pa.bool_()),

@@ -1364,9 +1364,16 @@ def explain_scan(
     at_txid = _resolve_at(lake_root, at_txid, at_tag, fs, at_ts=at_ts)
     lake = LakeTable(lake_root, fs=fs)
     m = lake.manifest_at(at_txid) if at_txid is not None else lake.read_manifest()
-    schema = lake.schema(m)
     if columns is not None:
-        schema = pa.schema([schema.field(c) for c in columns])
+        # mirror read_table's contract so the dry run rejects exactly
+        # what the real scan would reject
+        names = {lake.schema(m).field(c).name for c in columns}
+        for c, _, _ in filters or []:
+            if c not in names:
+                raise ValueError(
+                    f"filter column {c!r} must be in the read schema "
+                    f"(add it to columns=)"
+                )
     _, report = _plan_scan(m, lake.schema(m), filters, m.get("renames", []))
     report["merged_read"] = bool(
         m.get("renames") or any(p.get("deltas") for p in m["partitions"].values())
@@ -1485,7 +1492,9 @@ def read_table(
     if not files:
         return ray.data.from_arrow(schema.empty_table())
 
-    if renames or any(p.get("deltas") for p in m["partitions"].values()):
+    # gate on the PRUNED set: if stats pruning dropped every chained
+    # partition, the survivors take the cheap flat path
+    if renames or any(p.get("deltas") for p in parts.values()):
         items = [
             {"pid": int(pid), "meta": _json.dumps(meta)}
             for pid, meta in sorted(parts.items(), key=lambda kv: int(kv[0]))

@@ -166,24 +166,62 @@ _OPS = ("==", "=", "!=", "<", "<=", ">", ">=", "in")
 
 
 def _norm_value(value, t: pa.DataType):
-    """Filter value → the stats encoding domain for column type t."""
+    """Filter value → the stats encoding domain for column type t.
+
+    Raises ValueError for values the column type cannot compare exactly
+    — a non-integral float against an integer column would otherwise
+    TRUNCATE (int(10.5) == 10) and make both the skip rule and the
+    all-match rule silently wrong.  ``check_filters`` validates eagerly
+    so every surface (read, count, export, CLI) errors up front instead
+    of mis-pruning."""
     if pa.types.is_timestamp(t) or pa.types.is_date(t) or pa.types.is_time(t):
         return pa.scalar(value, t).value  # int ticks, unit-matched
     if pa.types.is_floating(t):
         return float(value)
     if pa.types.is_boolean(t):
-        return bool(value)
+        if not isinstance(value, bool):
+            raise ValueError(
+                f"boolean column filter needs a bool value, got {value!r}"
+            )
+        return value
     if pa.types.is_integer(t):
-        return int(value)
-    return value  # strings compare as str
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            raise ValueError(
+                f"integer column filter needs a numeric value, got {value!r}"
+            )
+        if isinstance(value, float):
+            if not value.is_integer():
+                raise ValueError(
+                    f"integer column filter value {value!r} is not integral; "
+                    "compare against an int (or cast the column)"
+                )
+            value = int(value)
+        return value
+    # string columns: coerce through str() so a CLI `url:==:42` (parsed
+    # as int) compares as the string "42" — matching the expression
+    # layer, which gets the same coercion in filters_to_expr
+    return value if isinstance(value, str) else str(value)
 
 
 def check_filters(filters, schema: pa.Schema) -> None:
-    for col, op, _ in filters:
+    """Validate columns, ops AND values eagerly — a value the column
+    type can't compare exactly must error here, at the API surface,
+    not silently weaken the prune/all-match rules mid-plan."""
+    for col, op, value in filters:
         if op not in _OPS:
             raise ValueError(f"unsupported filter op {op!r} (use {_OPS})")
-        if schema.field(col) is None:  # raises KeyError itself if absent
-            raise KeyError(col)
+        t = schema.field(col).type  # raises KeyError itself if absent
+        try:
+            if op == "in":
+                for x in value:
+                    _norm_value(x, t)
+            else:
+                _norm_value(value, t)
+        except (pa.ArrowInvalid, TypeError, OverflowError) as e:
+            raise ValueError(
+                f"filter value {value!r} is not comparable against "
+                f"column {col!r} ({t}): {e}"
+            ) from e
 
 
 def file_excluded(stats: dict | None, filters, schema: pa.Schema) -> bool:
@@ -304,14 +342,21 @@ def filters_to_expr(filters, schema: pa.Schema):
     the second pruning layer under the manifest-level skip."""
     import pyarrow.dataset as pads
 
+    def _scal(v, t):
+        # same string coercion as _norm_value: the two layers must
+        # agree on what a filter value means
+        if (pa.types.is_string(t) or pa.types.is_large_string(t)) and not isinstance(v, str):
+            v = str(v)
+        return pa.scalar(v, t)
+
     expr = None
     for col, op, value in filters:
         t = schema.field(col).type
         f = pads.field(col)
         if op == "in":
-            e = f.isin([pa.scalar(v, t) for v in value])
+            e = f.isin([_scal(v, t) for v in value])
         else:
-            v = pa.scalar(value, t)
+            v = _scal(value, t)
             e = {
                 "==": f == v,
                 "=": f == v,

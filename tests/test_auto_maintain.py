@@ -18,13 +18,20 @@ def _build(tmp_path, small_wal, name, **kw):
 
 
 def test_signals_probe(ray_session, small_wal, tmp_path):
+    # delta lake: chains visible; tombstone ratio deliberately excludes
+    # chained partitions (undefined until folded — a pure-insert delta
+    # must not read as tombstone debt)
     root = _build(tmp_path, small_wal, "sg", merge_mode="delta",
                   max_segments_per_tx=2)
     sig = _maintenance_signals(root)
     assert sig["max_chain"] >= 1
-    assert sig["stored_rows"] > sig["live_rows"]  # tombstones exist
-    assert 0 < sig["tombstone_ratio"] < 1
     assert sig["partitions"] == 8
+    # flat (rewrite) lake: ratio is exact — tombstones exist in base files
+    root2 = _build(tmp_path, small_wal, "sg2")
+    sig2 = _maintenance_signals(root2)
+    assert sig2["max_chain"] == 0
+    assert sig2["stored_rows"] > sig2["live_rows"]
+    assert 0 < sig2["tombstone_ratio"] < 1
 
 
 def test_dry_run_recommends_without_touching(ray_session, small_wal, tmp_path):
@@ -34,9 +41,12 @@ def test_dry_run_recommends_without_touching(ray_session, small_wal, tmp_path):
     rep = auto_maintain(root, max_chain=1, tombstone_ratio=0.01, dry_run=True)
     assert rep["actions"] == []
     assert any("fold" in r for r in rep["recommendations"])
-    # tombstone GC is blocked without the safety flag, and says so
-    assert any("blocked" in r for r in rep["recommendations"])
     assert LakeTable(root).read_manifest()["tx_seq"] == before
+    # flat lake: tombstone GC is blocked without the safety flag, and says so
+    root2 = _build(tmp_path, small_wal, "dr2")
+    rep2 = auto_maintain(root2, tombstone_ratio=0.01, dry_run=True)
+    assert rep2["actions"] == []
+    assert any("blocked" in r for r in rep2["recommendations"])
 
 
 def test_full_loop_preserves_state_and_is_idempotent(

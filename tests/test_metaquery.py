@@ -112,7 +112,7 @@ def test_files_and_partitions_tables(ray_session, small_wal, tmp_path):
 
     pt = partitions_table(root)
     assert pt.num_rows == len(m["partitions"])
-    assert pc.sum(pt.column("live_rows")).as_py() == sum(
+    assert pc.sum(pt.column("version_rows")).as_py() == sum(
         p["rows"] for p in m["partitions"].values()
     )
 
