@@ -445,6 +445,13 @@ def _fsck_partition(
                         and c_ent["max"] < a_ent["max"]
                     ):
                         bad = f"max bound {c_ent['max']!r} < actual {a_ent['max']!r}"
+                    elif "vset" in c_ent:
+                        # equality pruning trusts value-hash absence: the
+                        # claimed set must contain every actual value
+                        if "vset" not in a_ent:
+                            bad = "claimed vset but file has more distinct values than the cap"
+                        elif not set(a_ent["vset"]) <= set(c_ent["vset"]):
+                            bad = "vset missing live value hash(es)"
                 if bad:
                     problems.append(
                         {

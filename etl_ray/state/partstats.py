@@ -58,6 +58,12 @@ import pyarrow.compute as pc
 
 STR_CAP = 64
 MAX_STAT_COLS = 24
+# capped distinct-value-hash set per column: equality pruning for
+# categorical columns on hash-partitioned lakes, where min/max ranges
+# cover everything and never skip.  64 hashes x 8 bytes bounds the
+# manifest cost; columns with more distinct values record no vset
+# (overflow = unknown, never pruned by value)
+VSET_CAP = 64
 
 # internal lake columns never worth bounding
 _SKIP_ALWAYS = ("_deleted", "_lsn")
@@ -125,6 +131,23 @@ def table_stats(tbl: pa.Table) -> dict | None:
         if not lo.is_valid or not hi.is_valid:
             continue
         ent: dict = {"nulls": int(nulls)}
+        if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_integer(t):
+            # capped distinct-value-hash set: exact equality pruning for
+            # categorical columns whose RANGE never excludes anything on
+            # a hash-partitioned lake.  Hashes of FULL values (immune to
+            # the string bound truncation); absence is definite (the
+            # hash of an absent value can only appear via a 2^-64
+            # collision, and a collision only KEEPS a file — sound)
+            from ..stages.hashutil import hash64 as _h64
+
+            uniq = pc.unique(col.combine_chunks() if hasattr(col, "combine_chunks") else col)
+            uniq = uniq.drop_null()
+            if len(uniq) <= VSET_CAP:
+                import numpy as _np
+
+                ent["vset"] = sorted(
+                    int(x) for x in _h64(uniq).view(_np.int64)
+                )
         if pa.types.is_string(t) or pa.types.is_large_string(t):
             lo_s, hi_s = lo.as_py(), hi.as_py()
             up = _trunc_upper(hi_s)
@@ -224,6 +247,21 @@ def check_filters(filters, schema: pa.Schema) -> None:
             ) from e
 
 
+def _vhash(value, t: pa.DataType) -> int:
+    """The vset encoding of one filter value (same kernel as the
+    writer: hash64 over a one-element arrow array of the column
+    type)."""
+    import numpy as _np
+
+    from ..stages.hashutil import hash64 as _h64
+
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        arr = pa.array([value if isinstance(value, str) else str(value)], t)
+    else:
+        arr = pa.array([int(value)], t)
+    return int(_h64(arr).view(_np.int64)[0])
+
+
 def file_excluded(stats: dict | None, filters, schema: pa.Schema) -> bool:
     """True iff the stats PROVE no live row of the file can satisfy ALL
     filters (filters are AND-combined, so one excluding conjunct
@@ -246,9 +284,12 @@ def file_excluded(stats: dict | None, filters, schema: pa.Schema) -> bool:
         except (pa.ArrowInvalid, ValueError, TypeError, OverflowError):
             continue  # un-normalizable value: let the scan decide
         lo, hi = ent["min"], ent.get("max")
+        vset = ent.get("vset")
         if op in ("==", "="):
             if v < lo or (hi is not None and v > hi):
                 return True
+            if vset is not None and _vhash(value, t) not in vset:
+                return True  # definite absence (see table_stats note)
         elif op == ">":
             if hi is not None and hi <= v:
                 return True
@@ -265,6 +306,10 @@ def file_excluded(stats: dict | None, filters, schema: pa.Schema) -> bool:
             if not vs:
                 return True  # IN () matches nothing
             if all(x < lo or (hi is not None and x > hi) for x in vs):
+                return True
+            if vset is not None and all(
+                _vhash(x, t) not in vset for x in value
+            ):
                 return True
         elif op == "!=":
             if (
@@ -306,6 +351,12 @@ def union_stats(parts: list[dict | None]) -> dict | None:
             ent["max"] = max(e["max"] for e in bounded)
         if any(e.get("trunc") for e in ents):
             ent["trunc"] = True
+        if all("vset" in e for e in bounded):
+            u = set()
+            for e in bounded:
+                u |= set(e["vset"])
+            if len(u) <= VSET_CAP:
+                ent["vset"] = sorted(u)
         # an all-null sibling file means a served row CAN be null in
         # this column even though bounds exist -> keep nulls (already
         # summed); bounds stay valid for the non-null values

@@ -42,11 +42,12 @@ def _stats(**cols):
 class TestTableStats:
     def test_int_bounds(self):
         s = _stats(n=pa.array([3, 1, 7], pa.int64()))
-        assert s["n"] == {"nulls": 0, "min": 1, "max": 7}
+        assert (s["n"]["nulls"], s["n"]["min"], s["n"]["max"]) == (0, 1, 7)
+        assert len(s["n"]["vset"]) == 3
 
     def test_nulls_counted_and_all_null_marked(self):
         s = _stats(n=pa.array([None, 5, None], pa.int64()))
-        assert s["n"] == {"nulls": 2, "min": 5, "max": 5}
+        assert (s["n"]["nulls"], s["n"]["min"], s["n"]["max"]) == (2, 5, 5)
         s = _stats(n=pa.array([None, None], pa.int64()))
         assert s["n"] == {"nulls": 2}  # no bounds: all-null marker
 
@@ -96,7 +97,9 @@ class TestTableStats:
 
 class TestExclusion:
     def test_range_ops(self):
-        s = _stats(n=pa.array([10, 20], pa.int64()))
+        # hand-built stats WITHOUT a vset: pure range semantics (a
+        # column over the distinct cap records ranges only)
+        s = {"n": {"nulls": 0, "min": 10, "max": 20}}
         keep = lambda op, v: not file_excluded(s, [("n", op, v)], SCHEMA)  # noqa: E731
         assert not keep("==", 9) and keep("==", 10) and keep("==", 15)
         assert not keep(">", 20) and keep(">", 19)
@@ -105,6 +108,11 @@ class TestExclusion:
         assert not keep("<=", 9) and keep("<=", 10)
         assert not keep("in", [1, 2, 30]) and keep("in", [1, 15])
         assert not keep("in", [])
+        # with the real recorded stats, absent-but-in-range values ALSO
+        # exclude (value-set pruning on top of the range)
+        s2 = _stats(n=pa.array([10, 20], pa.int64()))
+        assert file_excluded(s2, [("n", "==", 15)], SCHEMA)
+        assert not file_excluded(s2, [("n", "==", 20)], SCHEMA)
 
     def test_ne_prunes_only_exact_singletons(self):
         s = _stats(n=pa.array([7, 7], pa.int64()))
@@ -454,8 +462,9 @@ class TestValueNormalization:
 
         check_filters([("k", "==", 42)], SCHEMA)  # no crash
         s = _stats(k=pa.array(["41", "43"]))
-        # compares as the string "42": inside ["41", "43"]
-        assert not file_excluded(s, [("k", "==", 42)], SCHEMA)
+        # compares as the string "42": inside the range but vset-absent
+        assert file_excluded(s, [("k", "==", 42)], SCHEMA)
+        assert not file_excluded(s, [("k", "==", 41)], SCHEMA)
         assert file_excluded(s, [("k", "==", 40)], SCHEMA)
         # expression layer agrees
         t = pa.table({"k": pa.array(["42", "x"])})
@@ -499,3 +508,94 @@ def test_pruned_chains_take_flat_path(ray_session, small_wal, tmp_path):
     assert not any(p.get("deltas") for p in m["partitions"].values())
     got_flat = read_table(root, filters=[("lang", "==", lang)]).take_all()
     assert {r["url"] for r in got_chained} == {r["url"] for r in got_flat}
+
+
+class TestValueSetPruning:
+    """Capped distinct-value-hash sets: exact equality pruning where
+    ranges never exclude (categorical columns on hash-partitioned
+    lakes)."""
+
+    def test_vset_recorded_and_capped(self):
+        from etl_ray.state.partstats import VSET_CAP
+
+        s = _stats(k=pa.array(["en", "fr", "de"]))
+        assert len(s["k"]["vset"]) == 3
+        s = _stats(n=pa.array(list(range(VSET_CAP + 1)), pa.int64()))
+        assert "vset" not in s["n"]  # overflow: no value pruning
+        # floats/timestamps never carry a vset
+        s = _stats(x=pa.array([1.0, 2.0], pa.float64()))
+        assert "vset" not in s["x"]
+
+    def test_equality_prunes_by_absence_inside_range(self):
+        # "fr" sorts inside ["de", "sv"] so the RANGE keeps the file;
+        # the value set proves absence
+        s = _stats(k=pa.array(["de", "sv"]))
+        assert file_excluded(s, [("k", "==", "fr")], SCHEMA)
+        assert not file_excluded(s, [("k", "==", "de")], SCHEMA)
+        assert file_excluded(s, [("k", "in", ["fr", "it"])], SCHEMA)
+        assert not file_excluded(s, [("k", "in", ["fr", "sv"])], SCHEMA)
+        # integers too
+        s = _stats(n=pa.array([10, 30], pa.int64()))
+        assert file_excluded(s, [("n", "==", 20)], SCHEMA)
+        assert not file_excluded(s, [("n", "==", 30)], SCHEMA)
+
+    def test_union_merges_vsets(self):
+        from etl_ray.state.partstats import union_stats
+
+        f1 = _stats(k=pa.array(["en"]))
+        f2 = _stats(k=pa.array(["fr"]))
+        u = union_stats([f1, f2])
+        assert len(u["k"]["vset"]) == 2
+        schema = pa.schema([("k", pa.string())])
+        meta = {
+            "file": "b.parquet", "rows": 1, "stats": f1,
+            "deltas": [{"file": "d.parquet", "rows": 1, "stats": f2}],
+        }
+        assert partition_excluded(meta, [("k", "==", "de")], schema)
+        assert not partition_excluded(meta, [("k", "==", "fr")], schema)
+
+    def test_coerced_string_value_hashes_consistently(self):
+        s = _stats(k=pa.array(["41", "43"]))
+        # CLI-coerced int 42 must hash as the string "42"
+        assert file_excluded(s, [("k", "==", 42)], SCHEMA)
+        assert not file_excluded(s, [("k", "==", 41)], SCHEMA)
+
+
+def test_vset_prunes_on_hash_partitioned_lake(ray_session, small_wal, tmp_path):
+    """The motivating case: on a hash-partitioned lake a categorical
+    equality filter has full-range bounds everywhere, but value sets
+    prune the partitions that simply don't contain the value."""
+    from etl_ray.pipelines.replay import explain_scan, read_table, read_table_arrow
+
+    root = _build(tmp_path, small_wal, "lkv")
+    full = read_table_arrow(root)
+    langs = {v for v in full.column("lang").to_pylist() if v is not None}
+    # a value that exists in SOME partitions: correctness
+    lang = sorted(langs)[0]
+    got = read_table(root, filters=[("lang", "==", lang)]).take_all()
+    want = full.filter(pc.equal(full["lang"], lang))
+    assert len(got) == want.num_rows
+    # a value that exists nowhere: every partition pruned by vset even
+    # though it may sort inside the range
+    rep = explain_scan(root, [("lang", "==", "zz-absent")])
+    assert rep["partitions_skipped"] == rep["partitions_total"]
+    assert read_table(root, filters=[("lang", "==", "zz-absent")]).count() == 0
+
+
+def test_fsck_flags_missing_vset_value(ray_session, small_wal, tmp_path):
+    import json
+
+    from etl_ray.pipelines.maintenance import fsck
+
+    root = _build(tmp_path, small_wal, "lkvf")
+    assert fsck(root)["mismatches"] == []
+    mp = os.path.join(root, "MANIFEST.json")
+    m = json.load(open(mp))
+    pid = next(
+        p for p, meta in m["partitions"].items()
+        if meta.get("stats", {}).get("lang", {}).get("vset")
+    )
+    m["partitions"][pid]["stats"]["lang"]["vset"] = [123]  # drops real hashes
+    json.dump(m, open(mp, "w"))
+    rep = fsck(root)
+    assert any("vset" in p["what"] for p in rep["mismatches"])
